@@ -1,0 +1,109 @@
+"""Kernel-level golden tests.
+
+Mirrors the reference's kernel oracle values (hard-coded outputs of R
+``tempdisagg`` internals, /root/reference/tests/test_computations.py) plus
+structural invariants of the conversion matrix.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from numpy.testing import assert_allclose
+
+from tsdisagg_spark import kernels
+
+REF_DATA = "/root/reference/tests/data"
+
+
+def test_chow_lin_covariance_golden():
+    # tempdisagg 3x3 at rho=0.95, sigma2=1 (test_computations.py:14-24)
+    expected = np.array(
+        [
+            [10.25641, 9.74359, 9.25641],
+            [9.74359, 10.25641, 9.74359],
+            [9.25641, 9.74359, 10.25641],
+        ]
+    )
+    assert_allclose(kernels.chow_lin_covariance(0.95, 1.0, 3), expected)
+
+
+def test_litterman_covariance_golden():
+    # tempdisagg:::CalcQ_Lit at rho=0.95 (test_computations.py:27-39)
+    expected = np.array(
+        [
+            [1.000000, 1.950000, 2.852500, 3.709875, 4.524381],
+            [1.950000, 4.802500, 7.512375, 10.086756, 12.532418],
+            [2.852500, 7.512375, 12.939256, 18.094793, 22.992554],
+            [3.709875, 10.086756, 18.094793, 26.702429, 34.879682],
+            [4.524381, 12.532418, 22.992554, 34.879682, 47.172454],
+        ]
+    )
+    assert_allclose(kernels.litterman_covariance(0.95, 1.0, 5), expected)
+
+
+def test_gls_beta_golden():
+    # tempdisagg:::CalcGLS on the AL annual/quarterly fixtures
+    # (test_computations.py:42-67)
+    expected = np.array([908.6679748, 0.9772889])
+
+    low = pd.read_csv(
+        f"{REF_DATA}/AL_Annual_Data_Shorter.csv", parse_dates=True, index_col="period"
+    ).dropna()
+    high = pd.read_csv(
+        f"{REF_DATA}/AL_Quarterly_Data_Modified.csv", parse_dates=True, index_col="period"
+    ).dropna()
+
+    low_labels = kernels.period_labels(low.index, "yearly")
+    high_labels = kernels.period_labels(high.index, "yearly")
+    C = kernels.conversion_matrix(low_labels, high_labels, 4, "last")
+
+    # first low-freq year only partially covered -> drop, as the reference does
+    C = C[1:, :]
+    y = low.to_numpy()[1:]
+    X = high.assign(intercept=1)[["intercept", "Value"]].to_numpy(dtype=float)
+
+    Sigma = kernels.chow_lin_covariance(0.95, 1.0, X.shape[0])
+    beta = kernels.gls_beta(Sigma, y, X, C).ravel()
+    assert_allclose(beta, expected)
+
+
+def test_difference_matrix():
+    D2 = kernels.difference_matrix(4, 2)
+    x = np.array([1.0, 4.0, 9.0, 16.0])
+    # second difference of squares is constant 2 (beyond boundary rows)
+    assert_allclose((D2 @ x)[2:], [2.0, 2.0])
+
+
+@pytest.mark.parametrize("agg_func", ["sum", "mean", "first", "last"])
+def test_conversion_matrix_invariants(agg_func):
+    # yearly low over monthly high, 3 full years + one trailing partial year
+    low_ts = pd.date_range("2000-01-01", periods=4, freq="YS")
+    high_ts = pd.date_range("2000-01-01", periods=38, freq="MS")  # 2 months of 2003
+    low_labels = kernels.period_labels(low_ts, "yearly")
+    high_labels = kernels.period_labels(high_ts, "yearly")
+    C = kernels.conversion_matrix(low_labels, high_labels, 12, agg_func)
+
+    assert C.shape == (4, 38)
+    row_sums = C.sum(axis=1)
+    expected_full = 12.0 if agg_func == "sum" else 1.0
+    assert_allclose(row_sums[:3], expected_full)
+    assert row_sums[3] == 0.0  # partial year zeroed
+
+    x = np.arange(38, dtype=float)
+    agg = C @ x
+    series = pd.Series(x, index=high_ts)
+    grouped = series.groupby(high_ts.year).agg(agg_func)
+    assert_allclose(agg[:3], grouped.to_numpy()[:3])
+
+
+def test_conversion_matrix_quarterly_low():
+    low_ts = pd.date_range("2000-01-01", periods=8, freq="QS")
+    high_ts = pd.date_range("2000-01-01", periods=24, freq="MS")
+    C = kernels.conversion_matrix(
+        kernels.period_labels(low_ts, "quarterly"),
+        kernels.period_labels(high_ts, "quarterly"),
+        3,
+        "sum",
+    )
+    assert_allclose(C.sum(axis=1), 3.0)
+    assert_allclose(C @ np.ones(24), np.full(8, 3.0))

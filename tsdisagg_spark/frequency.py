@@ -1,0 +1,204 @@
+"""Calendar & frequency metadata for temporal disaggregation.
+
+Pure-Python (no Spark): frequency codes are engine-level *metadata* that never
+touch the distributed data path.  Semantics match the reference library's
+calendar layer (``/root/reference/tsdisagg/time_conversion.py:17-104,157-253``)
+but the implementation is original and independent.
+
+Supported pandas-2.x-style frequency codes:
+
+* yearly      : ``YE BYE YS BYS`` with optional ``-MON`` anchor
+* quarterly   : ``QE BQE QS BQS`` with optional ``-MON`` anchor
+* monthly     : ``ME MS BME BMS``
+
+Only the downward conversions yearly->quarterly (factor 4), yearly->monthly
+(factor 12) and quarterly->monthly (factor 3) exist, mirroring
+``time_conversion.py:26-33``.
+"""
+
+from __future__ import annotations
+
+import calendar as _stdlib_calendar
+import datetime as _dt
+
+import pandas as pd
+
+MONTH_ABBRS = (
+    "JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+    "JUL", "AUG", "SEP", "OCT", "NOV", "DEC",
+)
+
+#: canonical frequency-family names, ordered coarse -> fine
+YEARLY, QUARTERLY, MONTHLY = "yearly", "quarterly", "monthly"
+_FAMILY_RANK = {YEARLY: 2, QUARTERLY: 1, MONTHLY: 0}
+_FAMILY_CODE = {YEARLY: "Y", QUARTERLY: "Q", MONTHLY: "M"}
+
+#: months spanned by one period of each family
+MONTHS_PER_PERIOD = {YEARLY: 12, QUARTERLY: 3, MONTHLY: 1}
+
+#: low-family -> high-family -> number of high periods per low period
+#: (time_conversion.py:30-33)
+CONVERSION_FACTORS = {
+    YEARLY: {QUARTERLY: 4, MONTHLY: 12},
+    QUARTERLY: {MONTHLY: 3},
+}
+
+_YEARLY_BASES = {"YE", "BYE", "YS", "BYS"}
+_QUARTERLY_BASES = {"QE", "BQE", "QS", "BQS"}
+_MONTHLY_BASES = {"ME", "MS", "BME", "BMS"}
+
+
+class FrequencyError(NotImplementedError):
+    """Raised for frequency codes outside the supported whitelist."""
+
+
+def split_code(code: str) -> tuple[str, str | None]:
+    """``'QS-OCT'`` -> ``('QS', 'OCT')``; ``'MS'`` -> ``('MS', None)``."""
+    base, dash, anchor = code.partition("-")
+    return base, (anchor if dash else None)
+
+
+def family(code: str) -> str:
+    """Classify a frequency code into yearly/quarterly/monthly.
+
+    Mirrors ``get_frequency_name`` + whitelist (time_conversion.py:51-82):
+    a yearly/quarterly base accepts any month anchor; monthly accepts none.
+    """
+    base, anchor = split_code(code)
+    anchored_ok = anchor is None or anchor in MONTH_ABBRS
+    if base in _YEARLY_BASES and anchored_ok:
+        return YEARLY
+    if base in _QUARTERLY_BASES and anchored_ok:
+        return QUARTERLY
+    if base in _MONTHLY_BASES and anchor is None:
+        return MONTHLY
+    raise FrequencyError(
+        f"Only annual, quarterly and monthly frequencies are supported, found {code}"
+    )
+
+
+def validate_codes(*codes: str) -> None:
+    """Whitelist check for every code (time_conversion.py:66-71)."""
+    for code in codes:
+        family(code)
+
+
+def is_start_anchored(code: str) -> bool:
+    """True for period-start stamps (``S`` suffix on the base)."""
+    return split_code(code)[0].endswith("S")
+
+
+def is_business(code: str) -> bool:
+    """True for business-day calendars (``B`` prefix on the base)."""
+    return split_code(code)[0].startswith("B")
+
+
+def conversion_factor(low_code: str, high_code: str) -> int:
+    """High periods per low period; raises if not a supported step down."""
+    low_fam, high_fam = family(low_code), family(high_code)
+    try:
+        return CONVERSION_FACTORS[low_fam][high_fam]
+    except KeyError:
+        raise FrequencyError(
+            f"No conversion from {low_fam} ({low_code}) to {high_fam} ({high_code})"
+        ) from None
+
+
+def step_down(code: str) -> str:
+    """Rewrite a code one frequency finer: Y->Q, Q->M.
+
+    Mirrors ``auto_step_down_base_freq`` (time_conversion.py:85-104) including
+    its anchor handling: the month anchor is preserved on Y->Q, dropped on Q->M.
+    Note the reference unconditionally unpacks ``freq.split('-')`` (:99) and so
+    crashes on unanchored codes like plain ``'YS'``; we accept both forms.
+    """
+    fam = family(code)
+    base, anchor = split_code(code)
+    if fam == YEARLY:
+        new_base = base.replace("Y", "Q")
+        return f"{new_base}-{anchor}" if anchor else new_base
+    if fam == QUARTERLY:
+        return base.replace("Q", "M")
+    raise FrequencyError(f"No frequency lower than {fam} currently supported")
+
+
+def infer_code(index) -> str | None:
+    """Infer a pandas-style frequency code from a datetime index/array.
+
+    Delegates to pandas' inference so the engine agrees with the reference's
+    use of ``DatetimeIndex.inferred_freq`` (ts_disagg.py:246,264,295-296).
+    """
+    idx = pd.DatetimeIndex(index)
+    return idx.freq.freqstr if idx.freq is not None else idx.inferred_freq
+
+
+# ---------------------------------------------------------------------------
+# business-day snapping (time_conversion.py:157-200 semantics, corrected
+# leap-year rule: the reference's get_last_day uses a naive year%4 test;
+# we use the real calendar since no golden fixture reaches century years)
+# ---------------------------------------------------------------------------
+
+def first_business_day(ts: pd.Timestamp) -> pd.Timestamp:
+    """First Mon-Fri day of ``ts``'s month."""
+    first = ts.replace(day=1)
+    wd = first.weekday()  # Mon=0 .. Sun=6
+    if wd >= 5:
+        first += _dt.timedelta(days=7 - wd)
+    return first
+
+
+def last_business_day(ts: pd.Timestamp) -> pd.Timestamp:
+    """Last Mon-Fri day of ``ts``'s month."""
+    n_days = _stdlib_calendar.monthrange(ts.year, ts.month)[1]
+    last = ts.replace(day=n_days)
+    wd = last.weekday()
+    if wd >= 5:
+        last -= _dt.timedelta(days=wd - 4)
+    return last
+
+
+# ---------------------------------------------------------------------------
+# companion (synthetic high-frequency) timeline — time_conversion.py:224-253
+# ---------------------------------------------------------------------------
+
+def companion_index(low_index, low_code: str, high_code: str) -> pd.DatetimeIndex:
+    """Build the synthetic high-frequency timeline covering ``low_index``.
+
+    The low-frequency stamps mark one edge of each period; the range is
+    extended by ``factor - 1`` high-frequency steps so every low period is
+    fully populated: start-anchored codes extend the *end*, end-anchored codes
+    extend the *start* (time_conversion.py:238-244).  Business codes snap the
+    boundaries onto business days (:246-248).
+    """
+    low_fam, high_fam = family(low_code), family(high_code)
+    if _FAMILY_RANK[low_fam] <= _FAMILY_RANK[high_fam]:
+        raise ValueError(
+            f"target_freq must be of higher frequency than the frequency on the data. "
+            f"Found target_freq {high_code}, which is {high_fam}, while data is "
+            f"{low_code}, which is {low_fam}."
+        )
+
+    idx = pd.DatetimeIndex(low_index)
+    start, end = idx[0], idx[-1]
+
+    pad_months = (conversion_factor(low_code, high_code) - 1) * MONTHS_PER_PERIOD[high_fam]
+    pad = pd.DateOffset(months=pad_months)
+    if is_start_anchored(high_code):
+        end = end + pad
+    else:
+        start = start - pad
+
+    if is_business(high_code):
+        start = first_business_day(start)
+        end = last_business_day(end)
+
+    return pd.date_range(start=start, end=end, freq=high_code)
+
+
+def output_column_names(target_name: str, low_code: str, high_code: str) -> tuple[str, str]:
+    """``('yearly_sales', 'quarterly_sales')`` naming scheme
+    (time_conversion.py:212-221)."""
+    return (
+        f"{family(low_code)}_{target_name}",
+        f"{family(high_code)}_{target_name}",
+    )

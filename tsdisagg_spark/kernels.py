@@ -1,0 +1,447 @@
+"""Dense per-series numerical kernels for temporal disaggregation.
+
+Pure NumPy/SciPy — importable and unit-testable without Spark.  On the
+cluster these run *inside* a grouped-map pandas UDF (one call per series), so
+every function here operates on a single series' small dense arrays
+(n = high-frequency length, typically 10^2-10^3).
+
+The math reproduces the reference semantics (cites into
+``/root/reference/tsdisagg/ts_disagg.py``) but the code is an independent
+implementation:
+
+* conversion (aggregation-constraint) matrix    — ts_disagg.py:24-81
+* Denton / Denton-Cholette smoothing            — ts_disagg.py:155-176
+* Chow-Lin AR(1) / Litterman random-walk GLS    — ts_disagg.py:100-152
+* maximum-likelihood (rho, sigma^2) fit         — ts_disagg.py:426-448
+* distribution step  y_hat = p + D(y - Cp)      — ts_disagg.py:96-97,460-464
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+AGG_FUNCS = ("sum", "mean", "first", "last")
+METHODS = ("denton", "denton-cholette", "chow-lin", "litterman")
+REGRESSION_METHODS = ("chow-lin", "litterman")
+
+
+# ---------------------------------------------------------------------------
+# period labelling + conversion matrix
+# ---------------------------------------------------------------------------
+
+def period_labels(ts, low_family: str) -> np.ndarray:
+    """Integer calendar-period label for each timestamp.
+
+    The reference buckets high-frequency stamps with ``to_period('Y'|'Q')``
+    (ts_disagg.py:60-66) — i.e. membership is by *calendar* year/quarter of
+    the stamp regardless of any month anchor on the frequency code.  We encode
+    the same label as an integer so the identical expression works in Spark
+    SQL: ``year`` for yearly lows, ``4*year + (month-1)//3`` for quarterly.
+    """
+    import pandas as pd
+
+    idx = pd.DatetimeIndex(ts)
+    if low_family == "yearly":
+        return idx.year.to_numpy()
+    return (idx.year * 4 + (idx.month - 1) // 3).to_numpy()
+
+
+def conversion_matrix(
+    low_labels: np.ndarray,
+    high_labels: np.ndarray,
+    factor: int,
+    agg_func: str,
+) -> np.ndarray:
+    """Aggregation-constraint matrix C in R^{n_low x n_high}.
+
+    Row i encodes how high-frequency rows combine to reproduce low-freq
+    observation i: weight 1 on members (``sum``), 1/factor (``mean``), or 1 on
+    the first/last member (``first``/``last``).  Periods with a member count
+    different from ``factor`` are *partial* and get an all-zero row so the
+    caller can prune them (ts_disagg.py:24-42,68-79).
+
+    Inputs are the integer labels from :func:`period_labels`; ``high_labels``
+    must be in time order.
+    """
+    if agg_func not in AGG_FUNCS:
+        raise ValueError(f"Invalid agg_func {agg_func!r}")
+
+    n_low, n_high = len(low_labels), len(high_labels)
+    C = np.zeros((n_low, n_high))
+    weight = 1.0 / factor if agg_func == "mean" else 1.0
+
+    for i, label in enumerate(low_labels):
+        members = np.flatnonzero(high_labels == label)
+        if members.size == 0 or members.size != factor:
+            # absent or partial period -> stays all-zero
+            continue
+        if agg_func == "first":
+            C[i, members[0]] = weight
+        elif agg_func == "last":
+            C[i, members[-1]] = weight
+        else:
+            C[i, members] = weight
+    return C
+
+
+# ---------------------------------------------------------------------------
+# structural matrices
+# ---------------------------------------------------------------------------
+
+def difference_matrix(n: int, order: int = 1) -> np.ndarray:
+    """h-th order differencing operator: (I - L)^h with L the lag matrix
+    (ts_disagg.py:90-93)."""
+    D1 = np.eye(n) - np.eye(n, k=-1)
+    return np.linalg.matrix_power(D1, order)
+
+
+def _proportional_rescale(delta: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Scale the difference operator columns by 1/(x_t * mean(x)) so squared
+    *relative* deviations are penalized (ts_disagg.py:158,168)."""
+    x = np.asarray(x, dtype=float).ravel()
+    return delta * (1.0 / (x * x.mean()))[None, :]
+
+
+def denton_covariance(
+    n: int, x: np.ndarray, order: int = 1, criterion: str = "proportional"
+) -> np.ndarray:
+    """Sigma_D = (Delta' Delta)^{-1}, the implicit covariance that makes GLS
+    smoothing minimize sum of squared h-th differences (ts_disagg.py:155-161)."""
+    delta = difference_matrix(n, order)
+    if criterion == "proportional":
+        delta = _proportional_rescale(delta, x)
+    return np.linalg.solve(delta.T @ delta, np.eye(n))
+
+
+def denton_cholette_distribution(
+    n: int,
+    n_low: int,
+    C: np.ndarray,
+    x: np.ndarray,
+    order: int = 1,
+    criterion: str = "proportional",
+) -> np.ndarray:
+    """Cholette's boundary-corrected Denton weights (ts_disagg.py:164-176).
+
+    Drops the first ``order`` rows of the difference operator (removing the
+    spurious penalty on the pre-sample level) and solves the equality-
+    constrained least squares through its KKT system; returns the n x n_low
+    block mapping low-freq residuals onto the high-freq path.
+    """
+    delta = difference_matrix(n, order)[order:, :]
+    if criterion == "proportional":
+        delta = _proportional_rescale(delta, x)
+    gram = delta.T @ delta
+    kkt_lhs = np.block([[gram, C.T], [C, np.zeros((n_low, n_low))]])
+    kkt_rhs = np.block([[gram, np.zeros((n, n_low))], [C, np.eye(n_low)]])
+    solution = np.linalg.solve(kkt_lhs, kkt_rhs)
+    return solution[:n, n:]
+
+
+def chow_lin_covariance(rho: float, sigma2: float, n: int) -> np.ndarray:
+    """Stationary AR(1) covariance: Sigma[i,j] = sigma2/(1-rho^2) * rho^|i-j|
+    (ts_disagg.py:100-107)."""
+    lags = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+    return (sigma2 / (1.0 - rho**2)) * rho**lags
+
+
+def litterman_covariance(rho: float, sigma2: float, n: int) -> np.ndarray:
+    """Random walk with AR(1) innovations:
+    Sigma_L = sigma2 * (Delta' H' H Delta)^{-1}, H = I - rho L
+    (ts_disagg.py:110-114)."""
+    delta = difference_matrix(n, 1)
+    H = np.eye(n) - rho * np.eye(n, k=-1)
+    A = delta.T @ H.T @ H @ delta
+    return sigma2 * np.linalg.solve(A, np.eye(n))
+
+
+COVARIANCE_BUILDERS: dict[str, Callable[[float, float, int], np.ndarray]] = {
+    "chow-lin": chow_lin_covariance,
+    "litterman": litterman_covariance,
+}
+
+
+# ---------------------------------------------------------------------------
+# GLS + maximum likelihood
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FitResult:
+    """Minimal stand-in for ``scipy.optimize.OptimizeResult`` (scipy is not a
+    dependency of this engine): the fitted point, objective value, and
+    bookkeeping counters."""
+
+    x: np.ndarray
+    fun: float
+    success: bool = True
+    nit: int = 0
+    nfev: int = 0
+    message: str = "converged"
+    extras: dict = field(default_factory=dict)
+
+
+def gls_beta(Sigma: np.ndarray, y: np.ndarray, X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """GLS estimate on the aggregated model y = CX b + Cu:
+
+        b = (X'C' (C Sigma C')^{-1} C X)^{-1} X'C' (C Sigma C')^{-1} y
+
+    A single factorization of C Sigma C' serves both right-hand sides by
+    stacking them into one multi-RHS solve (ts_disagg.py:117-131 reuses an LU
+    the same way).
+    """
+    V = np.linalg.multi_dot([C, Sigma, C.T])
+    CX = C @ X
+    y2d = np.asarray(y, dtype=float).reshape(V.shape[0], -1)
+    solved = np.linalg.solve(V, np.hstack([CX, y2d]))
+    Vinv_CX, Vinv_y = solved[:, : CX.shape[1]], solved[:, CX.shape[1] :]
+    beta = np.linalg.solve(CX.T @ Vinv_CX, CX.T @ Vinv_y)
+    return beta.ravel() if np.ndim(y) == 1 else beta
+
+
+def gaussian_loglik(n_low: int, V: np.ndarray, resid: np.ndarray) -> float:
+    """Log-likelihood of the low-frequency residuals under N(0, V)
+    (ts_disagg.py:84-87)."""
+    _sign, logdet = np.linalg.slogdet(V)
+    quad = resid.T @ np.linalg.solve(V, resid)
+    return -0.5 * n_low * np.log(2.0 * np.pi) - 0.5 * (logdet + quad)
+
+
+def negative_loglik(
+    params: np.ndarray,
+    y: np.ndarray,
+    X: np.ndarray,
+    C: np.ndarray,
+    cov_builder: Callable[[float, float, int], np.ndarray],
+) -> float:
+    """ML objective over (rho, sigma2) (ts_disagg.py:134-152).
+
+    Parity quirk reproduced deliberately: the reference rescales
+    ``sigma2 <- (1 + rho) * sigma2`` before building Sigma — the author's
+    admitted "pure magic" correction that changes the Chow-Lin scaling from
+    sigma2/(1-rho^2) to sigma2/(1-rho) and makes results match R's
+    ``tempdisagg`` (comment at ts_disagg.py:140-144).  Golden parity requires
+    the identical objective surface, so we keep it.
+    """
+    rho, sigma2 = params
+    sigma2 = (1.0 + rho) * sigma2
+    n = X.shape[0]
+    Sigma = cov_builder(rho, sigma2, n)
+    beta = gls_beta(Sigma, y, X, C)
+    resid = y - C @ (X @ beta)
+    V = np.linalg.multi_dot([C, Sigma, C.T])
+    return -gaussian_loglik(y.shape[0], V, resid)
+
+
+#: rho search interval matching the reference's bounds (ts_disagg.py:438-439)
+_RHO_LO, _RHO_HI = 1e-5, 1.0 - 1e-5
+_GOLDEN = 0.3819660112501051  # (3 - sqrt(5)) / 2
+
+
+def _brent_minimize(
+    f: Callable[[float], float], lo: float, hi: float, tol: float = 1e-10,
+    max_iter: int = 200,
+) -> tuple[float, float, int]:
+    """Brent's derivative-free scalar minimization on [lo, hi]
+    (golden-section with parabolic acceleration; Brent 1973, public algorithm).
+    Returns (x_min, f_min, n_evals)."""
+    a, b = lo, hi
+    x = w = v = a + _GOLDEN * (b - a)
+    fx = fw = fv = f(x)
+    nfev = 1
+    d = e = b - a
+    for _ in range(max_iter):
+        m = 0.5 * (a + b)
+        tol1 = tol * abs(x) + 1e-12
+        tol2 = 2.0 * tol1
+        if abs(x - m) <= tol2 - 0.5 * (b - a):
+            break
+        use_golden = True
+        if abs(e) > tol1:
+            # fit a parabola through (v, w, x)
+            r = (x - w) * (fx - fv)
+            q = (x - v) * (fx - fw)
+            p = (x - v) * q - (x - w) * r
+            q = 2.0 * (q - r)
+            if q > 0:
+                p = -p
+            q = abs(q)
+            if abs(p) < abs(0.5 * q * e) and q * (a - x) < p < q * (b - x):
+                e, d = d, p / q
+                u = x + d
+                if u - a < tol2 or b - u < tol2:
+                    d = tol1 if x < m else -tol1
+                use_golden = False
+        if use_golden:
+            e = (b if x < m else a) - x
+            d = _GOLDEN * e
+        u = x + (d if abs(d) >= tol1 else (tol1 if d > 0 else -tol1))
+        fu = f(u)
+        nfev += 1
+        if fu <= fx:
+            if u < x:
+                b = x
+            else:
+                a = x
+            v, w, x = w, x, u
+            fv, fw, fx = fw, fx, fu
+        else:
+            if u < x:
+                a = u
+            else:
+                b = u
+            if fu <= fw or w == x:
+                v, w = w, u
+                fv, fw = fw, fu
+            elif fu <= fv or v == x or v == w:
+                v, fv = u, fu
+    return x, fx, nfev
+
+
+def profile_negative_loglik(
+    rho: float,
+    y: np.ndarray,
+    X: np.ndarray,
+    C: np.ndarray,
+    cov_builder: Callable[[float, float, int], np.ndarray],
+) -> tuple[float, float]:
+    """Concentrated ML objective: sigma2 enters the covariance as a pure scale
+    (Sigma = s * Sigma0(rho) for both Chow-Lin and Litterman), so the Gaussian
+    likelihood profiles it out exactly at s* = resid' V0^{-1} resid / n_low.
+
+    Returns ``(nll_at_optimal_scale, s_star)`` where ``s_star`` is the scale
+    *after* the reference's (1+rho) rescale (see :func:`negative_loglik`);
+    i.e. the reported sigma2 is ``s_star / (1 + rho)``.
+    """
+    n = X.shape[0]
+    n_low = y.shape[0]
+    Sigma0 = cov_builder(rho, 1.0, n)
+    beta = gls_beta(Sigma0, y, X, C)
+    resid = y - C @ (X @ beta)
+    V0 = np.linalg.multi_dot([C, Sigma0, C.T])
+    _sign, logdet0 = np.linalg.slogdet(V0)
+    q0 = float(resid.T @ np.linalg.solve(V0, resid))
+    s_star = max(q0 / n_low, 1e-300)
+    nll = 0.5 * (n_low * np.log(2.0 * np.pi) + n_low * np.log(s_star) + logdet0 + n_low)
+    return nll, s_star
+
+
+def fit_rho_sigma(
+    y: np.ndarray,
+    X: np.ndarray,
+    C: np.ndarray,
+    cov_builder: Callable[[float, float, int], np.ndarray],
+    optimizer_kwargs: dict | None = None,
+) -> FitResult:
+    """Bounded ML fit of (rho, sigma2) with rho in (1e-5, 1-1e-5), matching
+    the reference's feasible region (ts_disagg.py:438-448).
+
+    Strategy differs from the reference (which runs a 2-D scipy solver from
+    (0.8, 0.8)): sigma2 is concentrated out analytically, leaving a 1-D
+    profile likelihood in rho that a coarse grid scan + Brent refinement
+    solves to ~1e-10 — tighter than any of the reference's optimizer
+    configurations, so results agree within the goldens' tolerances for every
+    ``optimizer_kwargs['method']`` the reference accepts (the method name is
+    consequently ignored here).
+    """
+    def g(rho: float) -> float:
+        return profile_negative_loglik(rho, y, X, C, cov_builder)[0]
+
+    # coarse global scan guards against non-convex profiles, then refine
+    grid = np.linspace(_RHO_LO, _RHO_HI, 41)
+    values = [g(r) for r in grid]
+    best = int(np.argmin(values))
+    lo = grid[max(best - 1, 0)]
+    hi = grid[min(best + 1, len(grid) - 1)]
+    rho_star, nll_star, nfev = _brent_minimize(g, lo, hi)
+
+    _, s_star = profile_negative_loglik(rho_star, y, X, C, cov_builder)
+    sigma2 = s_star / (1.0 + rho_star)
+    return FitResult(
+        x=np.array([rho_star, sigma2]),
+        fun=nll_star,
+        nfev=nfev + len(grid) + 1,
+        extras={"scaled_sigma2": s_star},
+    )
+
+
+def distribution_matrix(Sigma: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """D = Sigma C' (C Sigma C')^{-1} — maps low-frequency residuals onto the
+    high-frequency path (ts_disagg.py:96-97)."""
+    V = np.linalg.multi_dot([C, Sigma, C.T])
+    return np.linalg.solve(V, C @ Sigma).T
+
+
+def beta_std_errors(Sigma: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """sqrt(diag((X' Sigma^{-1} X)^{-1})) (ts_disagg.py:452-455)."""
+    Sinv_X = np.linalg.solve(Sigma, X)
+    return np.sqrt(np.diagonal(np.linalg.inv(X.T @ Sinv_X)))
+
+
+# ---------------------------------------------------------------------------
+# whole-series solve (shared by the pandas API and the Spark grouped kernel)
+# ---------------------------------------------------------------------------
+
+def solve_series(
+    y: np.ndarray,
+    X: np.ndarray,
+    C: np.ndarray,
+    method: str,
+    criterion: str = "proportional",
+    order: int = 1,
+    optimizer_kwargs: dict | None = None,
+) -> tuple[np.ndarray, FitResult | None, dict]:
+    """Run one series through the full method dispatch (ts_disagg.py:414-464).
+
+    Parameters are already relational-layer outputs: ``y`` the pruned
+    low-frequency vector (n_low,), ``X`` the high-frequency indicator matrix
+    (n, k) in time order, ``C`` the pruned constraint matrix (n_low, n).
+
+    Returns ``(y_hat, optimize_result_or_None, info)`` where ``info`` carries
+    regression diagnostics (beta, rho, sigma2, std errors) for report output.
+    """
+    if method not in METHODS:
+        raise ValueError(
+            f"Method should be one of 'denton', 'denton-cholette', 'chow-lin', "
+            f"'litterman'. Got {method}."
+        )
+    if criterion not in ("proportional", "additive"):
+        raise ValueError(
+            f"Criterion should be one of 'proportional', 'additive'. Got {criterion}"
+        )
+
+    n, k = X.shape
+    n_low = y.shape[0]
+    result: FitResult | None = None
+    info: dict = {}
+
+    if method == "denton":
+        if k != 1:
+            raise ValueError("denton supports exactly one indicator column")
+        Sigma = denton_covariance(n, X, order, criterion)
+        D = distribution_matrix(Sigma, C)
+        p = X.ravel()
+    elif method == "denton-cholette":
+        if k != 1:
+            raise ValueError("denton-cholette supports exactly one indicator column")
+        D = denton_cholette_distribution(n, n_low, C, X, order, criterion)
+        p = X.ravel()
+    else:
+        cov_builder = COVARIANCE_BUILDERS[method]
+        result = fit_rho_sigma(y, X, C, cov_builder, optimizer_kwargs)
+        rho, sigma2 = result.x
+        Sigma = cov_builder(rho, sigma2, n)
+        beta = gls_beta(Sigma, y, X, C)
+        info = {
+            "beta": beta,
+            "rho": rho,
+            "sigma2": sigma2,
+            "std_beta": beta_std_errors(Sigma, X),
+        }
+        p = X @ beta
+        D = distribution_matrix(Sigma, C)
+
+    y_hat = p + D @ (y - C @ p)
+    return y_hat, result, info
