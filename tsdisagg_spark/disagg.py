@@ -154,7 +154,7 @@ def regression_report_frame(
     )
 
 
-def disaggregate_series(
+def disaggregate_full(
     low_freq_df: pd.DataFrame | pd.Series,
     high_freq_df: pd.DataFrame | pd.Series | None = None,
     target_freq: str | None = None,
@@ -165,14 +165,14 @@ def disaggregate_series(
     h: int = 1,
     optimizer_kwargs: dict | None = None,
     verbose: bool = True,
-    return_optim_res: bool = False,
-) -> pd.Series | tuple[pd.Series, FitResult]:
-    """Convert a low-frequency series to a higher frequency, preserving the
-    chosen aggregate (``sum``/``mean``/``first``/``last``), optionally guided
-    by high-frequency indicator series.
+) -> dict:
+    """Full disaggregation pass returning every artifact: the interpolated
+    series, the optimizer result, and regression diagnostics.
 
-    Drop-in behavioral equivalent of the reference API (ts_disagg.py:302-472);
-    methods: ``denton``, ``denton-cholette``, ``chow-lin``, ``litterman``.
+    Returns a dict with keys ``output`` (pd.Series on the high-frequency
+    axis), ``result`` (:class:`~tsdisagg_spark.kernels.FitResult` or None),
+    ``info`` (regression internals), ``report`` (diagnostics DataFrame or
+    None), ``n_obs``.
     """
     if isinstance(low_freq_df, pd.Series):
         low_freq_df = low_freq_df.to_frame()
@@ -232,16 +232,59 @@ def disaggregate_series(
         optimizer_kwargs=optimizer_kwargs,
     )
 
-    if verbose and info:
+    report = None
+    if info:
         report = regression_report_frame(list(X_frame.columns), info, X.shape[0])
-        print(f"Dependent Variable: {target_label}")
-        print(f"GLS Estimates using {method.title()}'s covariance matrix")
-        print(report.to_string(index=False))
-        print(f"rho = {info['rho']:.4f}  sigma.sq = {info['sigma2']:.4f}")
+        if verbose:
+            print(f"Dependent Variable: {target_label}")
+            print(f"GLS Estimates using {method.title()}'s covariance matrix")
+            print(report.to_string(index=False))
+            print(f"rho = {info['rho']:.4f}  sigma.sq = {info['sigma2']:.4f}")
 
     output = pd.Series(np.asarray(y_hat).ravel(), index=merged.index, name=target_column)
     output.index.freq = output.index.inferred_freq
 
-    if return_optim_res and result is not None:
-        return output, result
-    return output
+    return {
+        "output": output,
+        "result": result,
+        "info": info,
+        "report": report,
+        "n_obs": X.shape[0],
+    }
+
+
+def disaggregate_series(
+    low_freq_df: pd.DataFrame | pd.Series,
+    high_freq_df: pd.DataFrame | pd.Series | None = None,
+    target_freq: str | None = None,
+    target_column: str | None = None,
+    agg_func: str = "sum",
+    method: str = "denton-cholette",
+    criterion: str = "proportional",
+    h: int = 1,
+    optimizer_kwargs: dict | None = None,
+    verbose: bool = True,
+    return_optim_res: bool = False,
+) -> pd.Series | tuple[pd.Series, FitResult]:
+    """Convert a low-frequency series to a higher frequency, preserving the
+    chosen aggregate (``sum``/``mean``/``first``/``last``), optionally guided
+    by high-frequency indicator series.
+
+    Drop-in behavioral equivalent of the reference API (ts_disagg.py:302-472);
+    methods: ``denton``, ``denton-cholette``, ``chow-lin``, ``litterman``.
+    """
+    arts = disaggregate_full(
+        low_freq_df,
+        high_freq_df,
+        target_freq=target_freq,
+        target_column=target_column,
+        agg_func=agg_func,
+        method=method,
+        criterion=criterion,
+        h=h,
+        optimizer_kwargs=optimizer_kwargs,
+        verbose=verbose,
+    )
+    if return_optim_res and arts["result"] is not None:
+        return arts["output"], arts["result"]
+    return arts["output"]

@@ -1,0 +1,65 @@
+"""SparkSession factory with engine-appropriate defaults.
+
+Tuned for the disaggregation workload: Arrow transfer for the grouped-map
+kernel boundary, adaptive execution for runtime re-planning (skew joins,
+coalesced shuffle partitions), UTC session time so calendar arithmetic is
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_DEFAULTS: dict[str, str] = {
+    # Arrow-batched pandas UDF boundary: the dense per-series kernels receive
+    # columnar batches instead of pickled rows (10-100x on wide groups).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # AQE re-plans at runtime: coalesces small shuffle partitions, converts
+    # sort-merge to broadcast joins when a side turns out small, splits skew.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Calendar determinism: period math must not depend on cluster locale.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "tsdisagg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` outside a cluster;
+    on a real cluster pass ``master=None`` with a pre-configured environment
+    and only the SQL-level settings are applied.
+    """
+    # executor Python workers must be able to import this package: propagate
+    # the package root through PYTHONPATH (grouped-map kernels are
+    # cloudpickled by reference to the module, not by value)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    builder = builder.config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    for key, value in ENGINE_DEFAULTS.items():
+        builder = builder.config(key, value)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
