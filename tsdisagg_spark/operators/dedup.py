@@ -1,0 +1,295 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the reason each operator looks the way it does):
+
+* **Exact** — one hash aggregation on the dedup key.  At 100 TB group by a
+  digest of the payload (``md5``), never the payload itself, so shuffle rows
+  stay narrow.
+* **Jaccard** — the shingle self-join explodes quadratically inside a
+  shingle's posting list, so ubiquitous shingles ("of the", boilerplate)
+  are pruned by document frequency *before* the join (``max_doc_freq``).
+  This is the standard posting-list-cap trick; it bounds join fan-out at the
+  cost of ignoring evidence every document shares anyway.
+* **MinHash+LSH** — signatures are k min-aggregations over hashed shingles
+  (one shuffle); banding turns near-dup search into an equi-join on
+  (band_index, band_hash), which Spark hash-partitions — no pairwise scan.
+  Candidates are then *verified* with exact Jaccard restricted to candidate
+  ids (semi-join pushdown) so false LSH positives never reach the output.
+* **SimHash** — 64 sign-sums per document (columnar aggregates, codegen),
+  band-blocked for candidate generation, exact Hamming distance via
+  ``bit_count(xor)`` to verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tsdisagg_spark.operators.text import shingles
+
+
+def exact_groups(
+    df: DataFrame, id_col: str = "doc_id", key_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact duplicate groups by ``key_cols`` (default: all non-id columns).
+
+    Returns one row per distinct key: the surviving ``keep_id`` (minimum id,
+    deterministic), the group size, and a stable ``group_key`` digest.
+    Downstream: ``filter(group_size > 1)`` lists duplicates; joining back on
+    ``keep_id`` materializes the deduplicated corpus.
+    """
+    keys = key_cols or [c for c in df.columns if c != id_col]
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys]))
+    return (
+        df.select(F.col(id_col), digest.alias("group_key"))
+        .groupBy("group_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def shingle_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Distinct (id, shingle) posting list, optionally pruned of shingles
+    that appear in more than ``max_doc_freq`` documents (skew guard for the
+    self-join — a boilerplate shingle shared by 1M docs would otherwise
+    produce 10^12 join rows in one partition)."""
+    postings = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        postings = postings.join(rare, "shingle")
+    return postings
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard >= threshold:
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    Exact (not approximate): intersection sizes come from the posting-list
+    self-join, union sizes from per-document shingle counts.  Use
+    :func:`minhash_pairs` when the corpus is too large for the full join.
+    """
+    postings = shingle_postings(df, id_col, text_col, n, max_doc_freq)
+    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a")
+    )
+    sz_b = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per document: ``(id, sig array<int>)``.
+
+    Each signature slot i is ``min(hash(shingle, seed_i))`` — computed as
+    ``num_hashes`` min-aggregations over the exploded posting list, one
+    shuffle total.  ``hash`` is Spark's Murmur3 with the slot index mixed
+    in as a second column (deterministic across runs and executors).
+    """
+    postings = shingle_postings(df, id_col, text_col, n)
+    mins = [
+        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agged = postings.groupBy(id_col).agg(*mins)
+    return agged.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + locality-sensitive banding.
+
+    ``num_hashes`` slots split into ``bands`` bands of ``num_hashes/bands``
+    rows; documents colliding on any band's hash become candidates (an
+    equi-join on (band, band_hash) — fully partitioned, no pairwise scan).
+    With ``verify=True`` candidates are checked with exact Jaccard computed
+    only over candidate documents, so the output has no false positives.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(
+                            *[F.element_at("sig", bi * rows + ri + 1) for ri in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_hash")
+
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    candidates = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    if not verify:
+        return candidates
+
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(
+        df.join(cand_ids, id_col, "left_semi"),
+        id_col,
+        text_col,
+        n,
+        threshold=threshold,
+    )
+    return candidates.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: ``(id, simhash long)``.
+
+    Per bit position: sum +1/-1 over the document's word hashes, take the
+    sign.  Expressed as 64 conditional-sum aggregate columns (columnar,
+    codegen) folded into one long.
+    """
+    from tsdisagg_spark.operators.text import words
+
+    tokens = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agged = tokens.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: xor == or
+    return agged.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Candidate generation blocks on 16-bit bands (pigeonhole: distance <= 3
+    guarantees at least one of 4 bands matches exactly), then verifies with
+    ``bit_count(xor)``.  Returns ``(id_a, id_b, hamming)``.
+    """
+    sims = simhash64(df, id_col, text_col)
+    bands = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_bits"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.band_bits")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* :func:`cosine_topk` — exact brute force.  The query side is broadcast
+  (it is small by construction), the corpus side streams: no shuffle of the
+  corpus at all until the final per-query top-k aggregation, which moves
+  only ``k`` rows per (query, partition).  Dot products use
+  ``zip_with``/``aggregate`` — Catalyst higher-order functions, no Python.
+* :func:`lsh_topk` — random-hyperplane LSH for the 100 TB case: sign-bit
+  buckets computed from a seeded plane matrix (deterministic), candidates
+  drawn from the query's bucket with optional multiprobe (Hamming-1
+  neighbors), exact cosine re-ranking within candidates.  Turns O(N*Q) into
+  O(N/2^bits * Q) at a measured recall cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine: ``(query_id, neighbor_id, rank, cosine)``.
+
+    ``queries`` is broadcast — a BroadcastNestedLoopJoin where the big side
+    never shuffles.  Norms are computed once per side before the join.
+    Ranking ties break on neighbor id for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", norm(F.col("qvec")))
+
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _plane_literals(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).round(6).tolist()
+
+
+def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from the hyperplane matrix, as a pure expression:
+    bit i = (vec . plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, plane_col) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH + exact re-rank.
+
+    The corpus is bucketed once (a derived column — at scale, persist or
+    partition the corpus BY this bucket so queries prune partitions).
+    Queries probe their own bucket plus, with ``multiprobe``, all Hamming-1
+    neighbor buckets — 1+n_bits buckets out of 2^n_bits, so the scanned
+    fraction is ~(1+n_bits)/2^n_bits of the corpus.
+    """
+    dim = len(
+        corpus.select(F.col(vec_col)).first()[0]
+    )
+    planes = _plane_literals(dim, n_bits, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    )
+    c = c.withColumn("bucket", bucket_expr(F.col("cvec"), planes)).withColumn(
+        "cnorm", norm(F.col("cvec"))
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qbucket", bucket_expr(F.col("qvec"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_bits)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        q = q.withColumn("bucket", F.col("qbucket"))
+    q = q.withColumn("qnorm", norm(F.col("qvec")))
+
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, LSH-bucketed so
+    only same-bucket pairs are compared: ``(id_a, id_b, cosine)``."""
+    dim = len(df.select(F.col(vec_col)).first()[0])
+    planes = _plane_literals(dim, n_bits, seed)
+    v = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    v = v.withColumn("bucket", bucket_expr(F.col("vec"), planes)).withColumn(
+        "vnorm", norm(F.col("vec"))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.vnorm") * F.col("b.vnorm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,993 @@
+"""Driver-contract query registry.
+
+Every operator family from SURVEY.md section 2 (plus the large-scale
+pipeline extensions) is represented by a named query over the
+``/root/testdata`` tables, each paired — where ANSI SQL can express it —
+with a DuckDB oracle that must hash-match the Spark result.
+
+Alignment rules (both sides, always):
+* every computed column is aliased identically;
+* integer outputs are cast to BIGINT (Spark ``year()`` is int, DuckDB's is
+  bigint — the driver compares schemas);
+* floating aggregates are ROUNDed (2 decimals for currency sums, 6 for
+  ratios/averages) so partial-aggregation ordering differences between the
+  engines can't flip the value hash;
+* window ties are broken with explicit key columns so row_number is
+  deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tsdisagg_spark.operators import dedup, similarity, text
+from tsdisagg_spark.spark import periods
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.  ``events.ts`` is parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects — read it as raw nanos and
+    convert to a microsecond timestamp (the values are microsecond-grained)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integral div (a double round-trip at 2^60 ns loses microseconds),
+            # then to TIMESTAMP_NTZ to match the other tables' parquet type.
+            # NOTE: the micros->NTZ cast renders in the JVM/session zone; this
+            # engine standardizes on UTC sessions (spark.sql.session.timeZone
+            # in session.py), under which the cast is an exact identity.
+            df = df.withColumn(
+                "ts",
+                F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)"),
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# scans / aggregations over calendar periods (SURVEY 2.1, 2.4, 2.8 D1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: multi-measure hash aggregation with
+    arithmetic inside the aggregate (map-side partial aggregation)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "monthly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def monthly_revenue(spark, sf_dir):
+    """Period aggregation A1/A2: calendar-month bucketing via date_trunc."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "quarterly_stats",
+    oracle="""
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def quarterly_stats(spark, sf_dir):
+    """Mean-preserving period stats (A2 'mean', A6 scalar statistics)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter"))
+        .agg(
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "year_first_last_order",
+    oracle="""
+    SELECT yr,
+           MAX(CASE WHEN rn_first = 1 THEN o_totalprice END) AS first_price,
+           MAX(CASE WHEN rn_last = 1 THEN o_totalprice END)  AS last_price,
+           COUNT(*) AS n_orders
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice,
+               row_number() OVER (PARTITION BY year(o_orderdate)
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC)  AS rn_first,
+               row_number() OVER (PARTITION BY year(o_orderdate)
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_last
+        FROM orders
+    ) GROUP BY yr
+    """,
+)
+def year_first_last_order(spark, sf_dir):
+    """first/last period members (A5, W3): deterministic tie-broken windows —
+    the relational form of the reference's first/last constraint rows."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("long")
+    )
+    w_first = Window.partitionBy("yr").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_last = Window.partitionBy("yr").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn_first", F.row_number().over(w_first))
+        .withColumn("rn_last", F.row_number().over(w_last))
+        .groupBy("yr")
+        .agg(
+            F.max(F.when(F.col("rn_first") == 1, F.col("o_totalprice"))).alias(
+                "first_price"
+            ),
+            F.max(F.when(F.col("rn_last") == 1, F.col("o_totalprice"))).alias(
+                "last_price"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY 2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "calendar_full_outer",
+    oracle="""
+    WITH o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                      ROUND(SUM(o_totalprice), 2) AS order_revenue
+               FROM orders GROUP BY 1),
+         l AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                      ROUND(SUM(l_extendedprice), 2) AS shipped_revenue
+               FROM lineitem GROUP BY 1)
+    SELECT COALESCE(o.month, l.month) AS month, o.order_revenue, l.shipped_revenue
+    FROM o FULL OUTER JOIN l ON o.month = l.month
+    """,
+)
+def calendar_full_outer(spark, sf_dir):
+    """J1: full-outer equi-join of two period-aggregated series on the time
+    key — the union-of-time-axes merge at the heart of the reference."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("order_revenue"))
+    )
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("shipped_revenue"))
+    )
+    return (
+        o.alias("o")
+        .join(l.alias("l"), "month", "full_outer")
+        .select("month", "order_revenue", "shipped_revenue")
+    )
+
+
+@query(
+    "timeline_coverage",
+    oracle="""
+    WITH bounds AS (SELECT CAST(date_trunc('month', MIN(l_shipdate)) AS DATE) AS lo,
+                           CAST(date_trunc('month', MAX(l_shipdate)) AS DATE) AS hi
+                    FROM lineitem),
+         months AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+                    FROM bounds),
+         shipped AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                            COUNT(*) AS n
+                     FROM lineitem GROUP BY 1)
+    SELECT m.month, COALESCE(s.n, 0) AS n_shipments
+    FROM months m LEFT JOIN shipped s ON m.month = s.month
+    """,
+)
+def timeline_coverage(spark, sf_dir):
+    """S4 + J3: synthetic period timeline via sequence/explode (generated on
+    executors) left-joined against observed data — gaps surface as zero."""
+    li = t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.date_trunc("month", F.min("l_shipdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("l_shipdate")).cast("date").alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 month"))
+        ).alias("month")
+    ).select(F.col("month").cast("date"))
+    shipped = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        months.join(shipped, "month", "left")
+        .select("month", F.coalesce("n", F.lit(0)).alias("n_shipments"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """P4 as an anti-join: rows with zero coverage on the other side."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "segment_active_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_active FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_active_customers(spark, sf_dir):
+    """Semi-join + aggregation."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def regional_revenue(spark, sf_dir):
+    """TPC-H Q5-style star join: small dims broadcast explicitly so the fact
+    table never shuffles for them."""
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark, sf_dir):
+    """Sort + limit (top-k) with deterministic tie-break — TPC-H Q3 shape."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# coverage / validation (SURVEY 2.2 P4-P5, 2.4 A3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "complete_quarters",
+    oracle="""
+    SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+           CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT) AS n_months,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT date_trunc('month', l_shipdate)) = 3 AS is_complete
+    FROM lineitem GROUP BY 1
+    """,
+)
+def complete_quarters(spark, sf_dir):
+    """A3 partial-period detection: quarters missing a month are flagged —
+    the relational form of the reference's zero-weight constraint rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.date_trunc("quarter", "l_shipdate").cast("date").alias("quarter")
+        )
+        .agg(
+            F.countDistinct(F.date_trunc("month", "l_shipdate")).alias("n_months"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("is_complete", F.col("n_months") == 3)
+    )
+
+
+@query(
+    "validation_checks",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_bad FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_total', COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+    UNION ALL
+    SELECT 'lineitem_null_qty', COUNT(*) FILTER (WHERE l_quantity IS NULL) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range', COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) FROM lineitem
+    """,
+)
+def validation_checks(spark, sf_dir):
+    """P5 validation predicates as cheap aggregate checks (never row scans
+    collected to the driver)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def check(df, name, cond):
+        return df.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_bad")
+        ).select(F.lit(name).alias("check_name"), "n_bad")
+
+    return (
+        check(o, "orders_null_custkey", F.col("o_custkey").isNull())
+        .unionByName(check(o, "orders_nonpositive_total", F.col("o_totalprice") <= 0))
+        .unionByName(check(li, "lineitem_null_qty", F.col("l_quantity").isNull()))
+        .unionByName(
+            check(
+                li,
+                "lineitem_discount_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / ordered computation (SURVEY 2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "monthly_revenue_delta",
+    oracle="""
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                      ROUND(SUM(o_totalprice), 2) AS revenue
+               FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           ROUND(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta
+    FROM m
+    """,
+)
+def monthly_revenue_delta(spark, sf_dir):
+    """W1 first differences via lag over an ordered window."""
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    )
+
+
+@query(
+    "user_quasi_diff",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value - 0.8 * lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 6) AS quasi_diff
+    FROM events
+    """,
+)
+def user_quasi_diff(spark, sf_dir):
+    """W2 AR(1) quasi-difference y_t - rho*y_{t-1} per series."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - 0.8 * F.lag("value").over(w), 6).alias(
+            "quasi_diff"
+        ),
+    )
+
+
+@query(
+    "user_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+    FROM events
+    """,
+)
+def user_running_total(spark, sf_dir):
+    """Cumulative sum per series (the generative analogue of Litterman's
+    random-walk covariance — SURVEY 2.5)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+@query(
+    "customer_order_span",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def customer_order_span(spark, sf_dir):
+    """O2 endpoint extraction per series."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min("o_orderdate").cast("date").alias("first_order"),
+            F.max("o_orderdate").cast("date").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible disaggregation + the kernel-backed real thing
+# ---------------------------------------------------------------------------
+
+@query(
+    "prorata_disagg",
+    oracle="""
+    WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                      SUM(o_totalprice) AS y_total
+               FROM orders GROUP BY 1),
+         m AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                      CAST(year(l_shipdate) AS BIGINT) AS yr,
+                      SUM(l_extendedprice) AS m_ind
+               FROM lineitem GROUP BY 1, 2),
+         mt AS (SELECT yr, SUM(m_ind) AS y_ind FROM m GROUP BY 1)
+    SELECT m.month, ROUND(y.y_total * m.m_ind / mt.y_ind, 2) AS y_hat
+    FROM m JOIN y ON m.yr = y.yr JOIN mt ON m.yr = mt.yr
+    """,
+)
+def prorata_disagg(spark, sf_dir):
+    """Pro-rata temporal disaggregation, fully relational: yearly order
+    revenue distributed over months proportionally to monthly shipped value.
+    The SQL-expressible member of the disaggregation family (the oracle for
+    the idea); Denton/Chow-Lin refine exactly this with smoothness/GLS."""
+    y = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("y_total"))
+    )
+    m = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum("l_extendedprice").alias("m_ind"))
+    )
+    mt = m.groupBy("yr").agg(F.sum("m_ind").alias("y_ind"))
+    return (
+        m.join(F.broadcast(y), "yr")
+        .join(F.broadcast(mt), "yr")
+        .select(
+            "month",
+            F.round(F.col("y_total") * F.col("m_ind") / F.col("y_ind"), 2).alias(
+                "y_hat"
+            ),
+        )
+    )
+
+
+@query("disagg_chow_lin_priority")
+def disagg_chow_lin_priority(spark, sf_dir):
+    """Kernel-backed disaggregation (no SQL oracle — dense GLS): yearly
+    revenue per order priority disaggregated to months, guided by monthly
+    shipped value of the same priority.  Exercises the full applyInPandas
+    path on real tables."""
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    low = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("series_id"),
+            F.date_trunc("year", "o_orderdate").cast("date").alias("ts"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    ind = (
+        li.join(o.select("o_orderkey", "o_orderpriority"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("series_id"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ts"),
+        )
+        .agg(F.sum("l_extendedprice").alias("x1"))
+        .withColumn("intercept", F.lit(1.0))
+    )
+    # constrain to years fully covered by both sides to keep series aligned
+    return disaggregate(
+        low, ind, method="chow-lin", agg_func="sum", errors="skip"
+    )
+
+
+@query("disagg_denton_companion")
+def disagg_denton_companion(spark, sf_dir):
+    """Kernel-backed Denton with a synthesized companion timeline (no SQL
+    oracle): quarterly revenue per market segment smoothed to months."""
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    low = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("series_id"),
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("ts"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    return disaggregate(
+        low, method="denton", agg_func="sum", target_freq="MS", errors="skip"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: JSON, tumbling windows, sessionization (streaming analogues)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured access: JSON property extraction stays JVM-side."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("long")), 6
+            ).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming operator in
+    tsdisagg_spark.streaming)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via window functions —
+    the batch twin of streaming session windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = t(spark, sf_dir, "events")
+    flagged = ev.withColumn("lag_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("lag_ts").isNull()
+            # microsecond-exact gap: NTZ timestamps don't cast to double
+            | (F.expr("timestampdiff(MICROSECOND, lag_ts, ts)") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(w_run))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (pipeline extensions)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS group_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_groups(
+        t(spark, sf_dir, "documents"), id_col="doc_id", key_cols=["text"]
+    )
+
+
+@query(
+    "jaccard_near_dups",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+    """,
+)
+def jaccard_near_dups(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+@query("minhash_near_dups")
+def minhash_near_dups(spark, sf_dir):
+    """MinHash-LSH candidates verified with exact Jaccard (no SQL oracle —
+    Murmur3 signatures are engine-specific)."""
+    return dedup.minhash_pairs(
+        t(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.2
+    )
+
+
+@query("simhash_near_dups")
+def simhash_near_dups(spark, sf_dir):
+    """SimHash Hamming<=8 pairs (no SQL oracle — xxhash64 is engine-specific)."""
+    return dedup.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           ROUND(length(text) * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
+               AS chars_per_token
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    df = text.token_stats(t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "chars_per_token",
+    )
+
+
+@query(
+    "quality_scores",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               ROUND(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+               ROUND(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+                     * 1.0 / len(w), 6) AS stopword_ratio
+        FROM base
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+           ROUND(least(stopword_ratio * 2, 1.0) * 0.6
+                 + (1.0 - least(punct_ratio * 10, 1.0)) * 0.4, 6) AS quality_score
+    FROM m
+    """,
+)
+def quality_scores(spark, sf_dir):
+    df = text.quality_scores(t(spark, sf_dir, "documents"))
+    return df.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@query(
+    "language_id",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    hits AS (
+        SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that'))) AS BIGINT) AS hits_en,
+           CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS BIGINT) AS hits_de,
+           CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','que','pour'))) AS BIGINT) AS hits_fr,
+           CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','es','una','que','por'))) AS BIGINT) AS hits_es
+        FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           greatest(hits_en, hits_de, hits_fr, hits_es) AS marker_hits
+    FROM hits
+    """,
+)
+def language_id(spark, sf_dir):
+    df = text.language_id(t(spark, sf_dir, "documents"))
+    return df.withColumn("marker_hits", F.col("marker_hits").cast("long"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS hashes,
+               CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_shingles
+        FROM words
+    )
+    SELECT doc_id, list_min(hashes) AS fingerprint, n_shingles FROM sh
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    df = text.fingerprints(t(spark, sf_dir, "documents"))
+    return df.withColumn("n_shingles", F.col("n_shingles").cast("long"))
+
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id,
+                      list_cosine_similarity(qv, cv) AS cos
+               FROM q CROSS JOIN c)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """,
+)
+def knn_bruteforce(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(
+        corpus=emb.filter(F.col("vec_id") >= 5),
+        queries=emb.filter(F.col("vec_id") < 5),
+        k=3,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("knn_lsh")
+def knn_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN with multiprobe (no SQL oracle — plane
+    generation is engine-side; accuracy asserted against brute force in
+    tests)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(
+        corpus=emb.filter(F.col("vec_id") >= 5),
+        queries=emb.filter(F.col("vec_id") < 5),
+        k=3,
+        n_bits=6,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("embedding_near_dups")
+def embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed embedding near-duplicate pairs (no SQL oracle)."""
+    return similarity.embedding_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.8, n_bits=4
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(i AS BIGINT) AS pos,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val,
+           COUNT(*) AS n
+    FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid in long form (posexplode + hash agg); 1-based
+    positions to match SQL array semantics."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("avg_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def binary_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: payload byte length + digest (the
+    pattern multimodal columns use; see operators.multimodal)."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
