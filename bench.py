@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line to stdout:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collection) after a warm-up of the session and file metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: headline set: one representative per machinery family
+HEADLINE = [
+    "pricing_summary",         # wide hash aggregation over the fact table
+    "regional_revenue",        # 5-way star join with broadcast dims
+    "monthly_revenue_delta",   # period agg + ordered window
+    "prorata_disagg",          # relational disaggregation (2 aggs + joins)
+    "disagg_chow_lin_priority",  # grouped-kernel GLS disaggregation
+    "sessionization",          # per-user windows over events
+    "events_hourly",           # tumbling-window aggregation
+    "jaccard_near_dups",       # shingle self-join dedup
+    "minhash_near_dups",       # MinHash LSH + verification
+    "knn_bruteforce",          # broadcast cosine top-k
+]
+
+
+def main() -> None:
+    from tsdisagg_spark import queries as registry
+    from tsdisagg_spark.spark.session import get_spark
+
+    spark = get_spark(
+        app_name="tsdisagg-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, parquet footers, Python worker pool
+    registry.QUERIES["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,18 @@ def exact_groups(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row work (tokenize/shingle/hash) runs on every
+    core: a corpus that arrives as a handful of parquet files would otherwise
+    pin the whole explode on one task.  Only repartitions when the input has
+    fewer partitions than the cluster has slots — at real scale (thousands of
+    input splits) this is a no-op, so no extra shuffle is paid."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_postings(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -61,7 +73,7 @@ def shingle_postings(
     that appear in more than ``max_doc_freq`` documents (skew guard for the
     self-join — a boilerplate shingle shared by 1M docs would otherwise
     produce 10^12 join rows in one partition)."""
-    postings = df.select(
+    postings = _spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle")
     )
     if max_doc_freq is not None:
@@ -90,7 +102,9 @@ def jaccard_pairs(
     self-join, union sizes from per-document shingle counts.  Use
     :func:`minhash_pairs` when the corpus is too large for the full join.
     """
-    postings = shingle_postings(df, id_col, text_col, n, max_doc_freq)
+    # persisted: the posting list feeds three consumers (both join sides and
+    # the size table); without it Spark re-derives it from raw text each time
+    postings = shingle_postings(df, id_col, text_col, n, max_doc_freq).persist()
     sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = postings.alias("a")
@@ -137,8 +151,14 @@ def minhash_signatures(
 
     Each signature slot i is ``min(hash(shingle, seed_i))`` — computed as
     ``num_hashes`` min-aggregations over the exploded posting list, one
-    shuffle total.  ``hash`` is Spark's Murmur3 with the slot index mixed
-    in as a second column (deterministic across runs and executors).
+    shuffle total.  ``hash`` is Spark's Murmur3 with the slot index mixed in
+    as a second column (deterministic across runs and executors).
+
+    Formulation note: a shuffle-free variant exists (``array_min`` over
+    ``transform`` of the per-row shingle array) but loses by 2-4x in
+    practice — Spark evaluates higher-order-function lambdas interpreted,
+    per element, while explode + hash-aggregate stays in whole-stage
+    codegen.  Measured, not guessed (see BENCH notes).
     """
     postings = shingle_postings(df, id_col, text_col, n)
     mins = [
@@ -171,7 +191,9 @@ def minhash_pairs(
     only over candidate documents, so the output has no false positives.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # signatures are tiny (id + num_hashes ints) and feed both sides of the
+    # band self-join: persist so the hash-min aggregation runs once
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
     band_entries = sigs.select(
         F.col(id_col),
         F.explode(
@@ -200,21 +222,39 @@ def minhash_pairs(
     )
     if not verify:
         return candidates
+    candidates = candidates.persist()
 
+    # exact verification WITHOUT re-running the posting self-join: collect
+    # each candidate document's shingle set once, then intersect per pair —
+    # two narrow joins against a table with one row per candidate document
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(
-        df.join(cand_ids, id_col, "left_semi"),
-        id_col,
-        text_col,
-        n,
-        threshold=threshold,
+    doc_sets = (
+        shingle_postings(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
     )
-    return candidates.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
+    a_sets = doc_sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b_sets = doc_sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(a_sets, "id_a")
+        .join(b_sets, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -229,7 +269,7 @@ def simhash64(
     """
     from tsdisagg_spark.operators.text import words
 
-    tokens = df.select(
+    tokens = _spread(df).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
 
