@@ -26,7 +26,8 @@ HEADLINE = [
     "regional_revenue",        # 5-way star join with broadcast dims
     "monthly_revenue_delta",   # period agg + ordered window
     "prorata_disagg",          # relational disaggregation (2 aggs + joins)
-    "disagg_chow_lin_priority",  # grouped-kernel GLS disaggregation
+    "disagg_chow_lin_priority",  # grouped-kernel GLS disaggregation (5 series)
+    "disagg_chow_lin_suppliers",  # many-series GLS (1000 series at sf0.1)
     "sessionization",          # per-user windows over events
     "events_hourly",           # tumbling-window aggregation
     "jaccard_near_dups",       # shingle self-join dedup

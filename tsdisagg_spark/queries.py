@@ -191,6 +191,69 @@ def year_first_last_order(spark, sf_dir):
     )
 
 
+@query(
+    "fiscal_year_revenue",
+    oracle="""
+    WITH base AS (
+        SELECT o_totalprice,
+               year(o_orderdate) * 12 + month(o_orderdate) - 10 AS m_idx
+        FROM orders
+    ),
+    labeled AS (
+        SELECT o_totalprice,
+               CAST(floor(m_idx / 12.0) AS INT) * 12 + 9 AS start_m
+        FROM base
+    )
+    SELECT make_date(CAST(floor(start_m / 12.0) AS INT),
+                     CAST(start_m % 12 + 1 AS INT), 1) AS fy_start,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM labeled GROUP BY 1
+    """,
+)
+def fiscal_year_revenue(spark, sf_dir):
+    """Anchored period truncation (D1's hard case): fiscal years starting in
+    October, computed by month arithmetic — date_trunc cannot express this;
+    the expression stays in codegen and folds into the aggregation."""
+    fy = periods.period_start(F.col("o_orderdate"), "yearly", anchor_month=10)
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(fy.alias("fy_start"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("disagg_fit_reports")
+def disagg_fit_reports(spark, sf_dir):
+    """Per-series GLS diagnostics as a queryable table (no SQL oracle —
+    dense GLS): the engine's replacement for the reference's stdout report
+    (ts_disagg.py:179-210)."""
+    from tsdisagg_spark.spark.disagg import fit_reports
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    low = o.groupBy(
+        F.col("o_orderpriority").alias("series_id"),
+        F.date_trunc("year", "o_orderdate").cast("date").alias("ts"),
+    ).agg(F.sum("o_totalprice").alias("y"))
+    ind = (
+        li.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("series_id"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ts"),
+        )
+        .agg(F.sum("l_extendedprice").alias("x1"))
+        .withColumn("intercept", F.lit(1.0))
+    )
+    return fit_reports(low, ind, method="chow-lin", agg_func="sum")
+
+
 # ---------------------------------------------------------------------------
 # joins (SURVEY 2.3)
 # ---------------------------------------------------------------------------
@@ -607,6 +670,36 @@ def disagg_chow_lin_priority(spark, sf_dir):
         .withColumn("intercept", F.lit(1.0))
     )
     # constrain to years fully covered by both sides to keep series aligned
+    return disaggregate(
+        low, ind, method="chow-lin", agg_func="sum", errors="skip"
+    )
+
+
+@query("disagg_chow_lin_suppliers")
+def disagg_chow_lin_suppliers(spark, sf_dir):
+    """Many-series disaggregation at fleet width (no SQL oracle): one series
+    per supplier — 1000 series at sf0.1, scaling linearly with SF — yearly
+    revenue to monthly guided by monthly shipped quantity.  This is the
+    query that demonstrates the engine's scale thesis: the dense kernel is
+    per-series tiny; throughput comes from hash-partitioned parallelism."""
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    li = t(spark, sf_dir, "lineitem")
+    low = (
+        li.groupBy(
+            F.col("l_suppkey").alias("series_id"),
+            F.date_trunc("year", "l_shipdate").cast("date").alias("ts"),
+        )
+        .agg(F.sum("l_extendedprice").alias("y"))
+    )
+    ind = (
+        li.groupBy(
+            F.col("l_suppkey").alias("series_id"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ts"),
+        )
+        .agg(F.sum("l_quantity").alias("x1"))
+        .withColumn("intercept", F.lit(1.0))
+    )
     return disaggregate(
         low, ind, method="chow-lin", agg_func="sum", errors="skip"
     )
