@@ -105,17 +105,22 @@ def pricing_summary(spark, sf_dir):
 @query(
     "monthly_revenue",
     oracle="""
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            ROUND(SUM(o_totalprice), 2) AS revenue,
            COUNT(*) AS n_orders
     FROM orders GROUP BY 1
     """,
 )
 def monthly_revenue(spark, sf_dir):
-    """Period aggregation A1/A2: calendar-month bucketing via date_trunc."""
+    """Period aggregation A1/A2: calendar-month bucketing via date_trunc.
+
+    Output period stamps stay TIMESTAMP (not DATE) so the Spark result and
+    the DuckDB oracle materialize identically in pandas (datetime64 both
+    sides); Spark DATE surfaces as ``datetime.date`` objects, which
+    stringify differently and break value-hash comparison."""
     return (
         t(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -126,7 +131,7 @@ def monthly_revenue(spark, sf_dir):
 @query(
     "quarterly_stats",
     oracle="""
-    SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter,
            ROUND(AVG(o_totalprice), 6) AS avg_price,
            ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price,
            COUNT(*) AS n_orders
@@ -137,7 +142,7 @@ def quarterly_stats(spark, sf_dir):
     """Mean-preserving period stats (A2 'mean', A6 scalar statistics)."""
     return (
         t(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter"))
+        .groupBy(F.date_trunc("quarter", "o_orderdate").alias("quarter"))
         .agg(
             F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
             F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
@@ -204,8 +209,8 @@ def year_first_last_order(spark, sf_dir):
                CAST(floor(m_idx / 12.0) AS INT) * 12 + 9 AS start_m
         FROM base
     )
-    SELECT make_date(CAST(floor(start_m / 12.0) AS INT),
-                     CAST(start_m % 12 + 1 AS INT), 1) AS fy_start,
+    SELECT CAST(make_date(CAST(floor(start_m / 12.0) AS INT),
+                          CAST(start_m % 12 + 1 AS INT), 1) AS TIMESTAMP) AS fy_start,
            ROUND(SUM(o_totalprice), 2) AS revenue,
            COUNT(*) AS n_orders
     FROM labeled GROUP BY 1
@@ -218,7 +223,7 @@ def fiscal_year_revenue(spark, sf_dir):
     fy = periods.period_start(F.col("o_orderdate"), "yearly", anchor_month=10)
     return (
         t(spark, sf_dir, "orders")
-        .groupBy(fy.alias("fy_start"))
+        .groupBy(fy.cast("timestamp").alias("fy_start"))
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -261,10 +266,10 @@ def disagg_fit_reports(spark, sf_dir):
 @query(
     "calendar_full_outer",
     oracle="""
-    WITH o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    WITH o AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                       ROUND(SUM(o_totalprice), 2) AS order_revenue
                FROM orders GROUP BY 1),
-         l AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         l AS (SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
                       ROUND(SUM(l_extendedprice), 2) AS shipped_revenue
                FROM lineitem GROUP BY 1)
     SELECT COALESCE(o.month, l.month) AS month, o.order_revenue, l.shipped_revenue
@@ -276,12 +281,12 @@ def calendar_full_outer(spark, sf_dir):
     key — the union-of-time-axes merge at the heart of the reference."""
     o = (
         t(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("order_revenue"))
     )
     l = (
         t(spark, sf_dir, "lineitem")
-        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("shipped_revenue"))
     )
     return (
@@ -302,7 +307,7 @@ def calendar_full_outer(spark, sf_dir):
          shipped AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
                             COUNT(*) AS n
                      FROM lineitem GROUP BY 1)
-    SELECT m.month, COALESCE(s.n, 0) AS n_shipments
+    SELECT CAST(m.month AS TIMESTAMP) AS month, COALESCE(s.n, 0) AS n_shipments
     FROM months m LEFT JOIN shipped s ON m.month = s.month
     """,
 )
@@ -324,7 +329,10 @@ def timeline_coverage(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
     return (
         months.join(shipped, "month", "left")
-        .select("month", F.coalesce("n", F.lit(0)).alias("n_shipments"))
+        .select(
+            F.col("month").cast("timestamp").alias("month"),
+            F.coalesce("n", F.lit(0)).alias("n_shipments"),
+        )
     )
 
 
@@ -401,7 +409,7 @@ def regional_revenue(spark, sf_dir):
 @query(
     "top_revenue_orders",
     oracle="""
-    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
+    SELECT o.o_orderkey, o.o_orderdate AS orderdate,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'O'
@@ -416,7 +424,7 @@ def top_revenue_orders(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .groupBy("o_orderkey", F.col("o_orderdate").alias("orderdate"))
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
@@ -434,7 +442,7 @@ def top_revenue_orders(spark, sf_dir):
 @query(
     "complete_quarters",
     oracle="""
-    SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+    SELECT CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS quarter,
            CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT) AS n_months,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT date_trunc('month', l_shipdate)) = 3 AS is_complete
@@ -446,9 +454,7 @@ def complete_quarters(spark, sf_dir):
     the relational form of the reference's zero-weight constraint rows."""
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.groupBy(
-            F.date_trunc("quarter", "l_shipdate").cast("date").alias("quarter")
-        )
+        li.groupBy(F.date_trunc("quarter", "l_shipdate").alias("quarter"))
         .agg(
             F.countDistinct(F.date_trunc("month", "l_shipdate")).alias("n_months"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -502,7 +508,7 @@ def validation_checks(spark, sf_dir):
 @query(
     "monthly_revenue_delta",
     oracle="""
-    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                       ROUND(SUM(o_totalprice), 2) AS revenue
                FROM orders GROUP BY 1)
     SELECT month, revenue,
@@ -514,7 +520,7 @@ def monthly_revenue_delta(spark, sf_dir):
     """W1 first differences via lag over an ordered window."""
     m = (
         t(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
     w = Window.orderBy("month")
@@ -574,8 +580,8 @@ def user_running_total(spark, sf_dir):
     "customer_order_span",
     oracle="""
     SELECT o_custkey AS custkey,
-           CAST(MIN(o_orderdate) AS DATE) AS first_order,
-           CAST(MAX(o_orderdate) AS DATE) AS last_order,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
            COUNT(*) AS n_orders
     FROM orders GROUP BY 1
     """,
@@ -586,8 +592,8 @@ def customer_order_span(spark, sf_dir):
         t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
-            F.min("o_orderdate").cast("date").alias("first_order"),
-            F.max("o_orderdate").cast("date").alias("last_order"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -603,7 +609,7 @@ def customer_order_span(spark, sf_dir):
     WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                       SUM(o_totalprice) AS y_total
                FROM orders GROUP BY 1),
-         m AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         m AS (SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
                       CAST(year(l_shipdate) AS BIGINT) AS yr,
                       SUM(l_extendedprice) AS m_ind
                FROM lineitem GROUP BY 1, 2),
@@ -625,7 +631,7 @@ def prorata_disagg(spark, sf_dir):
     m = (
         t(spark, sf_dir, "lineitem")
         .groupBy(
-            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+            F.date_trunc("month", "l_shipdate").alias("month"),
             F.year("l_shipdate").cast("long").alias("yr"),
         )
         .agg(F.sum("l_extendedprice").alias("m_ind"))
