@@ -165,6 +165,41 @@ def lsh_topk(
     )
 
 
+def exact_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: every (a, b) with
+    ``round(cosine, 6) >= threshold`` — ``(id_a, id_b, cosine)``.
+
+    The correctness baseline for :func:`embedding_dup_pairs` (which prunes
+    candidate pairs through LSH buckets).  All-pairs is O(N^2): fine as an
+    oracle and for modest N, while the LSH variant is the 100 TB path.
+    The threshold is applied to the ROUNDED cosine so engines that differ
+    below 1e-6 agree at the boundary.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("vnorm", norm(F.col("vec")))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.vnorm") * F.col("b.vnorm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -711,6 +711,130 @@ def disagg_chow_lin_suppliers(spark, sf_dir):
     )
 
 
+@query(
+    "disagg_reagg_check",
+    oracle="""
+    WITH low AS (SELECT o_orderpriority AS series_id,
+                        CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS ts,
+                        SUM(o_totalprice) AS y
+                 FROM orders GROUP BY 1, 2),
+         ind_m AS (SELECT DISTINCT o.o_orderpriority AS series_id,
+                          CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS mts
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         union_m AS (SELECT series_id, mts FROM ind_m
+                     UNION SELECT series_id, ts AS mts FROM low),
+         cov AS (SELECT series_id,
+                        CAST(date_trunc('year', mts) AS TIMESTAMP) AS yts,
+                        COUNT(*) AS n
+                 FROM union_m GROUP BY 1, 2)
+    SELECT low.series_id, low.ts, ROUND(low.y, 2) AS y
+    FROM low JOIN cov ON cov.series_id = low.series_id AND cov.yts = low.ts
+    WHERE cov.n = 12
+    """,
+)
+def disagg_reagg_check(spark, sf_dir):
+    """Oracle-backed validation of the dense kernel's defining invariant:
+    chow-lin output re-aggregated over complete years must reproduce the
+    original yearly totals exactly (C @ y_hat = y holds by construction,
+    ts_disagg.py:96-97,463-464).  The oracle computes the same yearly totals
+    relationally, restricted to fully-covered years — so a kernel bug that
+    breaks the constraint shows up as a value-hash mismatch."""
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    low = o.groupBy(
+        F.col("o_orderpriority").alias("series_id"),
+        F.date_trunc("year", "o_orderdate").alias("ts"),
+    ).agg(F.sum("o_totalprice").alias("y"))
+    ind = (
+        li.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("series_id"),
+            F.date_trunc("month", "l_shipdate").alias("ts"),
+        )
+        .agg(F.sum("l_extendedprice").alias("x1"))
+        .withColumn("intercept", F.lit(1.0))
+    )
+    out = disaggregate(low, ind, method="chow-lin", agg_func="sum")
+    return (
+        out.groupBy("series_id", F.date_trunc("year", "ts").alias("ts"))
+        .agg(
+            F.round(F.sum("y_hat"), 2).alias("y"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .filter(F.col("n_months") == 12)
+        .drop("n_months")
+        .join(low.select("series_id", "ts"), ["series_id", "ts"], "left_semi")
+    )
+
+
+@query("disagg_litterman_nation")
+def disagg_litterman_nation(spark, sf_dir):
+    """Litterman (random-walk AR(1) errors, K5) across nation series (no SQL
+    oracle — dense GLS): yearly customer-nation revenue to months guided by
+    monthly shipped value."""
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    li = t(spark, sf_dir, "lineitem")
+    ordn = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "n_name")
+    )
+    low = ordn.groupBy(
+        F.col("n_name").alias("series_id"),
+        F.date_trunc("year", "o_orderdate").alias("ts"),
+    ).agg(F.sum("o_totalprice").alias("y"))
+    ind = (
+        li.join(
+            ordn.select("o_orderkey", "n_name"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("series_id"),
+            F.date_trunc("month", "l_shipdate").alias("ts"),
+        )
+        .agg(F.sum("l_extendedprice").alias("x1"))
+        .withColumn("intercept", F.lit(1.0))
+    )
+    return disaggregate(
+        low, ind, method="litterman", agg_func="sum", errors="skip"
+    )
+
+
+@query("disagg_denton_mean")
+def disagg_denton_mean(spark, sf_dir):
+    """Denton-Cholette under the mean constraint (A2 'mean': low values are
+    period averages, not sums; no SQL oracle): average yearly order value per
+    market segment interpolated to months along average monthly shipped
+    value."""
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    seg = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderdate", "o_totalprice", "c_mktsegment"
+    )
+    low = seg.groupBy(
+        F.col("c_mktsegment").alias("series_id"),
+        F.date_trunc("year", "o_orderdate").alias("ts"),
+    ).agg(F.avg("o_totalprice").alias("y"))
+    ind = seg.groupBy(
+        F.col("c_mktsegment").alias("series_id"),
+        F.date_trunc("month", "o_orderdate").alias("ts"),
+    ).agg(F.avg("o_totalprice").alias("x1"))
+    return disaggregate(
+        low, ind, method="denton-cholette", agg_func="mean", errors="skip"
+    )
+
+
 @query("disagg_denton_companion")
 def disagg_denton_companion(spark, sf_dir):
     """Kernel-backed Denton with a synthesized companion timeline (no SQL
@@ -1033,9 +1157,29 @@ def knn_lsh(spark, sf_dir):
 
 @query("embedding_near_dups")
 def embedding_near_dups(spark, sf_dir):
-    """LSH-bucketed embedding near-duplicate pairs (no SQL oracle)."""
+    """LSH-bucketed embedding near-duplicate pairs (no SQL oracle — bucket
+    pruning is approximate by design; exact baseline below)."""
     return similarity.embedding_dup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.8, n_bits=4
+    )
+
+
+@query(
+    "embedding_dup_exact",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """,
+)
+def embedding_dup_exact(spark, sf_dir):
+    """Exact all-pairs embedding near-dup baseline (cosine >= 0.4) — the
+    correctness oracle for the LSH-bucketed variant."""
+    return similarity.exact_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
