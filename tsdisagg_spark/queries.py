@@ -691,20 +691,25 @@ def disagg_chow_lin_suppliers(spark, sf_dir):
     from tsdisagg_spark.spark.disagg import disaggregate
 
     li = t(spark, sf_dir, "lineitem")
-    low = (
+    # one scan + one wide shuffle: aggregate the fact table to months once,
+    # then derive the yearly target from the (tiny) monthly result — at
+    # 100 TB the second full scan/shuffle of lineitem is the cost that
+    # matters, not the 8k-row re-aggregation
+    monthly = (
         li.groupBy(
             F.col("l_suppkey").alias("series_id"),
-            F.date_trunc("year", "l_shipdate").cast("date").alias("ts"),
+            F.date_trunc("month", "l_shipdate").alias("ts"),
         )
-        .agg(F.sum("l_extendedprice").alias("y"))
+        .agg(
+            F.sum("l_extendedprice").alias("rev"),
+            F.sum("l_quantity").alias("x1"),
+        )
     )
-    ind = (
-        li.groupBy(
-            F.col("l_suppkey").alias("series_id"),
-            F.date_trunc("month", "l_shipdate").cast("date").alias("ts"),
-        )
-        .agg(F.sum("l_quantity").alias("x1"))
-        .withColumn("intercept", F.lit(1.0))
+    low = monthly.groupBy(
+        "series_id", F.date_trunc("year", "ts").alias("ts")
+    ).agg(F.sum("rev").alias("y"))
+    ind = monthly.select(
+        "series_id", "ts", "x1", F.lit(1.0).alias("intercept")
     )
     return disaggregate(
         low, ind, method="chow-lin", agg_func="sum", errors="skip"
