@@ -163,3 +163,92 @@ def test_streaming_tumbling_window(spark, tmp_path):
     got_s = got.sort_values(key).reset_index(drop=True)
     exp_s = expected.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s[exp_s.columns], exp_s)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """Same clustered regime as the LSH test: IVF with nprobe=3 of 8 lists
+    must recover most true neighbors (clusters land in few lists)."""
+    rng = np.random.default_rng(23)
+    dim, n_queries = 32, 10
+    centers = rng.standard_normal((n_queries, dim))
+    rows = []
+    vid = n_queries
+    for qi in range(n_queries):
+        for _ in range(5):
+            rows.append((vid, (centers[qi] + 0.15 * rng.standard_normal(dim)).tolist()))
+            vid += 1
+    for _ in range(200):
+        rows.append((vid, rng.standard_normal(dim).tolist()))
+        vid += 1
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(n_queries), "embedding": [c.tolist() for c in centers]}
+        )
+    )
+
+    exact = similarity.cosine_topk(corpus, queries, k=5).toPandas()
+    approx = similarity.ivf_topk(
+        corpus, queries, k=5, n_lists=8, nprobe=3
+    ).toPandas()
+
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.8, f"IVF recall too low: {recalls}"
+
+
+def test_stateful_streaming_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization: event-time gap sessions with
+    state timeout, run availableNow against a parquet source and compared to
+    the batch session_window result for sessions the watermark has closed."""
+    from tsdisagg_spark.streaming.windows import stateful_sessions
+
+    src = str(tmp_path / "sess_src")
+    rows = []
+    # user 1: two sessions separated by a 2-hour silence; user 2: one session
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for i in range(5):
+        rows.append((1, base + pd.Timedelta(minutes=5 * i), 1.0))
+    for i in range(3):
+        rows.append((1, base + pd.Timedelta(hours=3, minutes=10 * i), 2.0))
+    for i in range(4):
+        rows.append((2, base + pd.Timedelta(minutes=7 * i), 0.5))
+    # a late sentinel far in the future so the watermark passes everything
+    rows.append((99, base + pd.Timedelta(days=2), 0.0))
+    events = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    spark.createDataFrame(events).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    q = (
+        stateful_sessions(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from sessions_out")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # sessions closed by the watermark: user 1 x2, user 2 x1 (sentinel's own
+    # session stays open — no later watermark advance closes it)
+    assert len(got) == 3
+    u1 = got[got.user_id == 1]
+    assert list(u1["n_events"]) == [5, 3]
+    assert list(u1["total_value"]) == [5.0, 6.0]
+    first = u1.iloc[0]
+    assert first["session_start"] == base
+    assert first["session_end"] == base + pd.Timedelta(minutes=20 + 30)
+    u2 = got[got.user_id == 2]
+    assert list(u2["n_events"]) == [4]

@@ -165,6 +165,125 @@ def lsh_topk(
     )
 
 
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-dot-product centroid, as a pure expression: build an
+    array of (dot, idx) structs and take array_max (struct ordering compares
+    fields in order, so the max dot wins; idx breaks exact ties)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(float(v)) for v in c])).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(scored)["idx"]
+
+
+def _top_probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` centroid indices nearest to ``vec`` (by dot),
+    via sort_array on (score, idx) structs descending."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(float(v)) for v in c])).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.sort_array(scored, asc=False)
+    return F.slice(F.transform(ranked, lambda s: s["idx"]), 1, nprobe)
+
+
+def train_centroids(
+    df: DataFrame,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Driver-side k-means on a bounded sample — the IVF coarse quantizer.
+
+    Training is deliberately NOT distributed: a few thousand sampled vectors
+    fit in driver memory at any corpus scale, and Lloyd iterations on them
+    take milliseconds in NumPy.  The expensive parts — assignment of the
+    full corpus and probing — stay distributed.
+    """
+    sample = np.array(
+        [
+            [float(x) for x in row[0]]
+            for row in df.select(vec_col).limit(sample_size).collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids.round(6).tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus rows are assigned to
+    their nearest coarse centroid's list; each query scans only its
+    ``nprobe`` nearest lists — an equi-join on the list id, so the scanned
+    fraction is ~nprobe/n_lists of the corpus.
+
+    At 100 TB the corpus would be *written partitioned by* ``list`` so probe
+    queries prune file-level partitions; here the list id is a derived
+    column feeding a hash join.
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, n_lists, vec_col)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    )
+    c = c.withColumn("list", _nearest_centroid(F.col("cvec"), centroids)).withColumn(
+        "cnorm", norm(F.col("cvec"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    q = q.withColumn(
+        "list", F.explode(_top_probe_lists(F.col("qvec"), centroids, nprobe))
+    ).withColumn("qnorm", norm(F.col("qvec")))
+
+    scored = c.join(F.broadcast(q), "list").select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def exact_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -960,6 +960,80 @@ def sessionization(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
+    "session_windows",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark, sf_dir):
+    """Spark's native session_window (gap-based merging in the engine's
+    state machinery) validated against a relational gaps-and-islands oracle.
+    Session end = last event + gap, end-exclusive: an event exactly at the
+    gap boundary starts a new session on both sides."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("media_features")
+def media_features(spark, sf_dir):
+    """Multimodal decode pipeline (no SQL oracle — the stubbed decoder is
+    engine-side): documents' payload bytes through the Arrow-batched
+    mapInPandas decode/featurize path, then feature summary stats via
+    posexplode.  The plumbing — binary column, batch sizing, per-asset
+    failure isolation — is the real 100 TB shape; only the codec is fake."""
+    from tsdisagg_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(d, batch_size=256)
+    return (
+        feats.select("asset_id", "n_bytes", F.posexplode("features").alias("pos", "v"))
+        .groupBy(F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("avg_feature"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        )
+    )
+
+
+@query(
     "dedup_exact_groups",
     oracle="""
     SELECT md5(text) AS group_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
@@ -1141,6 +1215,22 @@ def knn_bruteforce(spark, sf_dir):
         corpus=emb.filter(F.col("vec_id") >= 5),
         queries=emb.filter(F.col("vec_id") < 5),
         k=3,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("knn_ivf")
+def knn_ivf(spark, sf_dir):
+    """IVF approximate top-k (no SQL oracle — k-means training is
+    engine-side; recall asserted against brute force in tests): corpus
+    bucketed by nearest coarse centroid, queries probe 2 of 8 lists."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        corpus=emb.filter(F.col("vec_id") >= 5),
+        queries=emb.filter(F.col("vec_id") < 5),
+        k=3,
+        n_lists=8,
+        nprobe=2,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def tumbling_counts(
@@ -37,6 +38,108 @@ def tumbling_counts(
             F.col("w.end").alias("window_end"),
             "n_events",
             "total_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session aggregation with an inactivity gap, state timed out by
+    event time against the watermark.
+
+    This is the pattern for operators Structured Streaming lacks natively —
+    arbitrary per-key state (here: the open session's running aggregate)
+    updated batch-by-batch, emitted when the event-time timeout fires.
+    State per key is O(1) (four scalars), so state-store size is bounded by
+    the number of *concurrently active* keys, not event volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+            return
+
+        closed: list[tuple[int, int, int, float]] = []
+        cur = state.get if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                ts_us = int(pd.Timestamp(ts).value // 1_000)
+                if cur is None:
+                    cur = (ts_us, ts_us, 1, float(val))
+                elif ts_us - cur[1] >= gap_us:
+                    closed.append(cur)
+                    cur = (ts_us, ts_us, 1, float(val))
+                else:
+                    cur = (cur[0], max(cur[1], ts_us), cur[2] + 1, cur[3] + float(val))
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[1] // 1_000 + gap_minutes * 60 * 1_000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
+                    "session_end": [
+                        pd.Timestamp(last + gap_us, unit="us")
+                        for _, last, _, _ in closed
+                    ],
+                    "n_events": [n for *_, n, _ in closed],
+                    "total_value": [round(t, 6) for *_, t in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
