@@ -259,6 +259,55 @@ def disagg_fit_reports(spark, sf_dir):
     return fit_reports(low, ind, method="chow-lin", agg_func="sum")
 
 
+@query(
+    "retained_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def retained_customers(spark, sf_dir):
+    """Set operations (SURVEY 2.7): customers active in both 1995 and 1996
+    but gone by 1997 — intersect + except distinct, each a shuffle on the
+    projected key only."""
+    o = t(spark, sf_dir, "orders")
+
+    def active(yr):
+        return o.filter(F.year("o_orderdate") == yr).select(
+            F.col("o_custkey").alias("custkey")
+        )
+
+    return active(1995).intersect(active(1996)).subtract(active(1997))
+
+
+@query(
+    "month_end_revenue",
+    oracle="""
+    SELECT CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(day(last_day(o_orderdate)) AS BIGINT) AS days_in_month,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def month_end_revenue(spark, sf_dir):
+    """End-anchored calendar stamps (D6, time_conversion.py:157-165): period
+    labels on the LAST day of the month — note Spark/DuckDB both apply true
+    Gregorian leap rules, unlike the reference's naive year%4."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+            F.dayofmonth(F.last_day("o_orderdate")).cast("long").alias(
+                "days_in_month"
+            ),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # joins (SURVEY 2.3)
 # ---------------------------------------------------------------------------
