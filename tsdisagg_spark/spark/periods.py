@@ -28,7 +28,7 @@ def period_label(ts: Column, family: str) -> Column:
     if family == freq.YEARLY:
         return F.year(ts)
     if family == freq.QUARTERLY:
-        return F.year(ts) * F.lit(4) + (F.month(ts) - F.lit(1)).cast("int") // F.lit(3)
+        return F.year(ts) * F.lit(4) + F.floor((F.month(ts) - F.lit(1)) / F.lit(3)).cast("int")
     if family == freq.MONTHLY:
         return F.year(ts) * F.lit(12) + F.month(ts) - F.lit(1)
     raise freq.FrequencyError(f"Unsupported period family {family}")
