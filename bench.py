@@ -33,6 +33,10 @@ HEADLINE = [
     "jaccard_near_dups",       # shingle self-join dedup
     "minhash_near_dups",       # MinHash LSH + verification
     "knn_bruteforce",          # broadcast cosine top-k
+    "knn_ivf",                 # inverted-file ANN (probe-list equi-join)
+    "session_windows",         # native session windows (gap merging)
+    "embedding_dup_exact",     # all-pairs cosine near-dup baseline
+    "media_features",          # Arrow-batched mapInPandas decode pipeline
 ]
 
 

@@ -217,3 +217,48 @@ def test_spark_period_exprs_match_kernel_labels(spark):
         .dt.start_time.dt.date
     )
     assert (pd.Series(got).to_numpy() == want.to_numpy()).all()
+
+
+def test_streaming_disaggregate(spark, tmp_path, multi_series):
+    """foreachBatch incremental recompute: streaming the low-frequency rows
+    through the bridge must land the same per-series output in the sink as
+    the batch path."""
+    from tsdisagg_spark.streaming import latest_solutions, streaming_disaggregate
+
+    low_sdf, ind_sdf, _ = multi_series
+    src = str(tmp_path / "low_src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    low_sdf.write.parquet(src)
+
+    stream = spark.readStream.schema(low_sdf.schema).parquet(src)
+    q = (
+        streaming_disaggregate(
+            stream,
+            ind_sdf,
+            sink_path=sink,
+            checkpoint_path=ckpt,
+            method="chow-lin",
+            agg_func="sum",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        latest_solutions(spark, sink)
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        disaggregate(low_sdf, ind_sdf, method="chow-lin", agg_func="sum")
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["y_hat"].to_numpy(), want["y_hat"].to_numpy(), rtol=1e-9
+    )

