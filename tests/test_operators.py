@@ -252,3 +252,27 @@ def test_stateful_streaming_sessions(spark, tmp_path):
     assert first["session_end"] == base + pd.Timedelta(minutes=20 + 30)
     u2 = got[got.user_id == 2]
     assert list(u2["n_events"]) == [4]
+
+
+def test_exact_dup_pairs_blocked_gemm(spark):
+    """The blocked-GEMM all-pairs scorer must find exactly the planted
+    near-duplicate pairs, independent of block count."""
+    rng = np.random.default_rng(31)
+    dim = 16
+    base = rng.standard_normal(dim)
+    rows = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.standard_normal(dim)).tolist()),  # near-dup of 0
+        (2, (-base).tolist()),  # anti-correlated
+    ]
+    for i in range(3, 40):
+        rows.append((i, rng.standard_normal(dim).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    for n_blocks in (1, 2, 5):
+        pairs = similarity.exact_dup_pairs(
+            df, threshold=0.99, n_blocks=n_blocks
+        ).toPandas()
+        assert len(pairs) == 1, pairs
+        assert (pairs.iloc[0]["id_a"], pairs.iloc[0]["id_b"]) == (0, 1)
+        assert pairs.iloc[0]["cosine"] >= 0.99

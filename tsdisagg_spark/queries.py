@@ -1304,9 +1304,10 @@ def knn_lsh(spark, sf_dir):
 @query("embedding_near_dups")
 def embedding_near_dups(spark, sf_dir):
     """LSH-bucketed embedding near-duplicate pairs (no SQL oracle — bucket
-    pruning is approximate by design; exact baseline below)."""
+    pruning is approximate by design; embedding_dup_exact is the exact
+    baseline at the same threshold, so recall is directly observable)."""
     return similarity.embedding_dup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.8, n_bits=4
+        t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=4
     )
 
 
