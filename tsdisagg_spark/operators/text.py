@@ -48,14 +48,27 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+#: BPE-style pre-tokenization pattern: letter runs, digit runs, and each
+#: other non-space symbol on its own — the GPT-2 pre-tokenizer shape minus
+#: the apostrophe special cases (kept lookahead-free so Java regex and RE2
+#: count identically; see the token_stats oracle).
+SUBTOKEN_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document token counts: ``(id, n_tokens, n_chars, avg_token_chars)``."""
+    """Per-document token counts: whitespace tokens plus a BPE-ish subword
+    pre-token count — ``(id, n_tokens, n_subtokens, n_chars,
+    chars_per_token)``.  ``n_subtokens`` upper-bounds the real BPE token
+    count (merges only shrink it), which is what byte budgeting needs."""
     w = words(F.col(text_col))
     n_tokens = F.size(w)
     n_chars = F.length(F.col(text_col))
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(SUBTOKEN_PATTERN)).alias(
+            "n_subtokens"
+        ),
         n_chars.alias("n_chars"),
         F.round(n_chars / n_tokens, 6).alias("chars_per_token"),
     )

@@ -1149,6 +1149,8 @@ def simhash_near_dups(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]')) AS BIGINT)
+               AS n_subtokens,
            CAST(length(text) AS BIGINT) AS n_chars,
            ROUND(length(text) * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
                AS chars_per_token
@@ -1160,6 +1162,7 @@ def token_stats(spark, sf_dir):
     return df.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subtokens").cast("long").alias("n_subtokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
         "chars_per_token",
     )
