@@ -826,6 +826,31 @@ def disagg_reagg_check(spark, sf_dir):
     )
 
 
+@query("disagg_two_indicators")
+def disagg_two_indicators(spark, sf_dir):
+    """Chow-lin with a k=2 indicator matrix (no SQL oracle — dense GLS):
+    monthly shipped value AND quantity jointly explain yearly revenue, the
+    Spark twin of the reference's two-indicator golden case
+    (tests/test_disaggregation.py:265-281)."""
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    li = t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("series_id"),
+        F.date_trunc("month", "l_shipdate").alias("ts"),
+    ).agg(
+        F.sum("l_extendedprice").alias("x1"),
+        F.sum("l_quantity").alias("x2"),
+    )
+    low = monthly.groupBy(
+        "series_id", F.date_trunc("year", "ts").alias("ts")
+    ).agg(F.sum("x1").alias("y"))
+    ind = monthly.withColumn("intercept", F.lit(1.0))
+    return disaggregate(
+        low, ind, method="chow-lin", agg_func="sum", errors="skip"
+    )
+
+
 @query("disagg_litterman_nation")
 def disagg_litterman_nation(spark, sf_dir):
     """Litterman (random-walk AR(1) errors, K5) across nation series (no SQL
