@@ -107,3 +107,38 @@ def test_conversion_matrix_quarterly_low():
     )
     assert_allclose(C.sum(axis=1), 3.0)
     assert_allclose(C @ np.ones(24), np.full(8, 3.0))
+
+
+def test_additive_criterion_and_higher_order_invariants():
+    """The aggregation constraint must hold for every (criterion, h)
+    combination, and the variants must actually differ (the parameters are
+    not dead)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsdisagg_spark.disagg import disaggregate_series
+
+    rng = np.random.default_rng(3)
+    years = pd.date_range("1990-01-01", periods=10, freq="YS")
+    quarters = pd.date_range("1990-01-01", periods=40, freq="QS")
+    low = pd.DataFrame({"y": rng.uniform(100.0, 200.0, 10)}, index=years)
+    ind = pd.DataFrame(
+        {"x": np.linspace(1.0, 4.0, 40) + rng.normal(0, 0.05, 40)},
+        index=quarters,
+    )
+
+    outs = {}
+    for criterion in ("proportional", "additive"):
+        for h in (1, 2):
+            out = disaggregate_series(
+                low, ind, method="denton", agg_func="sum",
+                criterion=criterion, h=h, verbose=False,
+            )
+            reagg = out.groupby(out.index.year).sum()
+            np.testing.assert_allclose(
+                reagg.to_numpy(), low["y"].to_numpy(), rtol=1e-8
+            )
+            outs[(criterion, h)] = out.to_numpy()
+
+    assert not np.allclose(outs[("proportional", 1)], outs[("additive", 1)])
+    assert not np.allclose(outs[("proportional", 1)], outs[("proportional", 2)])
