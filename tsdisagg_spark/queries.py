@@ -45,6 +45,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.  ``events.ts`` is parquet TIMESTAMP(NANOS),
     which Spark's vectorized reader rejects — read it as raw nanos and
     convert to a microsecond timestamp (the values are microsecond-grained)."""
+    # calendar determinism regardless of who built the session: date_trunc
+    # and timestamp rendering must not depend on the host zone, or every
+    # period stamp drifts against the (zone-naive) DuckDB oracles
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
