@@ -18,6 +18,9 @@ Alignment rules (both sides, always):
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +44,44 @@ def query(name: str, oracle: str | None = None):
     return wrap
 
 
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    The grouped-kernel closures (``applyInPandas``/``mapInPandas``) resolve
+    their globals by importing ``tsdisagg_spark`` on the worker.  A session
+    built by an external harness carries no PYTHONPATH for the workers, so
+    without this every kernel-backed query dies with an import error on the
+    first task (verified in a clean env).  The zip is content-stable and
+    added once per session."""
+    marker = "tsdisagg.workers.bootstrapped"
+    try:
+        if spark.conf.get(marker, "") == "1":
+            return
+    except Exception:  # noqa: BLE001 — conf access must never break a query
+        pass
+    zpath = os.path.join(tempfile.gettempdir(), "tsdisagg_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            pkgdir = os.path.join(_PKG_PARENT, "tsdisagg_spark")
+            for dirpath, _dirs, files in os.walk(pkgdir):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, _PKG_PARENT))
+        os.replace(tmp, zpath)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 — re-adding the same file warns/raises
+        pass
+    spark.conf.set(marker, "1")
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.  ``events.ts`` is parquet TIMESTAMP(NANOS),
     which Spark's vectorized reader rejects — read it as raw nanos and
@@ -49,6 +90,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and timestamp rendering must not depend on the host zone, or every
     # period stamp drifts against the (zone-naive) DuckDB oracles
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_workers_can_import(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
