@@ -1,0 +1,104 @@
+"""Full driver-style correctness sweep: run every registry query against
+its DuckDB oracle (row count + sorted-column schema + order-insensitive
+value comparison) at a chosen scale factor.
+
+Usage::
+
+    python tools/oracle_sweep.py [sf_dir]     # default /root/testdata/sf0.01
+
+This replicates the external driver's t2 gate more aggressively than
+tests/test_queries.py (which runs at sf0.001): a second data scale catches
+threshold- and coverage-dependent divergence.  Exit code 1 on any problem.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        cells = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                cells.append(f"{v:.6f}")
+            elif hasattr(v, "isoformat"):
+                cells.append(v.isoformat())
+            else:
+                cells.append(str(v))
+        out.append("\x1f".join(cells))
+    return sorted(out)
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for tn in TABLES:
+        con.execute(
+            f"CREATE VIEW {tn} AS SELECT * FROM read_parquet('{sf}/{tn}.parquet')"
+        )
+
+    problems = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            el = round(time.time() - t0, 1)
+            if name not in oracles:
+                print(f"{name}\tROWS_ONLY\t{len(srows)}\t{el}s")
+                continue
+            res = con.sql(oracles[name])
+            dcols, drows = list(res.columns), res.fetchall()
+            scols = list(sdf.columns)
+            if sorted(scols) != sorted(dcols):
+                print(f"{name}\tSCHEMA_MISMATCH\t{sorted(scols)} vs {sorted(dcols)}")
+                problems += 1
+                continue
+            a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
+            if a == b:
+                print(f"{name}\tMATCH\t{len(srows)}\t{el}s")
+            else:
+                problems += 1
+                sb, sa = set(b), set(a)
+                print(f"{name}\tVALUE_MISMATCH\t{len(a)} vs {len(b)}")
+                print("  spark-only:", [x for x in a if x not in sb][:3])
+                print("  duck-only:", [x for x in b if x not in sa][:3])
+        except Exception:
+            problems += 1
+            print(f"{name}\tERROR\t{traceback.format_exc().splitlines()[-1][:200]}")
+
+    print(f"== {len(qs)} queries, {problems} problems")
+    spark.stop()
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
