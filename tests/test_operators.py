@@ -276,3 +276,20 @@ def test_exact_dup_pairs_blocked_gemm(spark):
         assert len(pairs) == 1, pairs
         assert (pairs.iloc[0]["id_a"], pairs.iloc[0]["id_b"]) == (0, 1)
         assert pairs.iloc[0]["cosine"] >= 0.99
+
+
+def test_frame_sampling_expansion(spark):
+    """sample_frames must expand 1 asset to n_frames rows with distinct,
+    deterministic per-frame features."""
+    assets = multimodal.synthesize_assets(spark, n=6)
+    frames = multimodal.sample_frames(assets, n_frames=3).toPandas()
+    assert len(frames) == 18
+    per_asset = frames.groupby("asset_id")["frame_idx"].apply(sorted)
+    assert all(list(v) == [0, 1, 2] for v in per_asset)
+    one = frames[frames.asset_id == 0].sort_values("frame_idx")
+    f0, f1 = list(one["features"].iloc[0]), list(one["features"].iloc[1])
+    assert f0 != f1  # frame index salts the stub decode
+    again = multimodal.sample_frames(assets, n_frames=3).toPandas()
+    a = frames.sort_values(["asset_id", "frame_idx"])["features"].map(list).tolist()
+    b = again.sort_values(["asset_id", "frame_idx"])["features"].map(list).tolist()
+    assert a == b

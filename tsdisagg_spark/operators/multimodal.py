@@ -106,6 +106,58 @@ def extract_features(
     )
 
 
+def sample_frames(
+    assets: DataFrame,
+    n_frames: int = 4,
+    decode_fn: Callable[[bytes, str], np.ndarray] = fake_decode,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """Keyframe sampling: one input asset expands to ``n_frames`` rows of
+    ``(asset_id, frame_idx, features)`` — the video/audio-chunking shape.
+
+    Structurally different from :func:`extract_features`: the
+    ``mapInPandas`` batch yields MORE rows than it receives (1-to-N row
+    expansion), so output batch size is bounded by rows-in x n_frames —
+    size Arrow batches for the EXPANDED side when frames are wide.  The
+    per-frame decode is STUBBED (deterministic features from the payload
+    digest salted by frame index); a real decoder slots into ``decode_fn``
+    without touching the distributed plumbing.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def expand_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for aid, payload, mtype in zip(
+                pdf[id_col], pdf[payload_col], pdf[type_col]
+            ):
+                for fi in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(fi)
+                    try:
+                        feats.append(
+                            [
+                                float(x)
+                                for x in decode_fn(payload, f"{mtype}#frame{fi}")
+                            ]
+                        )
+                    except Exception:  # noqa: BLE001 — per-frame isolation
+                        feats.append(None)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "features": feats})
+
+    return assets.select(id_col, payload_col, type_col).mapInPandas(
+        expand_batches, schema=out_schema
+    )
+
+
 def payload_stats(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap metadata scan without touching Python: byte sizes and digests
     via built-in expressions (the audit pass before an expensive decode)."""

@@ -1155,6 +1155,29 @@ def media_features(spark, sf_dir):
     )
 
 
+@query("frame_samples")
+def frame_samples(spark, sf_dir):
+    """Video-style keyframe sampling (no SQL oracle — stub decoder is
+    engine-side): 1-to-N row expansion through mapInPandas, then per-frame
+    aggregate stats.  Each document payload stands in for a video asset."""
+    from tsdisagg_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    frames = multimodal.sample_frames(d, n_frames=4)
+    return (
+        frames.select("asset_id", "frame_idx", F.explode("features").alias("v"))
+        .groupBy(F.col("frame_idx").cast("long").alias("frame_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.avg("v"), 6).alias("avg_feature"),
+        )
+    )
+
+
 @query(
     "dedup_exact_groups",
     oracle="""
