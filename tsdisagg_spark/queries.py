@@ -354,6 +354,39 @@ def month_end_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "business_month_end_revenue",
+    oracle="""
+    WITH snapped AS (
+        SELECT o_totalprice,
+               CASE dayofweek(last_day(o_orderdate))
+                    WHEN 0 THEN last_day(o_orderdate) - INTERVAL 2 DAY
+                    WHEN 6 THEN last_day(o_orderdate) - INTERVAL 1 DAY
+                    ELSE last_day(o_orderdate)
+               END AS bme
+        FROM orders
+    )
+    SELECT CAST(bme AS TIMESTAMP) AS bme,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM snapped GROUP BY 1
+    """,
+)
+def business_month_end_revenue(spark, sf_dir):
+    """Business-calendar snap (D7, time_conversion.py:168-200) as a pure
+    Catalyst expression: month-ends falling on a weekend snap back to
+    Friday, then revenue aggregates on the snapped stamp."""
+    bme = periods.business_month_end(F.col("o_orderdate"))
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(bme.cast("timestamp").alias("bme"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # joins (SURVEY 2.3)
 # ---------------------------------------------------------------------------

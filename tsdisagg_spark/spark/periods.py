@@ -56,6 +56,21 @@ def period_start(ts: Column, family: str, anchor_month: int = 1) -> Column:
     )
 
 
+def business_month_end(ts: Column) -> Column:
+    """Last *business* day of the month containing ``ts`` — the Spark
+    expression form of the reference's ``business_cal_adjust``
+    (time_conversion.py:168-200, the ``B``-prefixed frequency snap):
+    month-end snapped back off Saturday/Sunday.  Pure date arithmetic,
+    stays in codegen."""
+    month_end = F.last_day(ts)
+    dow = F.dayofweek(month_end)  # 1=Sunday .. 7=Saturday
+    return (
+        F.when(dow == 1, F.date_sub(month_end, 2))
+        .when(dow == 7, F.date_sub(month_end, 1))
+        .otherwise(month_end)
+    )
+
+
 def tumbling_period(ts: Column, family: str) -> Column:
     """Convenience: the (start, label) struct for grouping by calendar period."""
     return F.struct(
