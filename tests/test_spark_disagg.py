@@ -262,3 +262,23 @@ def test_streaming_disaggregate(spark, tmp_path, multi_series):
     np.testing.assert_allclose(
         got["y_hat"].to_numpy(), want["y_hat"].to_numpy(), rtol=1e-9
     )
+
+
+def test_business_month_end_matches_pandas(spark):
+    """D7 snap expression vs pandas BMonthEnd over random dates: the last
+    business day of each stamp's month must agree."""
+    from tsdisagg_spark.spark import periods
+
+    rng = np.random.default_rng(17)
+    days = rng.integers(0, 365 * 30, size=400)
+    stamps = pd.Timestamp("1995-01-01") + pd.to_timedelta(days, unit="D")
+    sdf = spark.createDataFrame(pd.DataFrame({"ts": stamps}))
+    got = (
+        sdf.select(periods.business_month_end(F.col("ts")).alias("bme"))
+        .toPandas()["bme"]
+    )
+    want = (
+        pd.Series(stamps).dt.to_period("M").dt.to_timestamp()
+        + pd.offsets.BMonthEnd(1)
+    ).dt.date
+    assert (pd.Series(got).to_numpy() == want.to_numpy()).all()
