@@ -1505,6 +1505,59 @@ def binary_meta(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, text,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                   * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS stop_ratio
+        FROM documents
+    ),
+    kept AS (SELECT doc_id, text, n_tokens FROM q
+             WHERE n_tokens >= 20 AND stop_ratio >= 0.05),
+    survivors AS (
+        SELECT md5(text) AS group_key, MIN(doc_id) AS keep_id,
+               MIN(n_tokens) AS n_tokens
+        FROM kept GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(keep_id) AS BIGINT) AS first_doc
+    FROM survivors
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline composed from the
+    extension operators: quality gate (length + stopword ratio) -> exact
+    dedup (keep the minimum doc id per content digest) -> corpus token
+    budget.  The whole pipeline is one Catalyst plan — filter pushes into
+    the scan, dedup is one hash aggregation on a digest, and the final
+    budget is a global aggregate; nothing leaves the JVM."""
+    d = t(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    n_tokens = F.size(w)
+    stop_ratio = F.size(F.filter(w, lambda tk: tk.isin(*text.STOPWORDS))) / n_tokens
+    kept = d.select(
+        "doc_id", "text", n_tokens.alias("n_tokens")
+    ).filter((n_tokens >= 20) & (stop_ratio >= 0.05))
+    survivors = (
+        kept.groupBy(F.md5(F.encode("text", "utf-8")).alias("group_key"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("keep_id").cast("long").alias("first_doc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
