@@ -1505,6 +1505,34 @@ def binary_meta(spark, sf_dir):
     )
 
 
+#: one SQL text, two engines: runs verbatim through Spark SQL (Catalyst)
+#: and DuckDB — the dialect-common subset is the engine's SQL entry point
+_MARKET_SHARE_SQL = """
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           ROUND(SUM(CASE WHEN r.r_name = 'ASIA'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS asia_share,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c ON o.o_custkey   = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY yr
+"""
+
+
+@query("sql_market_share", oracle=_MARKET_SHARE_SQL)
+def sql_market_share(spark, sf_dir):
+    """The spark.sql entry point (TPC-H Q8 shape): the exact SQL string the
+    oracle runs is submitted to Catalyst over registered temp views — one
+    query text, two engines, hash-identical results."""
+    for name in ("lineitem", "orders", "customer", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_MARKET_SHARE_SQL)
+
+
 @query(
     "pipeline_clean_corpus",
     oracle="""
