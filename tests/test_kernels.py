@@ -142,3 +142,47 @@ def test_additive_criterion_and_higher_order_invariants():
 
     assert not np.allclose(outs[("proportional", 1)], outs[("additive", 1)])
     assert not np.allclose(outs[("proportional", 1)], outs[("proportional", 2)])
+
+
+def test_optimizer_method_honored_and_rejected():
+    """optimizer_kwargs['method'] routes to a real bounded Nelder-Mead with
+    scipy-semantics nit/nfev (the reference passes the name through to
+    scipy.optimize.minimize, ts_disagg.py:442-448); unknown names raise
+    instead of being silently ignored."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from tsdisagg_spark.disagg import disaggregate_full
+
+    rng = np.random.default_rng(11)
+    years = pd.date_range("1990-01-01", periods=12, freq="YS")
+    quarters = pd.date_range("1990-01-01", periods=48, freq="QS")
+    low = pd.DataFrame({"y": np.linspace(100, 250, 12) + rng.normal(0, 5, 12)},
+                       index=years)
+    ind = pd.DataFrame(
+        {"x": np.linspace(25, 65, 48) + rng.normal(0, 1, 48), "c": 1.0},
+        index=quarters,
+    )
+
+    base = disaggregate_full(low, ind, method="chow-lin", agg_func="sum",
+                             verbose=False)
+    for m in ("nelder-mead", "powell", "l-bfgs-b"):
+        arts = disaggregate_full(
+            low, ind, method="chow-lin", agg_func="sum",
+            optimizer_kwargs={"method": m}, verbose=False,
+        )
+        res = arts["result"]
+        assert res.success and res.nit > 0 and res.nfev > res.nit
+        if m != "nelder-mead":
+            assert "Nelder-Mead" in res.message  # substitution is recorded
+        # both optimizers find the same ML optimum -> same interpolation
+        np.testing.assert_allclose(
+            arts["output"].to_numpy(), base["output"].to_numpy(), rtol=1e-4
+        )
+
+    with pytest.raises(ValueError, match="Unsupported optimizer method"):
+        disaggregate_full(
+            low, ind, method="chow-lin", agg_func="sum",
+            optimizer_kwargs={"method": "trust-constr"}, verbose=False,
+        )

@@ -293,3 +293,38 @@ def test_frame_sampling_expansion(spark):
     a = frames.sort_values(["asset_id", "frame_idx"])["features"].map(list).tolist()
     b = again.sort_values(["asset_id", "frame_idx"])["features"].map(list).tolist()
     assert a == b
+
+
+def test_extract_features_leaves_session_conf_alone(spark):
+    """batch_size re-chunks inside Python; it must NOT touch the session-global
+    Arrow batch conf (an earlier version set maxRecordsPerBatch and leaked it
+    into every later query)."""
+    from tsdisagg_spark.operators.multimodal import extract_features, synthesize_assets
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    assets = synthesize_assets(spark, n=48)
+    out = extract_features(assets, batch_size=7)
+    rows = out.collect()
+    assert len(rows) == 48
+    assert all(r.features is not None and len(r.features) == 16 for r in rows)
+    assert spark.conf.get(key, None) == before
+
+
+def test_train_centroids_clamps_and_is_deterministic(spark):
+    """Fewer sampled rows than n_lists must not crash (clamp), and ordering by
+    id makes the sample — hence the centroids — partition-independent."""
+    import pyspark.sql.functions as F
+
+    from tsdisagg_spark.operators.similarity import train_centroids
+
+    df = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") * 1.0), (F.col("id") * 2.0 + 1.0)
+        ).alias("embedding"),
+    )
+    cents = train_centroids(df, n_lists=8, order_col="vec_id")
+    assert 1 <= len(cents) <= 5
+    again = train_centroids(df.repartition(7), n_lists=8, order_col="vec_id")
+    assert cents == again

@@ -300,6 +300,110 @@ def _brent_minimize(
     return x, fx, nfev
 
 
+def _nelder_mead_minimize(
+    f: Callable[[np.ndarray], float],
+    x0: np.ndarray,
+    lower: np.ndarray,
+    upper: np.ndarray,
+    xatol: float = 1e-4,
+    fatol: float = 1e-4,
+    max_iter: int | None = None,
+) -> tuple[np.ndarray, float, int, int]:
+    """Bounded Nelder-Mead simplex (Nelder & Mead 1965 — public algorithm;
+    bounds handled by clipping candidate points into the box, the same
+    strategy scipy documents for its bounded Nelder-Mead).  Returns
+    ``(x_min, f_min, nit, nfev)`` with scipy-compatible counter semantics:
+    ``nit`` counts simplex iterations, ``nfev`` objective evaluations.
+    """
+    n = len(x0)
+    if max_iter is None:
+        max_iter = 200 * n
+
+    def clip(p: np.ndarray) -> np.ndarray:
+        return np.clip(p, lower, upper)
+
+    def initial_simplex(center: np.ndarray) -> np.ndarray:
+        # scipy-style: 5% relative perturbation per coordinate; when the
+        # perturbed vertex would clip onto a bound, reflect it to the
+        # interior instead so the simplex never starts degenerate.
+        nonzdelt, zdelt = 0.05, 0.00025
+        sim = [clip(np.asarray(center, dtype=float))]
+        for i in range(n):
+            p = sim[0].copy()
+            step = p[i] * nonzdelt if p[i] != 0.0 else zdelt
+            p[i] = p[i] + step if p[i] + step <= upper[i] else p[i] - step
+            sim.append(clip(p))
+        return np.array(sim)
+
+    refl, expa, contr, shrk = 1.0, 2.0, 0.5, 0.5
+    nit = 0
+    nfev = 0
+
+    def nm_pass(center: np.ndarray) -> tuple[np.ndarray, float]:
+        nonlocal nit, nfev
+        sim = initial_simplex(center)
+        fs = np.array([f(p) for p in sim])
+        nfev += n + 1
+        while nit < max_iter:
+            order = np.argsort(fs, kind="stable")
+            sim, fs = sim[order], fs[order]
+            if (
+                np.max(np.abs(sim[1:] - sim[0])) <= xatol
+                and np.max(np.abs(fs[1:] - fs[0])) <= fatol
+            ):
+                break
+            nit += 1
+            centroid = sim[:-1].mean(axis=0)
+            xr = clip(centroid + refl * (centroid - sim[-1]))
+            fr = f(xr)
+            nfev += 1
+            if fr < fs[0]:
+                xe = clip(centroid + expa * refl * (centroid - sim[-1]))
+                fe = f(xe)
+                nfev += 1
+                sim[-1], fs[-1] = (xe, fe) if fe < fr else (xr, fr)
+            elif fr < fs[-2]:
+                sim[-1], fs[-1] = xr, fr
+            else:
+                if fr < fs[-1]:  # outside contraction
+                    xc = clip(centroid + contr * refl * (centroid - sim[-1]))
+                    fc = f(xc)
+                    nfev += 1
+                    shrink = fc > fr
+                else:  # inside contraction
+                    xc = clip(centroid - contr * (centroid - sim[-1]))
+                    fc = f(xc)
+                    nfev += 1
+                    shrink = fc >= fs[-1]
+                if shrink:
+                    for i in range(1, n + 1):
+                        sim[i] = clip(sim[0] + shrk * (sim[i] - sim[0]))
+                        fs[i] = f(sim[i])
+                        nfev += 1
+                else:
+                    sim[-1], fs[-1] = xc, fc
+        order = np.argsort(fs, kind="stable")
+        return sim[order[0]], fs[order[0]]
+
+    # Restart loop: a clipped simplex can degenerate against a bound mid-way
+    # along a curved valley (observed on the Chow-Lin ML surface, where the
+    # path from (0.8, 0.8) rides rho onto its upper bound before sigma2 has
+    # grown).  Re-seeding a fresh simplex at the incumbent (with inward
+    # reflection at the bounds) restores the lost dimension; stop when a
+    # restart no longer improves.  Classic Nelder-Mead robustification.
+    best_x, best_f = nm_pass(np.asarray(x0, dtype=float))
+    for _ in range(10):
+        if nit >= max_iter:
+            break
+        x2, f2 = nm_pass(best_x)
+        if f2 >= best_f - fatol:
+            if f2 < best_f:
+                best_x, best_f = x2, f2
+            break
+        best_x, best_f = x2, f2
+    return best_x, best_f, nit, nfev
+
+
 def profile_negative_loglik(
     rho: float,
     y: np.ndarray,
@@ -338,14 +442,52 @@ def fit_rho_sigma(
     """Bounded ML fit of (rho, sigma2) with rho in (1e-5, 1-1e-5), matching
     the reference's feasible region (ts_disagg.py:438-448).
 
-    Strategy differs from the reference (which runs a 2-D scipy solver from
-    (0.8, 0.8)): sigma2 is concentrated out analytically, leaving a 1-D
-    profile likelihood in rho that a coarse grid scan + Brent refinement
+    Default strategy differs from the reference (which runs a 2-D scipy
+    solver from (0.8, 0.8)): sigma2 is concentrated out analytically, leaving
+    a 1-D profile likelihood in rho that a coarse grid scan + Brent refinement
     solves to ~1e-10 — tighter than any of the reference's optimizer
-    configurations, so results agree within the goldens' tolerances for every
-    ``optimizer_kwargs['method']`` the reference accepts (the method name is
-    consequently ignored here).
+    configurations.
+
+    ``optimizer_kwargs['method']`` is honored, not ignored: ``'nelder-mead'``
+    runs a real bounded 2-D Nelder-Mead on the reference's objective from the
+    reference's x0=(0.8, 0.8) (ts_disagg.py:441-448), so ``return_optim_res``
+    consumers get scipy-semantics ``nit``/``nfev``.  ``'powell'`` and
+    ``'l-bfgs-b'`` (scipy solvers the reference passes through; scipy is not
+    a dependency here) are solved via the same bounded Nelder-Mead with the
+    substitution recorded in ``FitResult.message``.  Unknown method names
+    raise ``ValueError`` instead of being silently accepted.
+    ``optimizer_kwargs['options']`` supports ``xatol``/``fatol``/``maxiter``.
     """
+    kwargs = dict(optimizer_kwargs or {})
+    method = str(kwargs.get("method", "brent-profile")).lower()
+    options = dict(kwargs.get("options") or {})
+    if method in ("nelder-mead", "powell", "l-bfgs-b"):
+        def f2(params: np.ndarray) -> float:
+            return negative_loglik(params, y, X, C, cov_builder)
+
+        x, fx, nit, nfev = _nelder_mead_minimize(
+            f2,
+            np.full(2, 0.8),  # reference x0 (ts_disagg.py:441)
+            lower=np.array([_RHO_LO, 1e-5]),
+            upper=np.array([_RHO_HI, np.inf]),
+            xatol=float(options.get("xatol", 1e-6)),
+            fatol=float(options.get("fatol", 1e-8)),
+            max_iter=options.get("maxiter"),
+        )
+        message = (
+            "converged"
+            if method == "nelder-mead"
+            else f"method '{method}' solved via bounded Nelder-Mead "
+            "(scipy is not a dependency of this engine)"
+        )
+        return FitResult(x=x, fun=fx, nit=nit, nfev=nfev, message=message)
+    if method not in ("brent-profile", "profile"):
+        raise ValueError(
+            f"Unsupported optimizer method {method!r}: use 'nelder-mead', "
+            "'powell', 'l-bfgs-b', or omit for the concentrated "
+            "Brent-profile default."
+        )
+
     def g(rho: float) -> float:
         return profile_negative_loglik(rho, y, X, C, cov_builder)[0]
 

@@ -71,6 +71,12 @@ def extract_features(
     yields columnar results, never one Python call per row.  Failed decodes
     surface as null features (per-asset isolation, same philosophy as
     ``disaggregate(errors='skip')``).
+
+    ``batch_size`` bounds the rows *yielded* per output frame by re-chunking
+    inside Python — it does NOT touch the session-global
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (an earlier version did,
+    silently changing Arrow batching for every later query in the session).
+    The Arrow *transfer* batch size stays under the caller's session conf.
     """
     out_schema = T.StructType(
         [
@@ -82,25 +88,23 @@ def extract_features(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sizes, feats = [], [], []
-            for aid, payload, mtype in zip(
-                pdf[id_col], pdf[payload_col], pdf[type_col]
-            ):
-                ids.append(aid)
-                sizes.append(len(payload) if payload is not None else 0)
-                try:
-                    feats.append([float(x) for x in decode_fn(payload, mtype)])
-                except Exception:  # noqa: BLE001 — per-asset isolation
-                    feats.append(None)
-            yield pd.DataFrame(
-                {id_col: ids, "n_bytes": sizes, "features": feats}
-            )
+            step = batch_size if batch_size else len(pdf) or 1
+            for lo in range(0, len(pdf), step):
+                chunk = pdf.iloc[lo : lo + step]
+                ids, sizes, feats = [], [], []
+                for aid, payload, mtype in zip(
+                    chunk[id_col], chunk[payload_col], chunk[type_col]
+                ):
+                    ids.append(aid)
+                    sizes.append(len(payload) if payload is not None else 0)
+                    try:
+                        feats.append([float(x) for x in decode_fn(payload, mtype)])
+                    except Exception:  # noqa: BLE001 — per-asset isolation
+                        feats.append(None)
+                yield pd.DataFrame(
+                    {id_col: ids, "n_bytes": sizes, "features": feats}
+                )
 
-    session = assets.sparkSession
-    if batch_size is not None:
-        session.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
-        )
     return assets.select(id_col, payload_col, type_col).mapInPandas(
         decode_batches, schema=out_schema
     )

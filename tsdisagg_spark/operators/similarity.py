@@ -204,20 +204,29 @@ def train_centroids(
     sample_size: int = 2048,
     iters: int = 5,
     seed: int = 42,
+    order_col: str | None = None,
 ) -> list[list[float]]:
     """Driver-side k-means on a bounded sample — the IVF coarse quantizer.
 
     Training is deliberately NOT distributed: a few thousand sampled vectors
     fit in driver memory at any corpus scale, and Lloyd iterations on them
     take milliseconds in NumPy.  The expensive parts — assignment of the
-    full corpus and probing — stay distributed.
+    full corpus and probing — stay distributed.  Pass ``order_col`` (an id
+    column) to make the training sample deterministic on multi-partition
+    inputs — a bare ``limit()`` takes whichever partitions answer first.
     """
+    proj = df.select(vec_col, *( [order_col] if order_col else [] ))
+    if order_col:
+        proj = proj.orderBy(order_col)
     sample = np.array(
         [
             [float(x) for x in row[0]]
-            for row in df.select(vec_col).limit(sample_size).collect()
+            for row in proj.select(vec_col).limit(sample_size).collect()
         ]
     )
+    if len(sample) == 0:
+        raise ValueError("train_centroids: empty corpus sample")
+    n_lists = min(n_lists, len(sample))
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=n_lists, replace=False)]
     for _ in range(iters):
@@ -250,7 +259,7 @@ def ivf_topk(
     column feeding a hash join.
     """
     if centroids is None:
-        centroids = train_centroids(corpus, n_lists, vec_col)
+        centroids = train_centroids(corpus, n_lists, vec_col, order_col=id_col)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -330,6 +339,10 @@ def exact_dup_pairs(
     )
 
     def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Arrow delivers group rows in arbitrary order; sort by id so the
+        # diagonal block's triu_indices emit canonical id_a < id_b pairs
+        # deterministically regardless of partitioning.
+        pdf = pdf.sort_values("vid", kind="mergesort", ignore_index=True)
         gi, gj = pdf["gi"].iloc[0], pdf["gj"].iloc[0]
         mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)

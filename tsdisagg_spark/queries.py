@@ -1076,8 +1076,10 @@ def events_hourly(spark, sf_dir):
     ),
     sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               -- DuckDB window SUM yields HUGEINT -> pandas float64; cast to
+               -- BIGINT so the driver's value hash matches Spark's bigint.
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -101,19 +101,56 @@ def stateful_sessions(
             )
             return
 
-        closed: list[tuple[int, int, int, float]] = []
+        import numpy as np
+
         cur = state.get if state.exists else None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
-            for ts, val in zip(pdf[ts_col], pdf[value_col]):
-                ts_us = int(pd.Timestamp(ts).value // 1_000)
-                if cur is None:
-                    cur = (ts_us, ts_us, 1, float(val))
-                elif ts_us - cur[1] >= gap_us:
-                    closed.append(cur)
-                    cur = (ts_us, ts_us, 1, float(val))
+        # A micro-batch arrives as multiple Arrow chunks; one key's events can
+        # span chunks, so concatenate FIRST and sort once — per-chunk sorting
+        # would process them out of time order and mis-split sessions.
+        frames = list(pdf_iter)
+        if not frames:
+            ts_us = np.empty(0, dtype="int64")
+            vals = np.empty(0, dtype=np.float64)
+        else:
+            pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
+            ts_us = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+
+        sessions: list[tuple[int, int, int, float]] = []
+        if len(ts_us):
+            # vectorized session fold: a row opens a new session when its gap
+            # from the previous event is >= gap_us; cumsum of those flags is
+            # the session id, and min/max/size/sum per id are the aggregates.
+            new = np.ones(len(ts_us), dtype=bool)
+            new[1:] = (ts_us[1:] - ts_us[:-1]) >= gap_us
+            merge_state = cur is not None and ts_us[0] - cur[1] < gap_us
+            grp = np.cumsum(new) - 1
+            agg = (
+                pd.DataFrame({"g": grp, "ts": ts_us, "v": vals})
+                .groupby("g", sort=True)
+                .agg(s=("ts", "min"), l=("ts", "max"), n=("ts", "size"), t=("v", "sum"))
+            )
+            sessions = [
+                (int(s), int(l), int(n), float(t))
+                for s, l, n, t in agg.itertuples(index=False)
+            ]
+            if cur is not None:
+                if merge_state:
+                    s0 = sessions[0]
+                    sessions[0] = (
+                        min(cur[0], s0[0]),
+                        max(cur[1], s0[1]),
+                        cur[2] + s0[2],
+                        cur[3] + s0[3],
+                    )
                 else:
-                    cur = (cur[0], max(cur[1], ts_us), cur[2] + 1, cur[3] + float(val))
+                    sessions.insert(0, cur)
+        elif cur is not None:
+            sessions = [cur]
+
+        closed = sessions[:-1]
+        cur = sessions[-1] if sessions else None
         if cur is not None:
             state.update(cur)
             state.setTimeoutTimestamp(cur[1] // 1_000 + gap_minutes * 60 * 1_000)
