@@ -73,6 +73,29 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # regression radar vs the newest committed BENCH_r*.json at the same SF:
+    # stderr-only (stdout stays ONE json line for the driver)
+    import glob
+
+    prior_files = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    if prior_files:
+        try:
+            with open(prior_files[-1]) as fh:
+                prior = json.load(fh).get("parsed", {})
+            if prior.get("sf") == result["sf"]:
+                for name, cur in timings.items():
+                    old = prior.get("queries", {}).get(name)
+                    if old and cur > 1.2 * old:
+                        print(
+                            f"  REGRESSION {name}: {old}s -> {cur}s "
+                            f"({cur / old:.2f}x, vs {os.path.basename(prior_files[-1])})",
+                            file=sys.stderr,
+                        )
+        except (OSError, ValueError):
+            pass
+
     print(json.dumps(result))
 
 

@@ -101,10 +101,44 @@ def test_conversion_matrix_reproduces_groupby(pair):
                 assert row_sums[i] == 0.0
 
 
+@given(freq_pairs())
+@settings(max_examples=60, deadline=None)
+def test_companion_index_business(pair):
+    """Business-calendar companions (BYS-MAR -> BMS, BYE-OCT -> BQE-OCT,
+    ...): the same shape invariants the reference fuzzes through its B-base
+    block-matrix checks (test_time_conversion.py:36-108) — T*factor stamps,
+    every low stamp present on the companion (so the outer merge aligns),
+    and every stamp on a weekday."""
+    low, high = pair
+    if not freq.is_business(high):
+        return
+    T = 4
+    low_idx = pd.date_range("2001-01-01", periods=T, freq=low)
+    comp = freq.companion_index(low_idx, low, high)
+    factor = freq.conversion_factor(low, high)
+    assert len(comp) == T * factor
+    assert low_idx.isin(comp).all()
+    assert (comp.dayofweek < 5).all()
+
+
+@given(st.sampled_from(MONTHS), st.sampled_from(["", "B"]),
+       st.sampled_from(["S", "E"]))
+@settings(max_examples=48, deadline=None)
+def test_step_down_anchored_corners(month, prefix, suffix):
+    """Anchored/business step-down over every month anchor (the reference's
+    auto_step_down_base_freq keeps yearly anchors on quarters and drops
+    quarterly anchors on months, time_conversion.py TestUtilities)."""
+    y = freq.step_down(f"{prefix}Y{suffix}-{month}")
+    assert y == f"{prefix}Q{suffix}-{month}"
+    q = freq.step_down(f"{prefix}Q{suffix}-{month}")
+    assert q == f"{prefix}M{suffix}"
+
+
 def test_step_down():
     assert freq.step_down("YS") == "QS"
     assert freq.step_down("YS-JAN") == "QS-JAN"
     assert freq.step_down("BYE-OCT") == "BQE-OCT"
+    assert freq.step_down("BYS-MAR") == "BQS-MAR"
     assert freq.step_down("QS-OCT") == "MS"
     assert freq.step_down("BQE") == "BME"
     with pytest.raises(freq.FrequencyError):

@@ -777,45 +777,118 @@ def prorata_disagg(spark, sf_dir):
     )
 
 
-@query("disagg_chow_lin_priority")
+@query(
+    "disagg_chow_lin_priority",
+    oracle="""
+    WITH low AS (SELECT o_orderpriority AS series_id,
+                        CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS ts,
+                        SUM(o_totalprice) AS y
+                 FROM orders GROUP BY 1, 2),
+         ind_m AS (SELECT DISTINCT o.o_orderpriority AS series_id,
+                          CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS mts
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         union_m AS (SELECT series_id, mts FROM ind_m
+                     UNION SELECT series_id, ts AS mts FROM low),
+         cov AS (SELECT series_id,
+                        CAST(date_trunc('year', mts) AS TIMESTAMP) AS yts,
+                        COUNT(*) AS n
+                 FROM union_m GROUP BY 1, 2)
+    SELECT low.series_id, low.ts, ROUND(low.y, 2) AS y_last
+    FROM low JOIN cov ON cov.series_id = low.series_id AND cov.yts = low.ts
+    WHERE cov.n = 12
+    """,
+)
 def disagg_chow_lin_priority(spark, sf_dir):
-    """Kernel-backed disaggregation (no SQL oracle — dense GLS): yearly
-    revenue per order priority disaggregated to months, guided by monthly
-    shipped value of the same priority.  Exercises the full applyInPandas
-    path on real tables."""
+    """Chow-Lin under the 'last' conversion constraint, oracle-backed: with
+    C selecting each low period's final sub-period (kernels.py
+    conversion_matrix, mirroring ts_disagg.py agg_func='last'), the
+    December y_hat of every complete year must reproduce the yearly value
+    exactly — C @ y_hat = y by construction of the distribution step
+    (ts_disagg.py:96-97,463-464).  The oracle recomputes the yearly values
+    relationally over complete years, so a broken 'last' conversion matrix
+    or distribution step shows up as a value-hash mismatch.  Complements
+    `disagg_reagg_check`, which proves the same invariant for the 'sum'
+    constraint on identical data."""
     from tsdisagg_spark.spark.disagg import disaggregate
 
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    low = (
-        o.groupBy(
-            F.col("o_orderpriority").alias("series_id"),
-            F.date_trunc("year", "o_orderdate").cast("date").alias("ts"),
-        )
-        .agg(F.sum("o_totalprice").alias("y"))
-    )
+    low = o.groupBy(
+        F.col("o_orderpriority").alias("series_id"),
+        F.date_trunc("year", "o_orderdate").alias("ts"),
+    ).agg(F.sum("o_totalprice").alias("y"))
     ind = (
-        li.join(o.select("o_orderkey", "o_orderpriority"), li["l_orderkey"] == F.col("o_orderkey"))
+        li.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
         .groupBy(
             F.col("o_orderpriority").alias("series_id"),
-            F.date_trunc("month", "l_shipdate").cast("date").alias("ts"),
+            F.date_trunc("month", "l_shipdate").alias("ts"),
         )
         .agg(F.sum("l_extendedprice").alias("x1"))
         .withColumn("intercept", F.lit(1.0))
     )
-    # constrain to years fully covered by both sides to keep series aligned
-    return disaggregate(
-        low, ind, method="chow-lin", agg_func="sum", errors="skip"
+    out = disaggregate(low, ind, method="chow-lin", agg_func="last")
+    # single pass over the kernel output: a windowed max/count avoids the
+    # self-join that would re-run the grouped GLS a second time, and the
+    # n_months == 12 filter alone delimits the checkable years (every month
+    # of the merged timeline belongs to a year present in `low`, so the
+    # semi-join against `low` would be a no-op re-scan)
+    w = Window.partitionBy("series_id", F.date_trunc("year", "ts"))
+    return (
+        out.withColumn("last_ts", F.max("ts").over(w))
+        .withColumn("n_months", F.count(F.lit(1)).over(w))
+        .filter((F.col("ts") == F.col("last_ts")) & (F.col("n_months") == 12))
+        .select(
+            "series_id",
+            F.date_trunc("year", "ts").alias("ts"),
+            F.round("y_hat", 2).alias("y_last"),
+        )
     )
 
 
-@query("disagg_chow_lin_suppliers")
+@query(
+    "disagg_chow_lin_suppliers",
+    oracle="""
+    WITH monthly AS (SELECT l_suppkey AS series_id,
+                            CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mts,
+                            SUM(l_extendedprice) AS rev
+                     FROM lineitem GROUP BY 1, 2),
+         elig AS (SELECT series_id FROM monthly GROUP BY 1
+                  HAVING month(MIN(mts)) = 1
+                     AND COUNT(*) = datediff('month', MIN(mts), MAX(mts)) + 1
+                     AND COUNT(DISTINCT date_trunc('year', mts)) >= 3),
+         low AS (SELECT series_id,
+                        CAST(date_trunc('year', mts) AS TIMESTAMP) AS ts,
+                        SUM(rev) AS y
+                 FROM monthly JOIN elig USING (series_id) GROUP BY 1, 2),
+         union_m AS (SELECT series_id, mts FROM monthly JOIN elig USING (series_id)
+                     UNION SELECT series_id, ts AS mts FROM low),
+         cov AS (SELECT series_id,
+                        CAST(date_trunc('year', mts) AS TIMESTAMP) AS yts,
+                        COUNT(*) AS n
+                 FROM union_m GROUP BY 1, 2)
+    SELECT low.series_id, low.ts, ROUND(low.y, 2) AS y
+    FROM low JOIN cov ON cov.series_id = low.series_id AND cov.yts = low.ts
+    WHERE cov.n = 12
+    """,
+)
 def disagg_chow_lin_suppliers(spark, sf_dir):
-    """Many-series disaggregation at fleet width (no SQL oracle): one series
-    per supplier — 1000 series at sf0.1, scaling linearly with SF — yearly
-    revenue to monthly guided by monthly shipped quantity.  This is the
-    query that demonstrates the engine's scale thesis: the dense kernel is
-    per-series tiny; throughput comes from hash-partitioned parallelism."""
+    """Many-series disaggregation at fleet width, now oracle-backed: one
+    series per supplier — 1000 series at sf0.1, scaling linearly with SF —
+    yearly revenue to monthly guided by monthly shipped quantity, then
+    re-aggregated over complete years so C @ y_hat = y is checkable
+    relationally (ts_disagg.py:96-97,463-464).  This is the query that
+    demonstrates the engine's scale thesis: the dense kernel is per-series
+    tiny; throughput comes from hash-partitioned parallelism.
+
+    Eligibility mirrors the engine's own input contract in SQL (so the
+    oracle and the kernel agree on which series solve): the indicator must
+    start in January (reference raises when high-freq data starts after the
+    low-freq series, ts_disagg.py:233-240), be gap-free (a DatetimeIndex
+    with holes has no inferable frequency), and span >= 3 years (a 2-point
+    GLS with k=2 regressors is degenerate)."""
     from tsdisagg_spark.spark.disagg import disaggregate
 
     li = t(spark, sf_dir, "lineitem")
@@ -832,15 +905,47 @@ def disagg_chow_lin_suppliers(spark, sf_dir):
             F.sum("l_extendedprice").alias("rev"),
             F.sum("l_quantity").alias("x1"),
         )
+        # three consumers (eligibility, low, indicators) — persist the tiny
+        # series x month aggregate so lineitem is scanned exactly once
+        .persist()
     )
+    elig = (
+        monthly.groupBy("series_id")
+        .agg(
+            F.min("ts").alias("first_m"),
+            F.max("ts").alias("last_m"),
+            F.count(F.lit(1)).alias("n_months"),
+            F.countDistinct(F.date_trunc("year", "ts")).alias("n_years"),
+        )
+        .filter(
+            (F.month("first_m") == 1)
+            & (F.col("n_months")
+               == F.months_between("last_m", "first_m").cast("long") + 1)
+            & (F.col("n_years") >= 3)
+        )
+        .select("series_id")
+    )
+    monthly = monthly.join(F.broadcast(elig), "series_id", "left_semi")
     low = monthly.groupBy(
         "series_id", F.date_trunc("year", "ts").alias("ts")
     ).agg(F.sum("rev").alias("y"))
     ind = monthly.select(
         "series_id", "ts", "x1", F.lit(1.0).alias("intercept")
     )
-    return disaggregate(
+    out = disaggregate(
         low, ind, method="chow-lin", agg_func="sum", errors="skip"
+    )
+    # one aggregation pass over the kernel output; no semi-join back to `low`
+    # (it would re-scan lineitem — every 12-month year group is a low year
+    # by construction, since low is derived from the same monthly frame)
+    return (
+        out.groupBy("series_id", F.date_trunc("year", "ts").alias("ts"))
+        .agg(
+            F.round(F.sum("y_hat"), 2).alias("y"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .filter(F.col("n_months") == 12)
+        .drop("n_months")
     )
 
 
@@ -905,12 +1010,36 @@ def disagg_reagg_check(spark, sf_dir):
     )
 
 
-@query("disagg_two_indicators")
+@query(
+    "disagg_two_indicators",
+    oracle="""
+    WITH monthly AS (SELECT l_returnflag AS series_id,
+                            CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mts,
+                            SUM(l_extendedprice) AS x1
+                     FROM lineitem GROUP BY 1, 2),
+         low AS (SELECT series_id,
+                        CAST(date_trunc('year', mts) AS TIMESTAMP) AS ts,
+                        SUM(x1) AS y
+                 FROM monthly GROUP BY 1, 2),
+         union_m AS (SELECT series_id, mts FROM monthly
+                     UNION SELECT series_id, ts AS mts FROM low),
+         cov AS (SELECT series_id,
+                        CAST(date_trunc('year', mts) AS TIMESTAMP) AS yts,
+                        COUNT(*) AS n
+                 FROM union_m GROUP BY 1, 2)
+    SELECT low.series_id, low.ts, ROUND(low.y, 2) AS y
+    FROM low JOIN cov ON cov.series_id = low.series_id AND cov.yts = low.ts
+    WHERE cov.n = 12
+    """,
+)
 def disagg_two_indicators(spark, sf_dir):
-    """Chow-lin with a k=2 indicator matrix (no SQL oracle — dense GLS):
-    monthly shipped value AND quantity jointly explain yearly revenue, the
-    Spark twin of the reference's two-indicator golden case
-    (tests/test_disaggregation.py:265-281)."""
+    """Chow-lin with a k=2 indicator matrix, oracle-backed: monthly shipped
+    value AND quantity jointly explain yearly revenue, the Spark twin of the
+    reference's two-indicator golden case
+    (tests/test_disaggregation.py:265-281).  Re-aggregated over complete
+    years so the k=3 GLS (x1, x2, intercept) proves C @ y_hat = y against a
+    relational oracle — a regression that breaks the multi-indicator
+    stacking shows up as a hash mismatch."""
     from tsdisagg_spark.spark.disagg import disaggregate
 
     li = t(spark, sf_dir, "lineitem")
@@ -925,16 +1054,66 @@ def disagg_two_indicators(spark, sf_dir):
         "series_id", F.date_trunc("year", "ts").alias("ts")
     ).agg(F.sum("x1").alias("y"))
     ind = monthly.withColumn("intercept", F.lit(1.0))
-    return disaggregate(
+    out = disaggregate(
         low, ind, method="chow-lin", agg_func="sum", errors="skip"
+    )
+    return (
+        out.groupBy("series_id", F.date_trunc("year", "ts").alias("ts"))
+        .agg(
+            F.round(F.sum("y_hat"), 2).alias("y"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .filter(F.col("n_months") == 12)
+        .drop("n_months")
     )
 
 
-@query("disagg_litterman_nation")
+@query(
+    "disagg_litterman_nation",
+    oracle="""
+    WITH ordn AS (SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, n.n_name
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         low AS (SELECT n_name AS series_id,
+                        CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS ts,
+                        SUM(o_totalprice) AS y
+                 FROM ordn GROUP BY 1, 2),
+         ind_m AS (SELECT DISTINCT ordn.n_name AS series_id,
+                          CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS mts
+                   FROM lineitem l JOIN ordn ON l.l_orderkey = ordn.o_orderkey),
+         elig AS (SELECT i.series_id
+                  FROM (SELECT series_id, MIN(mts) AS hi,
+                               COUNT(*) = datediff('month', MIN(mts), MAX(mts)) + 1
+                                   AS gap_free
+                        FROM ind_m GROUP BY 1) i
+                  JOIN (SELECT series_id, MIN(ts) AS lo, COUNT(*) AS ny,
+                               COUNT(*) = datediff('year', MIN(ts), MAX(ts)) + 1
+                                   AS low_gap_free
+                        FROM low GROUP BY 1) l
+                    ON i.series_id = l.series_id
+                  WHERE i.hi <= l.lo AND i.gap_free AND l.low_gap_free
+                    AND l.ny >= 3),
+         union_m AS (SELECT series_id, mts FROM ind_m JOIN elig USING (series_id)
+                     UNION SELECT series_id, ts AS mts
+                           FROM low JOIN elig USING (series_id)),
+         cov AS (SELECT series_id,
+                        CAST(date_trunc('year', mts) AS TIMESTAMP) AS yts,
+                        COUNT(*) AS n
+                 FROM union_m GROUP BY 1, 2)
+    SELECT low.series_id, low.ts, ROUND(low.y, 2) AS y
+    FROM low JOIN elig USING (series_id)
+    JOIN cov ON cov.series_id = low.series_id AND cov.yts = low.ts
+    WHERE cov.n = 12
+    """,
+)
 def disagg_litterman_nation(spark, sf_dir):
-    """Litterman (random-walk AR(1) errors, K5) across nation series (no SQL
-    oracle — dense GLS): yearly customer-nation revenue to months guided by
-    monthly shipped value."""
+    """Litterman (random-walk AR(1) errors, K5) across nation series,
+    oracle-backed: yearly customer-nation revenue to months guided by
+    monthly shipped value, re-aggregated over complete years so the
+    Litterman covariance path proves C @ y_hat = y relationally.
+    Eligibility mirrors the engine's input contract in SQL: indicator must
+    start no later than the low series (ts_disagg.py:233-240 raises
+    otherwise), be gap-free, and span >= 3 low periods."""
     from tsdisagg_spark.spark.disagg import disaggregate
 
     o = t(spark, sf_dir, "orders")
@@ -949,7 +1128,7 @@ def disagg_litterman_nation(spark, sf_dir):
     low = ordn.groupBy(
         F.col("n_name").alias("series_id"),
         F.date_trunc("year", "o_orderdate").alias("ts"),
-    ).agg(F.sum("o_totalprice").alias("y"))
+    ).agg(F.sum("o_totalprice").alias("y")).persist()
     ind = (
         li.join(
             ordn.select("o_orderkey", "n_name"),
@@ -961,18 +1140,92 @@ def disagg_litterman_nation(spark, sf_dir):
         )
         .agg(F.sum("l_extendedprice").alias("x1"))
         .withColumn("intercept", F.lit(1.0))
+        # both aggregates feed the eligibility spans AND the kernel union —
+        # persist so the orders x customer x nation x lineitem joins run once
+        .persist()
     )
-    return disaggregate(
+    ind_span = ind.groupBy("series_id").agg(
+        F.min("ts").alias("hi"),
+        F.max("ts").alias("last_m"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    low_span = low.groupBy("series_id").agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("last_y"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    elig = (
+        ind_span.join(low_span, "series_id")
+        .filter(
+            (F.col("hi") <= F.col("lo"))
+            & (F.col("n_months")
+               == F.months_between("last_m", "hi").cast("long") + 1)
+            & (F.col("n_years")
+               == (F.months_between("last_y", "lo") / 12).cast("long") + 1)
+            & (F.col("n_years") >= 3)
+        )
+        .select("series_id")
+    )
+    low = low.join(F.broadcast(elig), "series_id", "left_semi")
+    ind = ind.join(F.broadcast(elig), "series_id", "left_semi")
+    out = disaggregate(
         low, ind, method="litterman", agg_func="sum", errors="skip"
     )
+    return (
+        out.groupBy("series_id", F.date_trunc("year", "ts").alias("ts"))
+        .agg(
+            F.round(F.sum("y_hat"), 2).alias("y"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .filter(F.col("n_months") == 12)
+        .drop("n_months")
+    )
 
 
-@query("disagg_denton_mean")
+@query(
+    "disagg_denton_mean",
+    oracle="""
+    WITH seg AS (SELECT c_mktsegment AS series_id, o_orderdate, o_totalprice
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+         low AS (SELECT series_id,
+                        CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS ts,
+                        AVG(o_totalprice) AS y
+                 FROM seg GROUP BY 1, 2),
+         ind_m AS (SELECT DISTINCT series_id,
+                          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mts
+                   FROM seg),
+         elig AS (SELECT i.series_id
+                  FROM (SELECT series_id, MIN(mts) AS hi,
+                               COUNT(*) = datediff('month', MIN(mts), MAX(mts)) + 1
+                                   AS gap_free
+                        FROM ind_m GROUP BY 1) i
+                  JOIN (SELECT series_id, MIN(ts) AS lo, COUNT(*) AS ny,
+                               COUNT(*) = datediff('year', MIN(ts), MAX(ts)) + 1
+                                   AS low_gap_free
+                        FROM low GROUP BY 1) l
+                    ON i.series_id = l.series_id
+                  WHERE i.hi <= l.lo AND i.gap_free AND l.low_gap_free
+                    AND l.ny >= 2),
+         union_m AS (SELECT series_id, mts FROM ind_m JOIN elig USING (series_id)
+                     UNION SELECT series_id, ts AS mts
+                           FROM low JOIN elig USING (series_id)),
+         cov AS (SELECT series_id,
+                        CAST(date_trunc('year', mts) AS TIMESTAMP) AS yts,
+                        COUNT(*) AS n
+                 FROM union_m GROUP BY 1, 2)
+    SELECT low.series_id, low.ts, ROUND(low.y, 2) AS y_mean
+    FROM low JOIN elig USING (series_id)
+    JOIN cov ON cov.series_id = low.series_id AND cov.yts = low.ts
+    WHERE cov.n = 12
+    """,
+)
 def disagg_denton_mean(spark, sf_dir):
     """Denton-Cholette under the mean constraint (A2 'mean': low values are
-    period averages, not sums; no SQL oracle): average yearly order value per
-    market segment interpolated to months along average monthly shipped
-    value."""
+    period averages, not sums), oracle-backed: average yearly order value
+    per market segment interpolated to months along average monthly order
+    value, then re-AVERAGED over complete years — with C rows of 1/k, the
+    monthly y_hat must average back to the yearly mean exactly
+    (conversion_matrix 'mean' rows; ts_disagg.py agg_func='mean')."""
     from tsdisagg_spark.spark.disagg import disaggregate
 
     o = t(spark, sf_dir, "orders")
@@ -983,20 +1236,75 @@ def disagg_denton_mean(spark, sf_dir):
     low = seg.groupBy(
         F.col("c_mktsegment").alias("series_id"),
         F.date_trunc("year", "o_orderdate").alias("ts"),
-    ).agg(F.avg("o_totalprice").alias("y"))
+    ).agg(F.avg("o_totalprice").alias("y")).persist()
     ind = seg.groupBy(
         F.col("c_mktsegment").alias("series_id"),
         F.date_trunc("month", "o_orderdate").alias("ts"),
-    ).agg(F.avg("o_totalprice").alias("x1"))
-    return disaggregate(
+    ).agg(F.avg("o_totalprice").alias("x1")).persist()
+    # eligibility mirrors the engine's input contract (a month gap makes the
+    # indicator's frequency uninferable and errors='skip' drops the series;
+    # the oracle must agree on which series solve)
+    ind_span = ind.groupBy("series_id").agg(
+        F.min("ts").alias("hi"),
+        F.max("ts").alias("last_m"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    low_span = low.groupBy("series_id").agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("last_y"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    elig = (
+        ind_span.join(low_span, "series_id")
+        .filter(
+            (F.col("hi") <= F.col("lo"))
+            & (F.col("n_months")
+               == F.months_between("last_m", "hi").cast("long") + 1)
+            & (F.col("n_years")
+               == (F.months_between("last_y", "lo") / 12).cast("long") + 1)
+            & (F.col("n_years") >= 2)
+        )
+        .select("series_id")
+    )
+    low = low.join(F.broadcast(elig), "series_id", "left_semi")
+    ind = ind.join(F.broadcast(elig), "series_id", "left_semi")
+    out = disaggregate(
         low, ind, method="denton-cholette", agg_func="mean", errors="skip"
+    )
+    return (
+        out.groupBy("series_id", F.date_trunc("year", "ts").alias("ts"))
+        .agg(
+            F.round(F.avg("y_hat"), 2).alias("y_mean"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .filter(F.col("n_months") == 12)
+        .drop("n_months")
     )
 
 
-@query("disagg_denton_companion")
+@query(
+    "disagg_denton_companion",
+    oracle="""
+    WITH low AS (SELECT c_mktsegment AS series_id,
+                        CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS ts,
+                        SUM(o_totalprice) AS y
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1, 2),
+         elig AS (SELECT series_id FROM low GROUP BY 1
+                  HAVING COUNT(*) = datediff('quarter', MIN(ts), MAX(ts)) + 1
+                     AND COUNT(*) >= 2)
+    SELECT low.series_id, low.ts, ROUND(low.y, 2) AS y
+    FROM low JOIN elig USING (series_id)
+    """,
+)
 def disagg_denton_companion(spark, sf_dir):
-    """Kernel-backed Denton with a synthesized companion timeline (no SQL
-    oracle): quarterly revenue per market segment smoothed to months."""
+    """Kernel-backed Denton with a synthesized companion timeline,
+    oracle-backed: quarterly revenue per market segment smoothed to months
+    along the constant companion indicator (frequency.py companion_index,
+    mirroring ts_disagg.py:285-299), then re-summed per quarter — the
+    companion timeline covers every low quarter with exactly 3 months, so
+    the re-aggregation must reproduce ALL quarterly values (no completeness
+    filter needed, which itself checks the synthesized timeline's shape)."""
     from tsdisagg_spark.spark.disagg import disaggregate
 
     o = t(spark, sf_dir, "orders")
@@ -1006,12 +1314,33 @@ def disagg_denton_companion(spark, sf_dir):
                o["o_custkey"] == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("series_id"),
-            F.date_trunc("quarter", "o_orderdate").cast("date").alias("ts"),
+            F.date_trunc("quarter", "o_orderdate").alias("ts"),
         )
         .agg(F.sum("o_totalprice").alias("y"))
+        .persist()
     )
-    return disaggregate(
+    # a quarter gap makes the low index's frequency uninferable, so
+    # errors='skip' would drop the series — the oracle applies the same rule
+    elig = (
+        low.groupBy("series_id")
+        .agg(
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.count(F.lit(1)).alias("nq"),
+        )
+        .filter(
+            (F.col("nq") == (F.months_between("hi", "lo") / 3).cast("long") + 1)
+            & (F.col("nq") >= 2)
+        )
+        .select("series_id")
+    )
+    low = low.join(F.broadcast(elig), "series_id", "left_semi")
+    out = disaggregate(
         low, method="denton", agg_func="sum", target_freq="MS", errors="skip"
+    )
+    return (
+        out.groupBy("series_id", F.date_trunc("quarter", "ts").alias("ts"))
+        .agg(F.round(F.sum("y_hat"), 2).alias("y"))
     )
 
 
@@ -1176,9 +1505,9 @@ def media_features(spark, sf_dir):
         F.lit("image").alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    # batch_size=None: keep the session's Arrow batch size — the registry
-    # must not mutate global conf out from under later queries
-    feats = multimodal.extract_features(d, batch_size=None)
+    # batch_size re-chunks inside the mapInPandas worker (bounded memory per
+    # decode loop) without touching session-global Arrow conf
+    feats = multimodal.extract_features(d, batch_size=256)
     return (
         feats.select("asset_id", "n_bytes", F.posexplode("features").alias("pos", "v"))
         .groupBy(F.col("pos").cast("long").alias("pos"))
@@ -1233,6 +1562,48 @@ def dedup_exact_groups(spark, sf_dir):
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
         FROM documents
     ),
+    sh_all AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    -- mirror of the engine's max_doc_freq skew cap: shingles shared by more
+    -- than 20 documents are dropped BEFORE sizes/intersections are counted
+    rare AS (SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) <= 20),
+    sh AS (SELECT doc_id, shingle FROM sh_all JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+    """,
+)
+def jaccard_near_dups(spark, sf_dir):
+    """Exact shingle-Jaccard near-dup pairs WITH the document-frequency skew
+    cap engaged (max_doc_freq=20): a shingle shared by >20 documents is
+    boilerplate whose posting self-join contributes O(df^2) rows — at 100 TB
+    a 1M-doc boilerplate shingle is 10^12 join rows in one partition.  The
+    oracle applies the identical prune, so the cap's semantics (sizes and
+    intersections counted over surviving shingles only) are hash-checked."""
+    return dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_doc_freq=20
+    )
+
+
+@query(
+    "minhash_near_dups",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
     sh AS (
         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
         FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
@@ -1252,16 +1623,15 @@ def dedup_exact_groups(spark, sf_dir):
     WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
     """,
 )
-def jaccard_near_dups(spark, sf_dir):
-    return dedup.jaccard_pairs(
-        t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    )
-
-
-@query("minhash_near_dups")
 def minhash_near_dups(spark, sf_dir):
-    """MinHash-LSH candidates verified with exact Jaccard (no SQL oracle —
-    Murmur3 signatures are engine-specific)."""
+    """MinHash-LSH candidates verified with exact Jaccard, oracle-backed by
+    the FULL exact-Jaccard result: because verification rescoring uses true
+    shingle sets, the output can differ from brute force only by LSH false
+    negatives — and every real pair in this corpus has jaccard >= 0.9, where
+    the 16-band/2-row miss probability is (1 - 0.9^2)^16 < 1e-11.  The hash
+    match therefore proves BOTH no-false-positive verification AND full
+    recall at the operating point.  (Murmur3 signatures themselves stay
+    engine-side; the oracle checks the contract, not the hashes.)"""
     return dedup.minhash_pairs(
         t(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.2
     )
