@@ -328,3 +328,55 @@ def test_train_centroids_clamps_and_is_deterministic(spark):
     assert 1 <= len(cents) <= 5
     again = train_centroids(df.repartition(7), n_lists=8, order_col="vec_id")
     assert cents == again
+
+
+def test_redact_pii_matches_duckdb_on_planted_pii(spark):
+    """Plant URL/email/phone spans (including nasty nestings: email-in-URL,
+    digits-in-URL) and require byte-identical redaction between Spark's Java
+    regex and DuckDB's RE2 — the cross-engine contract the oracle relies on."""
+    import duckdb
+
+    from tsdisagg_spark.operators.text import PII_PATTERNS, redact_pii
+
+    rows = [
+        (1, "contact me at alice@example.com or +1 (555) 123-4567 today"),
+        (2, "see https://example.com/u@v?x=1 and bob.smith+tag@mail.co.uk"),
+        (3, "no pii here, just words and 42"),
+        (4, "tel: 0041-22-730-5989 backup 555 867 5309 end"),
+        (5, "mixed https://a.b/c#frag then carol@d.org then 1234567 done"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.asDict() for r in redact_pii(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    clean = "text"
+    selects = []
+    for name, pat in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, ?, '<{name.upper()}>', 'g')"
+        selects.append(f"CAST(len(regexp_extract_all(text, ?)) AS BIGINT)")
+    pats = [p for _, p in PII_PATTERNS]
+    sql = (f"SELECT doc_id, md5({clean}) AS clean_digest, "
+           + ", ".join(f"{s} AS n_{name}s" for s, (name, _) in zip(selects, PII_PATTERNS))
+           + " FROM docs")
+    want = con.execute(sql, pats + pats).df().set_index("doc_id").to_dict("index")
+
+    for doc_id, exp in want.items():
+        g = got[doc_id]
+        assert g["clean_digest"] == exp["clean_digest"], f"doc {doc_id}"
+        for name, _ in PII_PATTERNS:
+            assert g[f"n_{name}s"] == exp[f"n_{name}s"], (doc_id, name)
+    assert got[3]["n_urls"] == got[3]["n_emails"] == 0
+
+
+def test_top_ngrams_counts(spark):
+    from tsdisagg_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "z")], ["doc_id", "text"]
+    )
+    out = {(r.ngram): r.n_occurrences for r in top_ngrams(df, n=2, k=10).collect()}
+    assert out["a b"] == 3       # twice in doc 1, once in doc 2
+    assert out["b a"] == 1 and out["b c"] == 1 and out["b x"] == 1
+    assert "z" not in out        # 1-word doc yields no bigram

@@ -77,13 +77,18 @@ def shingle_postings(
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle")
     )
     if max_doc_freq is not None:
-        rare = (
-            postings.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
+        # document frequency as an unordered window count: ONE exchange
+        # hash-partitioned on shingle (vs the groupBy + re-join formulation's
+        # two), and the downstream posting self-join on shingle can reuse
+        # that partitioning instead of exchanging again
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("shingle")
+        postings = (
+            postings.withColumn("df", F.count(F.lit(1)).over(w))
             .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
+            .drop("df")
         )
-        postings = postings.join(rare, "shingle")
     return postings
 
 

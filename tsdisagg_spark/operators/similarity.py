@@ -109,6 +109,7 @@ def lsh_topk(
     n_bits: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH + exact re-rank.
 
@@ -117,10 +118,12 @@ def lsh_topk(
     Queries probe their own bucket plus, with ``multiprobe``, all Hamming-1
     neighbor buckets — 1+n_bits buckets out of 2^n_bits, so the scanned
     fraction is ~(1+n_bits)/2^n_bits of the corpus.
+
+    Pass ``dim`` (the embedding width) to avoid the one-row probe job that
+    otherwise runs just to size the plane matrix.
     """
-    dim = len(
-        corpus.select(F.col(vec_col)).first()[0]
-    )
+    if dim is None:
+        dim = len(corpus.select(F.col(vec_col)).first()[0])
     planes = _plane_literals(dim, n_bits, seed)
 
     c = corpus.select(
@@ -381,10 +384,14 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, LSH-bucketed so
-    only same-bucket pairs are compared: ``(id_a, id_b, cosine)``."""
-    dim = len(df.select(F.col(vec_col)).first()[0])
+    only same-bucket pairs are compared: ``(id_a, id_b, cosine)``.
+
+    Pass ``dim`` to skip the one-row probe job that sizes the planes."""
+    if dim is None:
+        dim = len(df.select(F.col(vec_col)).first()[0])
     planes = _plane_literals(dim, n_bits, seed)
     v = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")

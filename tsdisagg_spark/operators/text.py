@@ -39,13 +39,18 @@ def words(text: Column) -> Column:
 def shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram strings (space-joined), the unit of Jaccard /
     MinHash dedup.  Built with ``transform`` over an index sequence +
-    ``slice`` — pure Catalyst expressions, no UDF."""
+    ``slice`` — pure Catalyst expressions, no UDF.
+
+    Documents shorter than ``n`` words yield an EMPTY array: ``sequence(1,
+    0)`` would otherwise generate the DESCENDING [1, 0] (Spark sequences
+    reverse when stop < start) and crash ``slice`` with start=0."""
     w = words(text)
-    count = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
+    count = F.size(w) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 #: BPE-style pre-tokenization pattern: letter runs, digit runs, and each
@@ -157,4 +162,69 @@ def fingerprints(
         F.col(id_col),
         fp.alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
+    )
+
+
+#: PII patterns shared by the operator and its oracle.  Lookahead-free and
+#: backreference-free so Java regex (Spark) and RE2 (DuckDB) match the same
+#: spans; character classes use explicit ranges instead of \d for the same
+#: reason.  Replacement order matters: URLs first (an email-shaped substring
+#: inside a URL must redact as part of the URL), then emails, then phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("url", r"https?://[^ \t\r\n]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{5,}[0-9]"),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub URLs, emails, and phone-shaped digit runs from a text column —
+    the compliance pass of an LLM data pipeline, entirely in codegen
+    ``regexp_replace``/``regexp_count`` (no Python in the hot path).
+
+    Returns ``(id, clean_digest, n_urls, n_emails, n_phones)`` where
+    ``clean_digest`` is the md5 of the redacted text — digest instead of
+    the text itself so downstream comparisons (and the driver's value hash)
+    stay narrow even for multi-MB documents.  Counts are measured on the
+    ORIGINAL text per pattern, independent of replacement order.
+    """
+    text = F.col(text_col)
+    clean = text
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}s")
+        )
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        F.md5(F.encode(clean, "utf-8")).alias("clean_digest"),
+        *counts,
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram frequency table: the ``k`` most frequent word
+    n-grams with counts — the vocabulary/contamination audit of a training
+    corpus.  ``(ngram, n_occurrences)``, ties broken by ngram string so the
+    result is deterministic across partitionings.
+
+    Plan shape at 100 TB: shingle explode stays in codegen, the count is a
+    map-side-combined hash aggregation on the ngram key, and the top-k is a
+    ``TakeOrderedAndProject`` — no full sort, no driver-side collection
+    beyond the k rows.
+    """
+    return (
+        df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
     )

@@ -1644,6 +1644,54 @@ def simhash_near_dups(spark, sf_dir):
 
 
 @query(
+    "pii_redaction",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                'https?://[^ \t\r\n]+', '<URL>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                '\\+?[0-9][0-9()\\-. ]{5,}[0-9]', '<PHONE>', 'g')) AS clean_digest,
+           CAST(len(regexp_extract_all(text, 'https?://[^ \t\r\n]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\\+?[0-9][0-9()\\-. ]{5,}[0-9]')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrub over the corpus: URL/email/phone spans replaced by typed
+    tokens, counts per pattern, md5 digest of the redacted text.  The oracle
+    applies the same lookahead-free patterns through DuckDB's RE2 — a match
+    semantics divergence between the regex engines shows up as a digest or
+    count mismatch."""
+    return text.redact_pii(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "top_bigrams",
+    oracle="""
+    WITH words AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ),
+    ng AS (
+        SELECT w[i] || ' ' || w[i+1] AS ngram
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) t
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM ng GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def top_bigrams(spark, sf_dir):
+    """Corpus bigram frequency top-20 (vocabulary/contamination audit):
+    codegen shingle explode -> map-side-combined count -> TakeOrdered.  The
+    oracle rebuilds the same bigrams relationally in DuckDB."""
+    return text.top_ngrams(t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@query(
     "token_stats",
     oracle="""
     SELECT doc_id,
@@ -1799,6 +1847,7 @@ def knn_lsh(spark, sf_dir):
         queries=emb.filter(F.col("vec_id") < 5),
         k=3,
         n_bits=6,
+        dim=64,  # embeddings table width — skips the one-row probe job
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1809,7 +1858,7 @@ def embedding_near_dups(spark, sf_dir):
     pruning is approximate by design; embedding_dup_exact is the exact
     baseline at the same threshold, so recall is directly observable)."""
     return similarity.embedding_dup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=4
+        t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=4, dim=64
     )
 
 
