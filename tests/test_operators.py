@@ -380,3 +380,51 @@ def test_top_ngrams_counts(spark):
     assert out["a b"] == 3       # twice in doc 1, once in doc 2
     assert out["b a"] == 1 and out["b c"] == 1 and out["b x"] == 1
     assert "z" not in out        # 1-word doc yields no bigram
+
+
+def test_stateful_sessions_drop_late_events(spark, tmp_path):
+    """Watermark enforcement in the custom stateful operator: an event older
+    than the advanced watermark arrives in a LATER micro-batch and must be
+    dropped — the closed session's aggregate cannot change.  Two batches are
+    forced with maxFilesPerTrigger=1 over two single-file writes."""
+    import time as _time
+
+    from tsdisagg_spark.streaming.windows import stateful_sessions
+
+    src = str(tmp_path / "late_src")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 7],
+            "ts": [base, base + pd.Timedelta(minutes=5),
+                   base + pd.Timedelta(hours=6)],  # sentinel advances watermark
+            "value": [1.0, 1.0, 0.0],
+        }
+    )
+    b2 = pd.DataFrame(  # late: watermark is already ~05:59
+        {"user_id": [1], "ts": [base + pd.Timedelta(minutes=10)], "value": [100.0]}
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes so the file source orders the batches
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_sessions(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from late_sessions").toPandas()
+    u1 = got[got.user_id == 1]
+    assert len(u1) == 1
+    assert int(u1.iloc[0]["n_events"]) == 2          # late event NOT merged
+    assert float(u1.iloc[0]["total_value"]) == 2.0   # 100.0 was dropped

@@ -1836,6 +1836,42 @@ def knn_ivf(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query(
+    "knn_ivf_exhaustive",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id,
+                      list_cosine_similarity(qv, cv) AS cos
+               FROM q CROSS JOIN c)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """,
+)
+def knn_ivf_exhaustive(spark, sf_dir):
+    """IVF with nprobe == n_lists, oracle-backed: probing every list makes
+    the inverted-file path EXHAUSTIVE — each (query, corpus) pair is scored
+    exactly once through the centroid-assignment + probe-list equi-join
+    machinery, so the result must equal brute force row-for-row.  This turns
+    the IVF plumbing (k-means assignment, probe explode, bucket join,
+    re-rank) into a hard oracle signal, while `knn_ivf` keeps demonstrating
+    the approximate operating point whose recall the tests measure."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        corpus=emb.filter(F.col("vec_id") >= 5),
+        queries=emb.filter(F.col("vec_id") < 5),
+        k=3,
+        n_lists=8,
+        nprobe=8,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("knn_lsh")
 def knn_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN with multiprobe (no SQL oracle — plane

@@ -117,6 +117,17 @@ def stateful_sessions(
             ts_us = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
             vals = pdf[value_col].to_numpy(dtype=np.float64)
 
+        # Late-data discipline: Structured Streaming does NOT pre-filter rows
+        # older than the watermark for arbitrary stateful operators (only for
+        # aggregations/joins) — dropping them is this operator's job.  Without
+        # this, a late event can merge into an already-watermark-passed
+        # session and try to arm a timeout earlier than the watermark, which
+        # the state store rejects.
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if wm_us > 0 and len(ts_us):
+            live = ts_us >= wm_us
+            ts_us, vals = ts_us[live], vals[live]
+
         sessions: list[tuple[int, int, int, float]] = []
         if len(ts_us):
             # vectorized session fold: a row opens a new session when its gap
@@ -151,9 +162,20 @@ def stateful_sessions(
 
         closed = sessions[:-1]
         cur = sessions[-1] if sessions else None
+        if cur is not None and wm_us >= cur[1] + gap_us:
+            # the watermark already passed this session's gap deadline (its
+            # only events this batch were late-adjacent); close it now — the
+            # timeout cannot be armed in the past
+            closed = closed + [cur]
+            cur = None
+            if state.exists:
+                state.remove()
         if cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp(cur[1] // 1_000 + gap_minutes * 60 * 1_000)
+            state.setTimeoutTimestamp(
+                max(cur[1] // 1_000 + gap_minutes * 60 * 1_000,
+                    wm_us // 1_000 + 1)
+            )
         if closed:
             yield pd.DataFrame(
                 {
