@@ -165,6 +165,7 @@ def disaggregate_full(
     h: int = 1,
     optimizer_kwargs: dict | None = None,
     verbose: bool = True,
+    compute_report: bool = True,
 ) -> dict:
     """Full disaggregation pass returning every artifact: the interpolated
     series, the optimizer result, and regression diagnostics.
@@ -173,6 +174,10 @@ def disaggregate_full(
     axis), ``result`` (:class:`~tsdisagg_spark.kernels.FitResult` or None),
     ``info`` (regression internals), ``report`` (diagnostics DataFrame or
     None), ``n_obs``.
+
+    ``compute_report=False`` skips building the diagnostics DataFrame (the
+    t-quantile continued fractions are a measurable cost per series at fleet
+    width; the Spark grouped kernel only consumes ``output``).
     """
     if isinstance(low_freq_df, pd.Series):
         low_freq_df = low_freq_df.to_frame()
@@ -233,7 +238,7 @@ def disaggregate_full(
     )
 
     report = None
-    if info:
+    if info and (compute_report or verbose):
         report = regression_report_frame(list(X_frame.columns), info, X.shape[0])
         if verbose:
             print(f"Dependent Variable: {target_label}")

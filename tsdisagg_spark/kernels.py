@@ -404,6 +404,100 @@ def _nelder_mead_minimize(
     return best_x, best_f, nit, nfev
 
 
+def _chow_lin_covariance_stack(grid: np.ndarray, n: int) -> np.ndarray:
+    """Unit-scale AR(1) covariances for every rho in ``grid`` at once:
+    one vectorized power over a (G, n, n) tensor instead of G toeplitz
+    builds (same values as :func:`chow_lin_covariance` with sigma2=1)."""
+    lags = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+    g = np.asarray(grid, dtype=float)
+    # rho^|i-j| has only n distinct exponents: power-table then gather, so
+    # the tensor costs G*n pows + an indexed broadcast instead of G*n^2 pows
+    pow_table = g[:, None] ** np.arange(n)[None, :]          # (G, n)
+    scale = 1.0 / (1.0 - g**2)
+    return scale[:, None, None] * pow_table[:, lags]
+
+
+# chow-lin's unit-scale covariance stack vectorizes over the rho grid (the
+# batched profile-likelihood scan dispatches on this attribute; litterman
+# falls back to a per-rho loop — its builder needs a linear solve each time)
+chow_lin_covariance.batched = _chow_lin_covariance_stack  # type: ignore[attr-defined]
+
+
+def _litterman_V0_stack(grid: np.ndarray, n: int, C: np.ndarray) -> np.ndarray:
+    """C Sigma_L(rho) C' for every rho at once, without forming Sigma_L.
+
+    Sigma_L = (Delta' H'H Delta)^{-1} with H = I - rho L, and
+    H'H = I - rho (L + L') + rho^2 L'L, so the stacked Gram is the quadratic
+    pencil ``M0 - rho M1 + rho^2 M2`` built from three fixed matrices; the
+    grid of C Sigma C' then comes from ONE batched solve with n_low
+    right-hand sides — the scalar builder's per-rho full n x n inverse
+    (litterman_covariance) never happens on the grid path.
+    """
+    delta = difference_matrix(n, 1)
+    L = np.eye(n, k=-1)
+    M0 = delta.T @ delta
+    M1 = delta.T @ (L + L.T) @ delta
+    M2 = delta.T @ (L.T @ L) @ delta
+    g = np.asarray(grid, dtype=float)[:, None, None]
+    A = M0[None] - g * M1[None] + g**2 * M2[None]            # (G, n, n)
+    X = np.linalg.solve(A, np.broadcast_to(C.T, (len(grid), *C.T.shape)))
+    return np.matmul(C, X)                                    # (G, n_low, n_low)
+
+
+litterman_covariance.batched_V0 = _litterman_V0_stack  # type: ignore[attr-defined]
+
+
+def _profile_grid_nll(
+    grid: np.ndarray,
+    y: np.ndarray,
+    X: np.ndarray,
+    C: np.ndarray,
+    cov_builder: Callable[[float, float, int], np.ndarray],
+) -> np.ndarray:
+    """Concentrated negative log-likelihood at every grid point via *stacked*
+    linalg: the per-point algebra of :func:`profile_negative_loglik` is
+    expressed over a (G, n, n) covariance tensor so the whole scan costs a
+    handful of batched LAPACK calls instead of G sequential ones.  At fleet
+    width (thousands of series inside ``applyInPandas`` groups) the grid scan
+    dominated the solve; batching removes the per-call numpy overhead and is
+    numerically the same computation.
+    """
+    n = X.shape[0]
+    n_low = y.shape[0]
+    G = len(grid)
+    # the scan only ever needs V0 = C Sigma C' — builders may supply it
+    # directly (litterman avoids G full inverses that way)
+    v0_fn = getattr(cov_builder, "batched_V0", None)
+    if v0_fn is not None:
+        V0 = v0_fn(grid, n, C)
+    else:
+        stack_fn = getattr(cov_builder, "batched", None)
+        if stack_fn is not None:
+            Sig = stack_fn(grid, n)
+        else:
+            Sig = np.empty((G, n, n))
+            for i, r in enumerate(grid):
+                Sig[i] = cov_builder(r, 1.0, n)
+        V0 = np.matmul(np.matmul(C, Sig), C.T)  # (G, n_low, n_low)
+    CX = C @ X                                  # (n_low, k)
+    y2 = np.asarray(y, dtype=float).reshape(-1, 1)
+    rhs = np.hstack([CX, y2])                   # (n_low, k+1)
+    solved = np.linalg.solve(V0, np.broadcast_to(rhs, (G, *rhs.shape)))
+    Vinv_CX, Vinv_y = solved[:, :, : CX.shape[1]], solved[:, :, CX.shape[1] :]
+    A = np.matmul(CX.T, Vinv_CX)                # (G, k, k)
+    b = np.matmul(CX.T, Vinv_y)                 # (G, k, 1)
+    beta = np.linalg.solve(A, b)                # (G, k, 1)
+    resid = y2 - np.matmul(CX, beta)            # (G, n_low, 1)
+    # V0^{-1} resid reuses the factored RHS: V0^{-1}y - V0^{-1}CX @ beta
+    Vinv_resid = Vinv_y - np.matmul(Vinv_CX, beta)
+    q0 = np.einsum("gij,gij->g", resid, Vinv_resid)
+    _sign, logdet0 = np.linalg.slogdet(V0)
+    s_star = np.maximum(q0 / n_low, 1e-300)
+    return 0.5 * (
+        n_low * np.log(2.0 * np.pi) + n_low * np.log(s_star) + logdet0 + n_low
+    )
+
+
 def profile_negative_loglik(
     rho: float,
     y: np.ndarray,
@@ -491,9 +585,10 @@ def fit_rho_sigma(
     def g(rho: float) -> float:
         return profile_negative_loglik(rho, y, X, C, cov_builder)[0]
 
-    # coarse global scan guards against non-convex profiles, then refine
+    # coarse global scan guards against non-convex profiles (evaluated with
+    # one stacked-linalg pass — see _profile_grid_nll), then refine
     grid = np.linspace(_RHO_LO, _RHO_HI, 41)
-    values = [g(r) for r in grid]
+    values = _profile_grid_nll(grid, y, X, C, cov_builder)
     best = int(np.argmin(values))
     lo = grid[max(best - 1, 0)]
     hi = grid[min(best + 1, len(grid) - 1)]

@@ -178,6 +178,7 @@ def disaggregate(
                 h=h,
                 optimizer_kwargs=optimizer_kwargs,
                 verbose=False,
+                compute_report=False,
             )
             out = arts["output"]
             return pd.DataFrame(
