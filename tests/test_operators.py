@@ -428,3 +428,100 @@ def test_stateful_sessions_drop_late_events(spark, tmp_path):
     assert len(u1) == 1
     assert int(u1.iloc[0]["n_events"]) == 2          # late event NOT merged
     assert float(u1.iloc[0]["total_value"]) == 2.0   # 100.0 was dropped
+
+
+def test_contamination_counts(spark):
+    """Known overlap: train doc 1 shares exactly two distinct trigrams with
+    the benchmark, train doc 2 shares one, doc 3 shares none."""
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["alpha beta gamma delta"]})
+    )
+    # bench trigrams: {alpha beta gamma, beta gamma delta}
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta end",   # both bench trigrams
+                    "x alpha beta gamma y",         # one bench trigram
+                    "entirely unrelated words here",
+                ],
+            }
+        )
+    )
+    out = dedup.contamination(train, bench, n=3).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_shared_ngrams"] == 2
+    assert out.loc[2, "n_shared_ngrams"] == 1
+    assert 3 not in out.index
+
+
+def test_stratified_sample_deterministic_and_portable(spark):
+    """The sampling decision must equal an independent hashlib recomputation
+    (the cross-engine md5 contract) and be identical across runs."""
+    import hashlib
+
+    from tsdisagg_spark.operators import sampling
+
+    pdf = pd.DataFrame({"doc_id": range(400), "lang": ["en", "de", "fr", "it"] * 100})
+    df = spark.createDataFrame(pdf)
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    kept1 = sorted(
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df, "lang", rates, key_col="doc_id", default_rate=0.05
+        ).collect()
+    )
+    kept2 = sorted(
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df.repartition(7), "lang", rates, key_col="doc_id", default_rate=0.05
+        ).collect()
+    )
+    assert kept1 == kept2  # partitioning-independent
+
+    def expect_keep(doc_id, lang):
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10000
+        return bucket < int(rates.get(lang, 0.05) * 10000)
+
+    expected = sorted(
+        d for d, lang in zip(pdf.doc_id, pdf.lang) if expect_keep(d, lang)
+    )
+    assert kept1 == expected
+
+
+def test_stratified_sample_plan_is_scan_local(spark):
+    """The operator must compile to a filter over the scan: no exchange, no
+    UDF — it rides the scan at any corpus size."""
+    from tsdisagg_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(50), "lang": ["en", "de"] * 25})
+    )
+    out = sampling.stratified_sample(df, "lang", {"en": 0.5}, key_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b a b a b",      # bigrams: 3x"a b", 2x"b a" -> top 3/5
+                    "w x y z",           # all distinct, top bigram 1/3
+                    "solo",              # no bigrams
+                ],
+            }
+        )
+    )
+    out = text.repetition_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_words"] == 6 and out.loc[1, "n_distinct_words"] == 2
+    assert out.loc[1, "top_bigram_n"] == 3
+    assert abs(out.loc[1, "top_bigram_share"] - 0.6) < 1e-9
+    assert out.loc[2, "top_bigram_n"] == 1
+    assert out.loc[3, "top_bigram_n"] == 0 and out.loc[3, "top_bigram_share"] == 0.0
+    # shuffle-free contract: pure projection
+    plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

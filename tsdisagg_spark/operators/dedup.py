@@ -346,3 +346,39 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    n-grams shared with a benchmark corpus — the train/test-overlap audit a
+    training-data pipeline runs before every release.
+
+    Returns ``(id_col, n_shared_ngrams)`` for contaminated documents only
+    (documents sharing at least one n-gram with the benchmark).
+
+    Scale design: the benchmark side (eval sets) is tiny relative to the
+    corpus, so its distinct n-gram set is BROADCAST — the 100 TB corpus
+    explodes its shingles map-side and filters against the broadcast hash
+    set without shuffling the corpus at all; the only exchange is the final
+    per-document count over the (small) surviving hits.
+    """
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(bench_text), n))).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram")
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams"))

@@ -1644,6 +1644,104 @@ def simhash_near_dups(spark, sf_dir):
 
 
 @query(
+    "decontamination",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM sh s JOIN bench USING (gram)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY 1
+    """,
+)
+def decontamination(spark, sf_dir):
+    """Train/test decontamination audit: documents whose word 3-grams
+    overlap a held-out benchmark slice (every 97th doc stands in for the
+    eval set), with the count of distinct shared n-grams.  The benchmark's
+    distinct-gram set is broadcast, so the corpus side never shuffles — the
+    overlap test rides the scan at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination(train, bench, n=3)
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000) <
+          CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                    WHEN 'fr' THEN 1000 ELSE 500 END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic language-stratified downsampling (domain mixing): keep
+    50% of English, 25% of German, 10% of French, 5% of anything else, with
+    the keep decision a pure function of md5(doc_id) — reproducible across
+    runs, partitionings, and engines (the oracle recomputes the identical
+    buckets in DuckDB).  The whole operator is one codegen filter."""
+    from tsdisagg_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d,
+        strata_col="lang",
+        rates={"en": 0.5, "de": 0.25, "fr": 0.1},
+        key_col="doc_id",
+        default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+               greatest(len(w) - 1, 0) AS n_bigrams
+        FROM words
+    ),
+    bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) t
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_n
+        FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(b.n_distinct AS BIGINT) AS n_distinct_words,
+           ROUND(b.n_distinct * 1.0 / b.n_words, 6) AS distinct_ratio,
+           CAST(COALESCE(top.top_n, 0) AS BIGINT) AS top_bigram_n,
+           CASE WHEN b.n_bigrams > 0
+                THEN ROUND(COALESCE(top.top_n, 0) * 1.0 / b.n_bigrams, 6)
+                ELSE 0.0 END AS top_bigram_share
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: distinct-word
+    ratio and the most-frequent-bigram share.  The Spark side computes the
+    bigram mode WITHOUT any shuffle — longest equal run of the sorted
+    bigram array via an aggregate fold, a pure codegen projection — while
+    the oracle rebuilds it relationally (explode + group + max)."""
+    return text.repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@query(
     "pii_redaction",
     oracle="""
     SELECT doc_id,
@@ -1888,6 +1986,42 @@ def knn_lsh(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query(
+    "knn_lsh_exhaustive",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id,
+                      list_cosine_similarity(qv, cv) AS cos
+               FROM q CROSS JOIN c)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """,
+)
+def knn_lsh_exhaustive(spark, sf_dir):
+    """LSH top-k with n_bits=0, oracle-backed: zero hyperplanes put every
+    vector in one bucket, so the bucket-join + re-rank machinery scores
+    every (query, corpus) pair exactly once and must equal brute force
+    row-for-row.  This gives the LSH path (bucket expression, probe
+    explode, bucket equi-join, windowed re-rank) a hard SQL oracle, while
+    `knn_lsh` keeps demonstrating the approximate operating point whose
+    recall the tests measure against brute force."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(
+        corpus=emb.filter(F.col("vec_id") >= 5),
+        queries=emb.filter(F.col("vec_id") < 5),
+        k=3,
+        n_bits=0,
+        dim=64,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("embedding_near_dups")
 def embedding_near_dups(spark, sf_dir):
     """LSH-bucketed embedding near-duplicate pairs (no SQL oracle — bucket
@@ -1895,6 +2029,29 @@ def embedding_near_dups(spark, sf_dir):
     baseline at the same threshold, so recall is directly observable)."""
     return similarity.embedding_dup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=4, dim=64
+    )
+
+
+@query(
+    "embedding_dup_lsh_exhaustive",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """,
+)
+def embedding_dup_lsh_exhaustive(spark, sf_dir):
+    """LSH-bucketed near-dup pairs with n_bits=0, oracle-backed: a single
+    bucket makes the bucketed self-join exhaustive, so the LSH pair path
+    (bucket column, bucket equi-join, canonical id_a < id_b, threshold on
+    rounded cosine) must reproduce the exact all-pairs baseline exactly —
+    same oracle as `embedding_dup_exact`, different engine machinery under
+    test."""
+    return similarity.embedding_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=0, dim=64
     )
 
 
