@@ -37,6 +37,8 @@ HEADLINE = [
     "session_windows",         # native session windows (gap merging)
     "embedding_dup_exact",     # all-pairs cosine near-dup baseline
     "media_features",          # Arrow-batched mapInPandas decode pipeline
+    "decontamination",         # broadcast benchmark-gram overlap audit
+    "repetition_stats",        # shuffle-free per-doc repetition signals
 ]
 
 

@@ -1519,6 +1519,94 @@ def media_features(spark, sf_dir):
     )
 
 
+@query(
+    "media_feature_quanta",
+    oracle="""
+    WITH h AS (SELECT doc_id AS asset_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                      sha256('image' || text) AS hx
+               FROM documents),
+    pos AS (SELECT unnest(generate_series(0, 15)) AS pos)
+    SELECT asset_id, n_bytes, CAST(pos AS BIGINT) AS pos,
+           ('0x' || substr(hx, pos*4+1, 2))::BIGINT
+           + 256 * ('0x' || substr(hx, pos*4+3, 2))::BIGINT AS q
+    FROM h CROSS JOIN pos
+    """,
+)
+def media_feature_quanta(spark, sf_dir):
+    """The multimodal decode path with a HARD oracle: the stub decoder is
+    deterministic (sha256 of media_type + payload, little-endian uint16
+    lanes), so DuckDB can recompute every feature lane from the same bytes.
+    Features are compared as their integer quanta (value * 65535 rounds
+    back to the exact uint16 — float32 lane precision covers it), which
+    sidesteps float32-vs-float64 rounding at the 6th decimal.  This turns
+    the whole mapInPandas decode pipeline — Arrow batching, re-chunking,
+    per-asset isolation, array output — into an oracle-checked component;
+    `media_features` keeps exercising the summary-stats shape."""
+    from tsdisagg_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(d, batch_size=256)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.posexplode("features").alias("pos0", "v"),
+    ).select(
+        "asset_id",
+        "n_bytes",
+        F.col("pos0").cast("long").alias("pos"),
+        F.round(F.col("v") * 65535).cast("long").alias("q"),
+    )
+
+
+@query(
+    "frame_feature_quanta",
+    oracle="""
+    WITH h AS (SELECT doc_id AS asset_id, fi,
+                      sha256('video#frame' || fi || text) AS hx
+               FROM documents
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fi)
+               WHERE doc_id < 100),
+    pos AS (SELECT unnest(generate_series(0, 15)) AS pos)
+    SELECT asset_id, CAST(fi AS BIGINT) AS frame_idx, CAST(pos AS BIGINT) AS pos,
+           ('0x' || substr(hx, pos*4+1, 2))::BIGINT
+           + 256 * ('0x' || substr(hx, pos*4+3, 2))::BIGINT AS q
+    FROM h CROSS JOIN pos
+    """,
+)
+def frame_feature_quanta(spark, sf_dir):
+    """Keyframe 1-to-N expansion with a HARD oracle (same quanta contract
+    as `media_feature_quanta`, salted per frame index): every expanded
+    (asset, frame, lane) value must equal DuckDB's recomputation, proving
+    the row-expanding mapInPandas path loses/duplicates nothing."""
+    from tsdisagg_spark.operators import multimodal
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit("video").alias("media_type"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    frames = multimodal.sample_frames(d, n_frames=4)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.posexplode("features").alias("pos0", "v"),
+    ).select(
+        "asset_id",
+        "frame_idx",
+        F.col("pos0").cast("long").alias("pos"),
+        F.round(F.col("v") * 65535).cast("long").alias("q"),
+    )
+
+
 @query("frame_samples")
 def frame_samples(spark, sf_dir):
     """Video-style keyframe sampling (no SQL oracle — stub decoder is
