@@ -243,14 +243,24 @@ def repetition_stats(
     Everything is computed INSIDE one row — distinct words via
     ``array_distinct``, the bigram mode as the longest equal run of the
     *sorted* bigram array via an ``aggregate`` fold — so the operator is a
-    pure codegen projection: zero shuffles, zero UDFs, and at 100 TB it
-    rides the document scan.
+    pure projection: zero shuffles, zero UDFs, and at 100 TB it rides the
+    document scan.
+
+    Built as STAGED projections (each array expression is a named column
+    consumed by the next select, never a subtree repeated inline): higher-
+    order functions are not deduplicated by common-subexpression
+    elimination, so the inline formulation evaluated the split/sort/fold
+    chain once per referencing output column — measured 4x slower on the
+    documents table.
     """
-    w = words(F.col(text_col))
-    bg = F.array_sort(shingles(F.col(text_col), 2))
+    base = df.select(
+        F.col(id_col),
+        words(F.col(text_col)).alias("__w"),
+        F.array_sort(shingles(F.col(text_col), 2)).alias("__bg"),
+    )
     # longest equal run in the sorted array == mode count
     run_state = F.aggregate(
-        bg,
+        F.col("__bg"),
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).cast("long").alias("run"),
@@ -266,16 +276,23 @@ def repetition_stats(
         ),
         lambda acc: acc["best"],
     )
-    n_words = F.size(w).cast("long")
-    n_distinct = F.size(F.array_distinct(w)).cast("long")
-    n_bigrams = F.size(bg).cast("long")
-    return df.select(
+    counted = base.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        n_distinct.alias("n_distinct_words"),
-        F.round(n_distinct / n_words, 6).alias("distinct_ratio"),
+        F.size("__w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("__w")).cast("long").alias("n_distinct_words"),
+        F.size("__bg").cast("long").alias("n_bigrams"),
         run_state.alias("top_bigram_n"),
-        F.when(n_bigrams > 0, F.round(run_state / n_bigrams, 6))
+    )
+    return counted.select(
+        F.col(id_col),
+        "n_words",
+        "n_distinct_words",
+        F.round(F.col("n_distinct_words") / F.col("n_words"), 6).alias("distinct_ratio"),
+        "top_bigram_n",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6),
+        )
         .otherwise(F.lit(0.0))
         .alias("top_bigram_share"),
     )
