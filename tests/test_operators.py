@@ -57,11 +57,37 @@ def test_minhash_agrees_with_exact_jaccard(docs):
 
 
 def test_simhash_near_dups(docs):
-    pairs = dedup.simhash_pairs(docs, max_hamming=8).toPandas()
+    pairs = dedup.simhash_pairs(docs, max_hamming=8, n_bands=16).toPandas()
     found = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}
     assert (100, 102) in found
     ident = pairs[(pairs.id_a == 100) & (pairs.id_b == 102)]
     assert ident["hamming"].iloc[0] == 0
+
+
+def test_simhash_banding_is_exact(docs):
+    """Pigeonhole guarantee: banded output == brute-force all-pairs Hamming
+    (md5 mode, 6 bands x 10 bits, max_hamming 5)."""
+    banded = dedup.simhash_pairs(docs, max_hamming=5, token_hash="md5").toPandas()
+    codes = dedup.simhash64(docs, token_hash="md5").toPandas()
+    brute = set()
+    rows = list(codes.itertuples(index=False))
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            d = bin(a.simhash ^ b.simhash).count("1")
+            if d <= 5:
+                pair = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id), d)
+                brute.add(pair)
+    got = {tuple(r) for r in banded[["id_a", "id_b", "hamming"]].to_numpy()}
+    assert got == brute
+
+
+def test_simhash_rejects_bad_band_layout(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=8)  # 9 bands don't divide 64
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=5, n_bands=4)  # recall broken
+    with pytest.raises(ValueError):
+        dedup.simhash64(docs, token_hash="sha1")
 
 
 def test_lsh_topk_recall_vs_bruteforce(spark):

@@ -5,6 +5,7 @@ value comparison) at a chosen scale factor.
 Usage::
 
     python tools/oracle_sweep.py [sf_dir]     # default /root/testdata/sf0.01
+    python tools/oracle_sweep.py --only simhash [sf_dir]   # substring filter
 
 This replicates the external driver's t2 gate more aggressively than
 tests/test_queries.py (which runs at sf0.001): a second data scale catches
@@ -46,7 +47,13 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1]
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -68,6 +75,8 @@ def main() -> int:
 
     problems = 0
     for name, fn in qs.items():
+        if only and only not in name:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf)

@@ -272,29 +272,48 @@ def minhash_pairs(
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: ``(id, simhash long)``.
+    """SimHash per document: ``(id, simhash long)``.
 
     Per bit position: sum +1/-1 over the document's word hashes, take the
-    sign.  Expressed as 64 conditional-sum aggregate columns (columnar,
-    codegen) folded into one long.
+    sign.  Expressed as one conditional-sum aggregate column per bit
+    (columnar, codegen) folded into one long.
+
+    ``token_hash`` picks the per-token hash:
+
+    - ``"xxhash64"`` (default): full 64 bits, fastest, but the hash is
+      engine-specific — results are reproducible only inside Spark.
+    - ``"md5"``: the top 15 hex chars of md5 as a 60-bit hash.  md5 is
+      bit-identical in every engine, so the whole simhash (and therefore
+      the pair set) can be recomputed independently e.g. by a SQL oracle.
+      15 hex chars keep the value strictly below 2**63 — sign-safe in
+      engines without unsigned 64-bit integers.
     """
     from tsdisagg_spark.operators.text import words
 
+    nbits = _simhash_nbits(token_hash)
     tokens = _spread(df).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if token_hash == "md5":
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    tokens = tokens.withColumn("h", h)
 
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     agged = tokens.groupBy(id_col).agg(*bit_sums)
     sim = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -303,19 +322,52 @@ def simhash64(
     return agged.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _simhash_nbits(token_hash: str) -> int:
+    if token_hash == "md5":
+        return 60
+    if token_hash == "xxhash64":
+        return 64
+    raise ValueError(f"unknown token_hash {token_hash!r} (use 'xxhash64' or 'md5')")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
 
-    Candidate generation blocks on 16-bit bands (pigeonhole: distance <= 3
-    guarantees at least one of 4 bands matches exactly), then verifies with
-    ``bit_count(xor)``.  Returns ``(id_a, id_b, hamming)``.
+    Candidate generation blocks on ``n_bands`` equal bit-bands of the
+    simhash.  By pigeonhole, two codes within Hamming distance
+    ``n_bands - 1`` must agree exactly on at least one band, so with
+    ``n_bands > max_hamming`` (enforced) the banding is EXACT: the output
+    equals the brute-force all-pairs result, it just never materializes the
+    quadratic join.  Verification is ``bit_count(xor)`` on the candidate
+    pairs only.  Returns ``(id_a, id_b, hamming)``.
+
+    Default band layout: 4 x 16 bits for xxhash64 (distance <= 3), 6 x 10
+    bits for md5/60-bit (distance <= 5).  Wider bands = fewer, more
+    selective buckets — at corpus scale prefer raising ``max_hamming`` only
+    as far as the band width you can afford, since bucket occupancy (and
+    the candidate join fan-out) grows ~N / 2**band_width.
     """
-    sims = simhash64(df, id_col, text_col)
+    nbits = _simhash_nbits(token_hash)
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for the pigeonhole recall guarantee"
+        )
+    if nbits % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide nbits={nbits}")
+    width = nbits // n_bands
+    mask = (1 << width) - 1
+
+    sims = simhash64(df, id_col, text_col, token_hash=token_hash)
     bands = sims.select(
         F.col(id_col),
         F.col("simhash"),
@@ -324,11 +376,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), bi * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_bits"),
                     )
-                    for bi in range(4)
+                    for bi in range(n_bands)
                 ]
             )
         ).alias("bk"),
@@ -341,7 +393,7 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -1725,10 +1725,45 @@ def minhash_near_dups(spark, sf_dir):
     )
 
 
-@query("simhash_near_dups")
+@query(
+    "simhash_near_dups",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, i, SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h, (SELECT unnest(generate_series(0, 59)) AS i) g
+        GROUP BY 1, 2
+    ),
+    codes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM bits GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    """,
+)
 def simhash_near_dups(spark, sf_dir):
-    """SimHash Hamming<=8 pairs (no SQL oracle — xxhash64 is engine-specific)."""
-    return dedup.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+    """SimHash near-dup pairs at Hamming <= 5, banded 6 x 10 bits over a
+    60-bit md5-derived simhash — oracle-backed by the BRUTE-FORCE all-pairs
+    Hamming scan in DuckDB.  The pigeonhole band guarantee (n_bands=6 >
+    max_hamming=5) makes the banded plan's output provably identical to the
+    quadratic scan, so the hash match certifies both zero false positives
+    AND 100%% recall while the engine never materializes the N^2 join.
+    md5 token hashing (vs the xxhash64 production default) is what lets the
+    oracle recompute the codes bit-for-bit outside Spark."""
+    return dedup.simhash_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=5, token_hash="md5"
+    )
 
 
 @query(
