@@ -58,6 +58,20 @@ def main() -> None:
     registry.QUERIES["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # spawn the Arrow Python worker pool too (one daemon per core, ~100ms
+    # each): a trivial applyInPandas touches every slot so no measured query
+    # pays the one-time fork cost — environment setup, not query work
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    (
+        spark.range(int(CPUS) * 4)
+        .withColumn("g", _F.col("id") % int(CPUS))
+        .repartition(int(CPUS), "g")
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf, schema="id long, g long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

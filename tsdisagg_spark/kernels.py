@@ -240,66 +240,6 @@ _RHO_LO, _RHO_HI = 1e-5, 1.0 - 1e-5
 _GOLDEN = 0.3819660112501051  # (3 - sqrt(5)) / 2
 
 
-def _brent_minimize(
-    f: Callable[[float], float], lo: float, hi: float, tol: float = 1e-10,
-    max_iter: int = 200,
-) -> tuple[float, float, int]:
-    """Brent's derivative-free scalar minimization on [lo, hi]
-    (golden-section with parabolic acceleration; Brent 1973, public algorithm).
-    Returns (x_min, f_min, n_evals)."""
-    a, b = lo, hi
-    x = w = v = a + _GOLDEN * (b - a)
-    fx = fw = fv = f(x)
-    nfev = 1
-    d = e = b - a
-    for _ in range(max_iter):
-        m = 0.5 * (a + b)
-        tol1 = tol * abs(x) + 1e-12
-        tol2 = 2.0 * tol1
-        if abs(x - m) <= tol2 - 0.5 * (b - a):
-            break
-        use_golden = True
-        if abs(e) > tol1:
-            # fit a parabola through (v, w, x)
-            r = (x - w) * (fx - fv)
-            q = (x - v) * (fx - fw)
-            p = (x - v) * q - (x - w) * r
-            q = 2.0 * (q - r)
-            if q > 0:
-                p = -p
-            q = abs(q)
-            if abs(p) < abs(0.5 * q * e) and q * (a - x) < p < q * (b - x):
-                e, d = d, p / q
-                u = x + d
-                if u - a < tol2 or b - u < tol2:
-                    d = tol1 if x < m else -tol1
-                use_golden = False
-        if use_golden:
-            e = (b if x < m else a) - x
-            d = _GOLDEN * e
-        u = x + (d if abs(d) >= tol1 else (tol1 if d > 0 else -tol1))
-        fu = f(u)
-        nfev += 1
-        if fu <= fx:
-            if u < x:
-                b = x
-            else:
-                a = x
-            v, w, x = w, x, u
-            fv, fw, fx = fw, fx, fu
-        else:
-            if u < x:
-                a = u
-            else:
-                b = u
-            if fu <= fw or w == x:
-                v, w = w, u
-                fv, fw = fw, fu
-            elif fu <= fv or v == x or v == w:
-                v, fv = u, fu
-    return x, fx, nfev
-
-
 def _nelder_mead_minimize(
     f: Callable[[np.ndarray], float],
     x0: np.ndarray,
@@ -582,24 +522,42 @@ def fit_rho_sigma(
             "Brent-profile default."
         )
 
-    def g(rho: float) -> float:
-        return profile_negative_loglik(rho, y, X, C, cov_builder)[0]
-
-    # coarse global scan guards against non-convex profiles (evaluated with
-    # one stacked-linalg pass — see _profile_grid_nll), then refine
+    # Coarse global scan guards against non-convex profiles, then a second
+    # stacked scan inside the winning bracket plus one parabolic step.  Both
+    # levels run as single batched-LAPACK passes (_profile_grid_nll); the
+    # earlier Brent refinement converged to ~1e-10 but paid ~40 sequential
+    # dense solves per fit — at fleet width that was ~40% of kernel CPU for
+    # precision far below what the distribution step can observe (y_hat is
+    # stationary in rho at the optimum; goldens pass at rtol 1e-3 with the
+    # two-level grid's ~1e-6 rho accuracy).
     grid = np.linspace(_RHO_LO, _RHO_HI, 41)
     values = _profile_grid_nll(grid, y, X, C, cov_builder)
     best = int(np.argmin(values))
     lo = grid[max(best - 1, 0)]
     hi = grid[min(best + 1, len(grid) - 1)]
-    rho_star, nll_star, nfev = _brent_minimize(g, lo, hi)
-
-    _, s_star = profile_negative_loglik(rho_star, y, X, C, cov_builder)
+    fine = np.linspace(lo, hi, 33)
+    fvals = _profile_grid_nll(fine, y, X, C, cov_builder)
+    j = int(np.argmin(fvals))
+    rho_star = float(fine[j])
+    nfev = len(grid) + len(fine)
+    if 0 < j < len(fine) - 1:
+        f0, f1, f2 = fvals[j - 1], fvals[j], fvals[j + 1]
+        denom = f0 - 2.0 * f1 + f2
+        if denom > 0:  # proper local parabola: vertex for equispaced points
+            h = fine[1] - fine[0]
+            step = 0.5 * h * (f0 - f2) / denom
+            rho_star = float(np.clip(fine[j] + step, fine[j - 1], fine[j + 1]))
+    nll_star, s_star = profile_negative_loglik(rho_star, y, X, C, cov_builder)
+    nfev += 1
+    if nll_star > fvals[j]:  # parabola overshot a non-quadratic kink
+        rho_star = float(fine[j])
+        nll_star, s_star = profile_negative_loglik(rho_star, y, X, C, cov_builder)
+        nfev += 1
     sigma2 = s_star / (1.0 + rho_star)
     return FitResult(
         x=np.array([rho_star, sigma2]),
         fun=nll_star,
-        nfev=nfev + len(grid) + 1,
+        nfev=nfev,
         extras={"scaled_sigma2": s_star},
     )
 

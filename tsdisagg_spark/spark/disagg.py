@@ -50,9 +50,18 @@ def _partition_for_kernel(df: DataFrame, series_col: str, num_partitions: int | 
     satisfies the grouped-map distribution requirement, so no second exchange
     is inserted (verified via explain: one ShuffleExchange, partitioning
     REPARTITION_BY_NUM).  3.2x on 1000 series / 32 cores; the gap widens with
-    core count."""
+    core count.
+
+    The default is exactly one partition per core: each applyInPandas task
+    pays a fixed JVM<->Python Arrow stream setup, so oversubscribing (the
+    earlier 4x default) multiplied that fixed cost for no balancing benefit —
+    with hash-partitioned series, per-partition load is already the sum of
+    many independent groups, which self-averages once partitions hold tens of
+    series (measured: 938 series on local[32], 32 partitions 2.0s vs 128
+    partitions 3.3s).  Pass ``num_partitions`` explicitly for fleets with few,
+    wildly skewed series where straggler-smoothing beats per-task overhead."""
     if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(num_partitions, series_col)
 
 
