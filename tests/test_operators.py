@@ -551,3 +551,66 @@ def test_repetition_stats_values(spark):
     # shuffle-free contract: pure projection
     plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def _brute_components(edge_list):
+    """Driver-side union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_list:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_chain(spark):
+    """Pathological chain 0-1-2-...-19: one component, labeled 0 — the case
+    where naive label propagation needs diameter rounds."""
+    from tsdisagg_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], ["id_a", "id_b"]
+    )
+    out = graph.connected_components(edges).toPandas()
+    assert set(out["node"]) == set(range(20))
+    assert (out["component"] == 0).all()
+
+
+def test_connected_components_random_vs_union_find(spark):
+    rng = np.random.default_rng(7)
+    edge_list = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 60, size=(80, 2))
+        if a != b
+    ]
+    from tsdisagg_spark.operators import graph
+
+    edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    got = dict(
+        graph.connected_components(edges).toPandas()[["node", "component"]].values
+    )
+    want = _brute_components(edge_list)
+    assert got == want
+
+
+def test_connected_components_disjoint_and_reversed(spark):
+    """Two components, edges given in arbitrary orientation."""
+    from tsdisagg_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (40, 41), (42, 41)], ["id_a", "id_b"]
+    )
+    out = dict(graph.connected_components(edges).toPandas()[["node", "component"]].values)
+    assert out == {3: 3, 5: 3, 9: 3, 40: 40, 41: 40, 42: 40}

@@ -1,0 +1,116 @@
+"""Distributed connected components — the clustering step of a dedup
+pipeline (near-dup PAIRS -> duplicate GROUPS -> keep one representative).
+
+Implements the alternating Large-Star / Small-Star algorithm (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC 2014 — a published public algorithm), expressed
+entirely as DataFrame joins and aggregations:
+
+* Each round is two join+groupBy passes over the edge list — no driver-side
+  graph, no RDDs, no per-node state.
+* Converges in O(log^2 n) rounds even for pathological chain components
+  (a drifting duplicate chain doc_1 ~ doc_2 ~ ... ~ doc_1e6), where naive
+  min-label propagation needs O(diameter) = O(n) rounds.
+* Per-round lineage is truncated with ``localCheckpoint`` so the plan does
+  not grow with iteration count (Catalyst otherwise re-analyzes a
+  doubling-depth tree every round).
+
+Scale notes: edge lists shuffle on node id each round; skew is bounded by
+the largest star (a node with d neighbors contributes d rows to one
+partition), which the algorithm itself keeps shrinking — large-star points
+high-degree hubs at their component minimum.  The per-round convergence
+check is a single tiny aggregate (count + xor of edge hashes), not a
+collect of the edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _both_directions(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to min({u} U N(u))."""
+    nb = _both_directions(edges)
+    mins = nb.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        nb.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor smaller than u (and u itself) to the minimum
+    of u's smaller neighborhood."""
+    nb = _both_directions(edges).where(F.col("v") < F.col("u"))
+    mins = nb.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        nb.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-insensitive set digest that cannot overflow (ANSI
+        # mode makes sum() of hashes a runtime error)
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Component label for every node appearing in ``pairs``:
+    ``(node, component)`` where ``component`` is the smallest node id in the
+    connected component — the canonical "representative to keep" in dedup.
+
+    ``pairs`` is an undirected edge list (each row one edge, any order);
+    isolated documents never appear in pairs and so get no row — a caller
+    wanting singletons unions them back with ``component = node``.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _edge_checksum(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixed point is a union of stars centered at each component's minimum:
+    # every node's label is the smallest id it touches (itself if center)
+    nb = _both_directions(edges)
+    return (
+        nb.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mv"))
+        .select("node", F.least("node", "mv").alias("component"))
+    )

@@ -1686,6 +1686,63 @@ def jaccard_near_dups(spark, sf_dir):
 
 
 @query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    rare AS (SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) <= 20),
+    sh AS (SELECT doc_id, shingle FROM sh_all JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup pairs clustered into duplicate GROUPS via distributed
+    connected components (alternating large-star/small-star — converges in
+    O(log^2 n) DataFrame rounds even on duplicate chains, see
+    operators/graph.py).  The component label is the smallest doc_id in the
+    cluster: the canonical keep-one representative.  The oracle recomputes
+    the same pair graph in SQL and closes it with a recursive CTE, so the
+    hash match checks the full pipeline pairs -> transitive closure ->
+    per-node minimum."""
+    from tsdisagg_spark.operators import graph
+
+    pairs = dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_doc_freq=20
+    )
+    return graph.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+@query(
     "minhash_near_dups",
     oracle="""
     WITH words AS (
