@@ -614,3 +614,44 @@ def test_connected_components_disjoint_and_reversed(spark):
     )
     out = dict(graph.connected_components(edges).toPandas()[["node", "component"]].values)
     assert out == {3: 3, 5: 3, 9: 3, 40: 40, 41: 40, 42: 40}
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+def test_sequence_packing_invariants(spark):
+    """Hierarchical prefix sum == sequential packing: per-doc overlap sums to
+    the doc's tokens; every bin but the last holds exactly `budget` tokens.
+    bucket_size=7 forces many buckets so the broadcast-offset path is real."""
+    from tsdisagg_spark.operators import packing
+
+    rng = np.random.default_rng(3)
+    rows = [(i, " ".join(f"w{j}" for j in range(rng.integers(1, 40)))) for i in range(100)]
+    # whitespace-only doc: the canonical tokenizer (split on \s+ after trim)
+    # yields [''] — ONE token — identically in Spark and DuckDB, so packing
+    # counts it rather than dropping it
+    rows.append((100, "   "))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = packing.pack_token_stream(df, budget=64, bucket_size=7).toPandas()
+
+    assert int(out.loc[out.doc_id == 100, "n_tokens"].iloc[0]) == 1
+    per_doc = out.groupby("doc_id").agg(n=("n_tokens", "first"), s=("tokens_in_bin", "sum"))
+    assert (per_doc["n"] == per_doc["s"]).all()
+    per_bin = out.groupby("bin_id")["tokens_in_bin"].sum()
+    assert (per_bin.iloc[:-1] == 64).all()
+    assert 0 < per_bin.iloc[-1] <= 64
+    # bins are a contiguous range from 0
+    assert sorted(per_bin.index) == list(range(len(per_bin)))
+
+
+def test_sequence_packing_straddle(spark):
+    """A doc longer than the budget spans multiple bins with exact splits."""
+    from tsdisagg_spark.operators import packing
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [" ".join(["x"] * 25)]})
+    )
+    out = packing.pack_token_stream(df, budget=10).toPandas().sort_values("bin_id")
+    assert list(out["bin_id"]) == [0, 1, 2]
+    assert list(out["tokens_in_bin"]) == [10, 10, 5]

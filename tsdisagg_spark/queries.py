@@ -1783,6 +1783,52 @@ def minhash_near_dups(spark, sf_dir):
 
 
 @query(
+    "sequence_packing",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+        WHERE len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM counts
+    ),
+    binned AS (
+        SELECT doc_id, n_tokens, s, s + n_tokens AS e,
+               unnest(generate_series(CAST(s // 2048 AS BIGINT),
+                                      CAST((s + n_tokens - 1) // 2048 AS BIGINT)))
+                   AS bin_id
+        FROM spans
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(LEAST(e, (bin_id + 1) * 2048) - GREATEST(s, bin_id * 2048)
+                AS BIGINT) AS tokens_in_bin
+    FROM binned
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Pack-and-split sequence packing: documents concatenated in doc_id
+    order, the token stream cut every 2048 tokens, one row per (doc, bin)
+    with the token overlap — the data-loader step that turns a cleaned
+    corpus into fixed-length training sequences.  The engine computes the
+    global prefix sum hierarchically (range buckets -> tiny broadcast of
+    bucket offsets -> partitioned window) so no stage ever sees the corpus
+    in one task; the oracle uses the equivalent single-window SQL, so the
+    hash match proves the hierarchical decomposition exactly reproduces the
+    sequential semantics."""
+    from tsdisagg_spark.operators import packing
+
+    return packing.pack_token_stream(
+        t(spark, sf_dir, "documents"), budget=2048, bucket_size=512
+    )
+
+
+@query(
     "simhash_near_dups",
     oracle=r"""
     WITH toks AS (
