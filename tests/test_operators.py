@@ -655,3 +655,41 @@ def test_sequence_packing_straddle(spark):
     out = packing.pack_token_stream(df, budget=10).toPandas().sort_values("bin_id")
     assert list(out["bin_id"]) == [0, 1, 2]
     assert list(out["tokens_in_bin"]) == [10, 10, 5]
+
+
+def test_streaming_sliding_window(spark, tmp_path):
+    """Sliding-window streaming twin: every event lands in window/slide = 4
+    overlapping hops, and the streaming result equals the batch plan."""
+    from tsdisagg_spark.streaming import sliding_counts, stream_sliding_counts
+
+    src = str(tmp_path / "slide_src")
+    events = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=160, freq="3min"),
+            "event_type": ["a", "b"] * 80,
+            "value": np.arange(160, dtype=float),
+        }
+    )
+    spark.createDataFrame(events).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    q = (
+        stream_sliding_counts(stream, window_size="1 hour", slide="15 minutes")
+        .writeStream.format("memory")
+        .queryName("sliding_counts_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from sliding_counts_sink").toPandas()
+    expected = sliding_counts(static, window_size="1 hour", slide="15 minutes").toPandas()
+    key = ["event_type", "window_start"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = expected.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s[exp_s.columns], exp_s)
+    # each event appears in exactly 4 hops: total count = 4x events
+    assert got["n_events"].sum() == 4 * len(events)

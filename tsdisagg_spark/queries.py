@@ -1393,6 +1393,33 @@ def events_hourly(spark, sf_dir):
 
 
 @query(
+    "events_sliding",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '15 minutes', ts)
+               - (k * INTERVAL '15 minutes') AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts)
+               - (k * INTERVAL '15 minutes') + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS k) g
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding(spark, sf_dir):
+    """Sliding (hopping) window aggregation: 1-hour windows every 15
+    minutes, each event contributing to 4 overlapping windows (batch form
+    of streaming.stream_sliding_counts).  The oracle expands the overlap
+    explicitly (cross join with hop offsets k=0..3 off the 15-minute
+    bucket grid), checking Spark's internal window expansion and epoch
+    alignment."""
+    from tsdisagg_spark.streaming import sliding_counts
+
+    return sliding_counts(
+        t(spark, sf_dir, "events"), window_size="1 hour", slide="15 minutes"
+    )
+
+
+@query(
     "sessionization",
     oracle="""
     WITH flagged AS (

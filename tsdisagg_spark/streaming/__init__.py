@@ -6,14 +6,18 @@ from tsdisagg_spark.streaming.disagg import (
     streaming_disaggregate,
 )
 from tsdisagg_spark.streaming.windows import (
+    sliding_counts,
     stateful_sessions,
+    stream_sliding_counts,
     stream_tumbling_counts,
     tumbling_counts,
 )
 
 __all__ = [
     "latest_solutions",
+    "sliding_counts",
     "stateful_sessions",
+    "stream_sliding_counts",
     "stream_tumbling_counts",
     "streaming_disaggregate",
     "tumbling_counts",

@@ -42,6 +42,61 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) window aggregation: each event lands in
+    ``window_size / slide`` overlapping windows.  Same shape as
+    :func:`tumbling_counts`; batch and streaming frames alike.  Spark
+    expands the overlap internally before the hash aggregate, so the
+    shuffle carries one partial aggregate per (key, window), not one row
+    per (event, window)."""
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.window(F.col(ts_col), window_size, slide).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of :func:`sliding_counts` with a watermark so closed
+    hop windows age out of the state store (state ~ keys x open hops; the
+    watermark bounds open hops at watermark/slide + window/slide)."""
+    return sliding_counts(
+        events.withWatermark(ts_col, watermark),
+        window_size,
+        slide,
+        ts_col,
+        key_col,
+        value_col,
+    )
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
