@@ -39,6 +39,10 @@ HEADLINE = [
     "media_features",          # Arrow-batched mapInPandas decode pipeline
     "decontamination",         # broadcast benchmark-gram overlap audit
     "repetition_stats",        # shuffle-free per-doc repetition signals
+    "simhash_near_dups",       # provably-exact banded SimHash dedup
+    "dedup_components",        # iterative large-star/small-star clustering
+    "sequence_packing",        # hierarchical prefix sum + bin explode
+    "events_sliding",          # overlapping hop-window aggregation
 ]
 
 
