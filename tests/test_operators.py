@@ -693,3 +693,38 @@ def test_streaming_sliding_window(spark, tmp_path):
     pd.testing.assert_frame_equal(got_s[exp_s.columns], exp_s)
     # each event appears in exactly 4 hops: total count = 4x events
     assert got["n_events"].sum() == 4 * len(events)
+
+
+# ---------------------------------------------------------------------------
+# salted join (operators/joins.py)
+# ---------------------------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    from tsdisagg_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 50 + [2, 3, 4], "v": range(53)})  # hot key 1
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 5], "name": ["a", "b", "c", "x"]})
+    )
+    for how in ("inner", "left"):
+        got = (
+            salted_join(left, right, on=["k"], n_salts=4, how=how)
+            .toPandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        want = (
+            left.join(right, ["k"], how)
+            .toPandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_salted_join_rejects_outer(spark):
+    from tsdisagg_spark.operators.joins import salted_join
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], how="full")
+    with pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], n_salts=0)

@@ -1393,6 +1393,37 @@ def events_hourly(spark, sf_dir):
 
 
 @query(
+    "salted_user_activity",
+    oracle="""
+    SELECT e.user_id, ANY_VALUE(c.c_mktsegment) AS segment,
+           COUNT(*) AS n_events, ROUND(SUM(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_user_activity(spark, sf_dir):
+    """Per-user activity joined to the customer dimension through the
+    SALTED join path (operators/joins.py): the fact side carries a
+    deterministic row-hash salt, the dimension is replicated per salt, and
+    the join runs shuffle-hash on (key, salt) — the explicit skew fallback
+    for when AQE's skew splitting or broadcasting don't apply.  The oracle
+    is the plain unsalted join, so the hash match proves salting is
+    semantically invisible."""
+    from tsdisagg_spark.operators.joins import salted_join
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], n_salts=8)
+    return joined.groupBy("user_id").agg(
+        F.any_value(F.col("c_mktsegment")).alias("segment"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@query(
     "events_sliding",
     oracle="""
     SELECT event_type,
