@@ -728,3 +728,28 @@ def test_salted_join_rejects_outer(spark):
         salted_join(df, df, on=["k"], how="full")
     with pytest.raises(ValueError):
         salted_join(df, df, on=["k"], n_salts=0)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from tsdisagg_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [" ".join(f"w{i}" for i in range(150)), "short doc"]})
+    )
+    out = text_ops.chunk_documents(df, size=64, stride=48).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    # starts 0,48,96,144 -> 4 chunks; last has 150-144=6 words
+    assert list(d1["chunk_id"]) == [0, 1, 2, 3]
+    assert list(d1["n_words"]) == [64, 64, 54, 6]
+    # consecutive full chunks overlap by size - stride = 16 words
+    c0, c1 = d1.iloc[0]["chunk_text"].split(), d1.iloc[1]["chunk_text"].split()
+    assert c0[48:] == c1[:16]
+    # every word covered
+    covered = set()
+    for _, r in d1.iterrows():
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(150)}
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0]["chunk_text"] == "short doc"
+    with pytest.raises(ValueError):
+        text_ops.chunk_documents(df, size=10, stride=20)

@@ -307,3 +307,52 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_share"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping word-window passages — the
+    retrieval / context-window prep step (chunk i covers words
+    ``[i*stride, i*stride + size)``; ``size - stride`` words of overlap).
+
+    Returns ``(id, chunk_id, n_words, chunk_text)`` with ``n_words`` the
+    actual words in the (possibly short final) chunk.  Pure codegen:
+    ``sequence`` over chunk starts + ``slice``/``concat_ws`` per chunk —
+    each document expands to ceil(len/stride) rows with no shuffle, so the
+    operator rides the scan at any corpus size.
+
+    Every word index lands in at least one chunk and consecutive chunks
+    share exactly ``size - stride`` words (both SQL-checkable invariants).
+    """
+    if not 0 < stride <= size:
+        raise ValueError(f"need 0 < stride <= size, got stride={stride} size={size}")
+    base = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).withColumn("__n", F.size("__w"))
+    # chunk starts: 0, stride, ... , last start < n  (n>=1 always: see words)
+    starts = F.sequence(
+        F.lit(0), F.col("__n") - 1, F.lit(stride)
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("__w"),
+            F.explode(starts).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"__s div {stride}").alias("chunk_id"),
+            F.slice(F.col("__w"), F.col("__s") + 1, F.lit(size)).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_words"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        )
+    )

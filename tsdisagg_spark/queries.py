@@ -1393,6 +1393,36 @@ def events_hourly(spark, sf_dir):
 
 
 @query(
+    "doc_chunks",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, CAST(len(w) - 1 AS BIGINT),
+                                      CAST(48 AS BIGINT))) AS s
+        FROM w
+    )
+    SELECT doc_id, s // 48 AS chunk_id,
+           CAST(len(w[s + 1 : s + 64]) AS BIGINT) AS n_words,
+           array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Overlapping passage chunking (64-word windows every 48 words — the
+    retrieval / context-window prep step), pure codegen sequence + slice:
+    each doc expands to ceil(len/48) rows riding the scan, no shuffle.  The
+    oracle re-derives every chunk's text verbatim, so window placement,
+    overlap, and the short final chunk are all hash-checked."""
+    return text.chunk_documents(
+        t(spark, sf_dir, "documents"), size=64, stride=48
+    )
+
+
+@query(
     "salted_user_activity",
     oracle="""
     SELECT e.user_id, ANY_VALUE(c.c_mktsegment) AS segment,
