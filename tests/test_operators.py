@@ -753,3 +753,20 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert len(d2) == 1 and d2.iloc[0]["chunk_text"] == "short doc"
     with pytest.raises(ValueError):
         text_ops.chunk_documents(df, size=10, stride=20)
+
+
+def test_quantize_embeddings_properties(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(20)]
+    rows.append((99, [0.0] * 16))  # zero vector: must quantize to zeros
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = similarity.quantize_embeddings(df).toPandas()
+    assert out["q"].abs().max() <= 127
+    zeros = out[out.vec_id == 99]
+    assert (zeros["q"] == 0).all() and len(zeros) == 16
+    # reconstruction: |x - q*scale| <= scale/2 per lane
+    src = {(i, p): x for i, v in rows for p, x in enumerate(v)}
+    for _, r in out[out.vec_id != 99].iterrows():
+        scale = r["scale_q"] / 1e9
+        x = src[(r["vec_id"], r["pos"])]
+        assert abs(x - r["q"] * scale) <= scale / 2 + 1e-9

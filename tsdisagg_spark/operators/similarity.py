@@ -414,3 +414,42 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qmax: int = 127,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage /
+    bandwidth compression step of a large-scale ANN index (4x smaller than
+    float32; dot products stay proportional under one per-vector scale).
+
+    Per vector: ``scale = max(|x|) / qmax`` (floored at 1e-12 so zero
+    vectors quantize to zeros instead of dividing by zero), ``q_i =
+    floor(x_i / scale + 0.5)`` — round-half-toward-+inf spelled as pure
+    IEEE arithmetic, because Spark's ``round()`` re-parses the double's
+    shortest string form (``BigDecimal.valueOf``) while other engines round
+    the raw double, and the two disagree one ULP away from ``.5``.
+    Emitted exploded as integer rows ``(id, pos, q, scale_q)`` with
+    ``scale_q = floor(scale * 1e9 + 0.5)`` — the same integer-quanta shape
+    as the multimodal feature oracle queries, so a SQL oracle can recompute
+    every lane without float-at-6-decimals hashing hazards.  Pure codegen
+    (transform/array_max/posexplode).
+    """
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__scale",
+        F.greatest(
+            F.array_max(F.transform(F.col(vec_col), F.abs)) / F.lit(float(qmax)),
+            F.lit(1e-12),
+        ),
+    )
+    return base.select(
+        F.col(id_col), F.col("__scale"), F.posexplode(vec_col).alias("pos0", "x")
+    ).select(
+        F.col(id_col),
+        F.col("pos0").cast("long").alias("pos"),
+        F.floor(F.col("x") / F.col("__scale") + F.lit(0.5)).alias("q"),
+        F.floor(F.col("__scale") * 1e9 + F.lit(0.5)).alias("scale_q"),
+    )

@@ -1393,6 +1393,33 @@ def events_hourly(spark, sf_dir):
 
 
 @query(
+    "embedding_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               -- divide in DOUBLE: duckdb's FLOAT / INT is float32 division,
+               -- spark promotes float/double -> double
+               greatest(list_max(list_transform(embedding, x -> abs(x)))
+                            / CAST(127 AS DOUBLE),
+                        1e-12) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           CAST(floor(unnest(embedding) / scale + 0.5) AS BIGINT) AS q,
+           CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_q
+    FROM s
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding table (the ANN-index
+    compression step), emitted as integer quanta rows so the oracle can
+    recompute every lane exactly — same hashing-hazard-free shape as the
+    multimodal feature quanta queries."""
+    return similarity.quantize_embeddings(t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "doc_chunks",
     oracle="""
     WITH w AS (
