@@ -186,3 +186,71 @@ def test_optimizer_method_honored_and_rejected():
             low, ind, method="chow-lin", agg_func="sum",
             optimizer_kwargs={"method": "trust-constr"}, verbose=False,
         )
+
+
+# ---------------------------------------------------------------------------
+# banded long-series path
+# ---------------------------------------------------------------------------
+
+def test_banded_lu_solve_matches_dense():
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        n = int(rng.integers(5, 60))
+        kl = ku = int(rng.integers(1, 5))
+        A = np.zeros((n, n))
+        for i in range(n):
+            for j in range(max(0, i - kl), min(n, i + ku + 1)):
+                A[i, j] = rng.standard_normal()
+        A += np.eye(n) * 0.1
+        b = rng.standard_normal(n)
+        ab = np.zeros((2 * kl + ku + 1, n))
+        for i in range(n):
+            for j in range(max(0, i - kl), min(n, i + ku + 1)):
+                ab[kl + ku + i - j, j] = A[i, j]
+        x = kernels.banded_lu_solve(ab, kl, ku, b.copy())
+        np.testing.assert_allclose(A @ x, b, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["denton", "denton-cholette"])
+@pytest.mark.parametrize("criterion", ["proportional", "additive"])
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("agg", ["sum", "mean", "first", "last"])
+def test_denton_banded_equals_dense(method, criterion, order, agg):
+    rng = np.random.default_rng(7)
+    n_years, factor = 8, 12
+    n = n_years * factor
+    X = rng.uniform(1, 3, n).reshape(-1, 1)
+    C = kernels.conversion_matrix(
+        np.arange(n_years), np.repeat(np.arange(n_years), factor), factor, agg
+    )
+    y = rng.uniform(10, 30, n_years)
+    p = X.ravel()
+    if method == "denton":
+        Sigma = kernels.denton_covariance(n, X, order, criterion)
+        D = kernels.distribution_matrix(Sigma, C)
+    else:
+        D = kernels.denton_cholette_distribution(n, n_years, C, X, order, criterion)
+    dense = p + D @ (y - C @ p)
+    banded = kernels.denton_banded(y, X, C, method, order, criterion)
+    np.testing.assert_allclose(banded, dense, atol=1e-7)
+
+
+def test_denton_banded_long_series():
+    """12k-point series: dense would be ~1.7e12 flops / 1.2 GB for Sigma;
+    the banded path solves in under ~2 s and satisfies the constraint to
+    machine precision.  Also exercised through solve_series dispatch."""
+    rng = np.random.default_rng(1)
+    n_years, factor = 1000, 12
+    n = n_years * factor
+    C = kernels.conversion_matrix(
+        np.arange(n_years), np.repeat(np.arange(n_years), factor), factor, "sum"
+    )
+    x = rng.uniform(1, 3, n)
+    y = C @ (x * rng.uniform(0.9, 1.1, n))
+    y_hat, res, info = kernels.solve_series(
+        y, x.reshape(-1, 1), C, "denton-cholette"
+    )
+    assert np.abs(C @ y_hat - y).max() < 1e-9 * np.abs(y).max()
+    # smoothness sanity: the solution tracks the indicator's shape
+    corr = np.corrcoef(y_hat, x)[0, 1]
+    assert corr > 0.9

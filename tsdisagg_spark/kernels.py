@@ -576,6 +576,200 @@ def beta_std_errors(Sigma: np.ndarray, X: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# banded solver for single very-long series (SURVEY.md §7 M8 extension)
+#
+# Spark parallelism is across SERIES; a single 10^5-point series still hits
+# the dense kernels' O(n^3) wall.  For the Denton family the solve is an
+# equality-constrained least squares
+#
+#     min ||W (x - p)||^2   s.t.   C x = y - C p  (shifted: d = x - p)
+#
+# whose KKT system [[W'W, C'], [C, 0]] is BANDED once constraint rows are
+# interleaved after their period's last member: W'W couples x_t only with
+# x_{t +/- order}, and each constraint row touches one period's members.
+# Bandwidth ~ factor + order + 1, so the whole solve is O(n * b^2) time and
+# O(n * b) memory — a 100k-point daily series solves in seconds where the
+# dense path would need 10^15 flops and 80 GB for Sigma alone.
+# ---------------------------------------------------------------------------
+
+def banded_lu_solve(ab: np.ndarray, kl: int, ku: int, b: np.ndarray) -> np.ndarray:
+    """Solve ``A x = b`` for banded ``A`` via Gaussian elimination with
+    partial pivoting (LAPACK ``dgbtrf`` storage: ``ab[kl + ku + i - j, j] =
+    A[i, j]``, rows ``0..kl-1`` reserved for pivoting fill-in; ab has
+    ``2*kl + ku + 1`` rows).  Pure NumPy (scipy is not a dependency);
+    the per-column loop costs O(n * (kl + ku) * kl) scalar work — linear in
+    n, which is the whole point.  ``ab`` and ``b`` are modified in place.
+    """
+    n = ab.shape[1]
+    if b.shape[0] != n:
+        raise ValueError(f"b has {b.shape[0]} rows, expected {n}")
+    diag = kl + ku
+    for j in range(n):
+        # pivot among A[j .. j+kl, j]
+        col = ab[diag : diag + min(kl, n - 1 - j) + 1, j]
+        pj = int(np.argmax(np.abs(col)))
+        piv = col[pj]
+        if piv == 0.0:
+            raise np.linalg.LinAlgError("singular banded matrix")
+        jend = min(j + ku + kl, n - 1)
+        if pj:
+            cols = np.arange(j, jend + 1)
+            r1, r2 = diag + j - cols, diag + j + pj - cols
+            tmp = ab[r1, cols].copy()
+            ab[r1, cols] = ab[r2, cols]
+            ab[r2, cols] = tmp
+            b[j], b[j + pj] = b[j + pj], b[j]
+        nm = min(kl, n - 1 - j)
+        if nm:
+            m = ab[diag + 1 : diag + nm + 1, j] / ab[diag, j]
+            for c in range(j + 1, jend + 1):
+                start = diag + j + 1 - c
+                ab[start : start + nm, c] -= m * ab[diag + j - c, c]
+            b[j + 1 : j + nm + 1] -= m * b[j]
+    x = np.empty(n)
+    for i in range(n - 1, -1, -1):
+        cend = min(i + ku + kl, n - 1)
+        if cend > i:
+            cols = np.arange(i + 1, cend + 1)
+            s = ab[diag + i - cols, cols] @ x[cols]
+        else:
+            s = 0.0
+        x[i] = (b[i] - s) / ab[diag, i]
+    return x
+
+
+def _difference_gram_band(
+    n: int, order: int, scale: np.ndarray | None, trimmed: bool
+) -> list[np.ndarray]:
+    """Diagonals of ``G = W'W`` where ``W`` is the (optionally column-scaled,
+    optionally first-``order``-rows-trimmed) h-th difference operator —
+    computed directly in band form, never materializing W.  Returns
+    ``diags[e][i] = G[i, i + e]`` for ``e = 0..order``.
+
+    Row ``t`` of ``(I - L)^order`` carries binomial coefficients
+    ``(-1)^d C(order, d)`` at columns ``t - d`` (truncated for ``t < order``
+    in the untrimmed form); trimming drops rows ``t < order``
+    (denton-cholette, ts_disagg.py:164-176).
+    """
+    from math import comb
+
+    coeff = np.array(
+        [(-1.0) ** d * comb(order, d) for d in range(order + 1)]
+    )
+    s = np.ones(n) if scale is None else np.asarray(scale, dtype=float)
+    diags = []
+    for e in range(order + 1):
+        g = np.zeros(n - e)
+        i = np.arange(n - e)
+        for d1 in range(0, order + 1 - e):
+            t = i + e + d1  # the W row where columns i and i+e meet
+            valid = t <= n - 1
+            if trimmed:
+                valid = valid & (t >= order)
+            g[valid] += coeff[d1] * coeff[d1 + e]
+        diags.append(g * s[i] * s[i + e])
+    return diags
+
+
+def denton_banded(
+    y: np.ndarray,
+    X: np.ndarray,
+    C: np.ndarray,
+    method: str,
+    order: int = 1,
+    criterion: str = "proportional",
+) -> np.ndarray:
+    """Banded-KKT Denton / Denton-Cholette solve: identical output to the
+    dense ``distribution_matrix`` / ``denton_cholette_distribution`` path
+    (asserted in tests to ~1e-8), O(n b^2) instead of O(n^3).
+
+    ``C`` must have row-contiguous nonzero support with strictly increasing
+    end columns (true for every time-ordered period constraint the
+    relational layer produces — sum/mean blocks or first/last singletons);
+    a ``ValueError`` otherwise, so callers can fall back to the dense path.
+    """
+    n, k = X.shape
+    if k != 1:
+        raise ValueError("denton supports exactly one indicator column")
+    x = X.ravel().astype(float)
+    p = x
+    scale = None
+    if criterion == "proportional":
+        scale = 1.0 / (x * x.mean())
+    gdiags = _difference_gram_band(
+        n, order, scale, trimmed=(method == "denton-cholette")
+    )
+
+    n_low = C.shape[0]
+    lo = np.full(n_low, -1, dtype=int)
+    hi = np.full(n_low, -1, dtype=int)
+    for i in range(n_low):
+        nz = np.flatnonzero(C[i])
+        if nz.size == 0:
+            raise ValueError(f"constraint row {i} is empty")
+        lo[i], hi[i] = nz[0], nz[-1]
+        if not np.all(np.diff(nz) == 1):
+            raise ValueError(f"constraint row {i} support is not contiguous")
+    if np.any(np.diff(hi) <= 0):
+        raise ValueError("constraint rows must end at strictly increasing columns")
+
+    # interleaved ordering: x_t, then every lambda_i whose period ends at t
+    pos = np.empty(n, dtype=int)       # position of x_t
+    lpos = np.empty(n_low, dtype=int)  # position of lambda_i
+    ci = 0
+    nxt = 0
+    for t in range(n):
+        pos[t] = nxt
+        nxt += 1
+        while ci < n_low and hi[ci] == t:
+            lpos[ci] = nxt
+            nxt += 1
+            ci += 1
+    if ci != n_low:
+        raise ValueError("constraint end column beyond the high-freq axis")
+    N = n + n_low
+
+    # collect symmetric entries (a <= b) of the permuted KKT
+    rows_a, rows_b, vals = [], [], []
+    for e, g in enumerate(gdiags):
+        i = np.arange(n - e)
+        a, b2 = pos[i], pos[i + e]
+        rows_a.append(np.minimum(a, b2))
+        rows_b.append(np.maximum(a, b2))
+        vals.append(g)
+    for i in range(n_low):
+        cols = np.arange(lo[i], hi[i] + 1)
+        a = np.minimum(pos[cols], lpos[i])
+        b2 = np.maximum(pos[cols], lpos[i])
+        rows_a.append(a)
+        rows_b.append(b2)
+        vals.append(C[i, cols])
+    ra = np.concatenate(rows_a)
+    rb = np.concatenate(rows_b)
+    vv = np.concatenate(vals)
+
+    bw = int(np.max(rb - ra))
+    kl = ku = bw
+    ab = np.zeros((2 * kl + ku + 1, N))
+    diag = kl + ku
+    # upper triangle + mirrored lower triangle (skip diagonal double-add)
+    ab[diag + ra - rb, rb] += vv
+    off = ra != rb
+    ab[diag + rb[off] - ra[off], ra[off]] += vv[off]
+
+    rhs = np.zeros(N)
+    rhs[lpos] = y - C @ p
+    sol = banded_lu_solve(ab, kl, ku, rhs)
+    return p + sol[pos]
+
+
+#: above this high-frequency length the Denton family dispatches to the
+#: banded KKT path (dense is O(n^3): ~10 s and ~200 MB at 3000, hopeless at
+#: 10^5; the banded path is linear in n)
+BANDED_THRESHOLD = 2000
+
+
+# ---------------------------------------------------------------------------
 # whole-series solve (shared by the pandas API and the Spark grouped kernel)
 # ---------------------------------------------------------------------------
 
@@ -612,16 +806,20 @@ def solve_series(
     result: FitResult | None = None
     info: dict = {}
 
-    if method == "denton":
+    if method in ("denton", "denton-cholette"):
         if k != 1:
-            raise ValueError("denton supports exactly one indicator column")
-        Sigma = denton_covariance(n, X, order, criterion)
-        D = distribution_matrix(Sigma, C)
-        p = X.ravel()
-    elif method == "denton-cholette":
-        if k != 1:
-            raise ValueError("denton-cholette supports exactly one indicator column")
-        D = denton_cholette_distribution(n, n_low, C, X, order, criterion)
+            raise ValueError(f"{method} supports exactly one indicator column")
+        if n >= BANDED_THRESHOLD:
+            try:
+                y_hat = denton_banded(y, X, C, method, order, criterion)
+                return y_hat, None, {}
+            except ValueError:
+                pass  # non-contiguous constraints: fall through to dense
+        if method == "denton":
+            Sigma = denton_covariance(n, X, order, criterion)
+            D = distribution_matrix(Sigma, C)
+        else:
+            D = denton_cholette_distribution(n, n_low, C, X, order, criterion)
         p = X.ravel()
     else:
         cov_builder = COVARIANCE_BUILDERS[method]
