@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the scale claims in README.md ("broadcast the
+small side", "filters reach the scan", "no shuffle for per-row expansion")
+are checked against `executedPlan` strings so they cannot silently regress.
+
+These are *structure* tests — they run the optimizer, not the job, so they
+cost milliseconds each after session startup.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdisagg_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark's distinct-gram set must broadcast: the corpus side of
+    the overlap join never shuffles, which is what makes the audit ride the
+    scan at any corpus size."""
+    plan = _plan(Q.QUERIES["decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    """Exact top-k broadcasts the (tiny) query side; the corpus is scanned
+    in place — no corpus shuffle before the per-query aggregation."""
+    plan = _plan(Q.QUERIES["knn_bruteforce"](spark, SF))
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """Passage chunking is a per-row expansion: the plan must contain no
+    Exchange at all — it rides the scan."""
+    plan = _plan(Q.QUERIES["doc_chunks"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    plan = _plan(Q.QUERIES["repetition_stats"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    """The date predicate must reach the parquet scan (PushedFilters), and
+    the scan must not read columns the query never touches."""
+    df = Q.QUERIES["pricing_summary"](spark, SF)
+    scan = [
+        line
+        for line in _plan(df).splitlines()
+        if "FileScan" in line or "PushedFilters" in line
+    ]
+    text = "\n".join(scan)
+    assert "PushedFilters: [" in text, text
+    assert "IsNotNull" in text or "LessThanOrEqual" in text, text
+    # column pruning: the 16-column lineitem scan reads only what's needed
+    assert "l_comment" not in text, text
+
+
+def test_regional_revenue_broadcasts_dimensions(spark):
+    """The 5-way star join must broadcast the small dimension tables, not
+    shuffle the fact table once per dimension."""
+    plan = _plan(Q.QUERIES["regional_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_salted_join_uses_shuffle_hash(spark):
+    """salted_join exists for the non-broadcast path: the hint must hold."""
+    plan = _plan(Q.QUERIES["salted_user_activity"](spark, SF))
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_sequence_packing_bucket_offsets_broadcast(spark):
+    """The hierarchical prefix sum joins bucket offsets back by broadcast —
+    the doc-level side must never hash-exchange on the bucket key alone."""
+    plan = _plan(Q.QUERIES["sequence_packing"](spark, SF))
+    assert "BroadcastExchange" in plan, plan
