@@ -770,3 +770,36 @@ def test_quantize_embeddings_properties(spark):
         scale = r["scale_q"] / 1e9
         x = src[(r["vec_id"], r["pos"])]
         assert abs(x - r["q"] * scale) <= scale / 2 + 1e-9
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First-wins streaming dedup: replayed payloads within the watermark
+    are dropped; distinct payloads all pass."""
+    from tsdisagg_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    docs = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=60, freq="1min"),
+            "text": [f"payload {i % 20}" for i in range(60)],  # each text x3
+        }
+    )
+    spark.createDataFrame(docs).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    q = (
+        stream_exact_dedup(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_sink").toPandas()
+    assert len(got) == 20
+    assert sorted(got["text"]) == sorted(f"payload {i}" for i in range(20))
+    # batch twin agrees on the retained payload set
+    batch = stream_exact_dedup(static).toPandas()
+    assert sorted(batch["text"]) == sorted(got["text"])

@@ -1393,6 +1393,39 @@ def events_hourly(spark, sf_dir):
 
 
 @query(
+    "top_orders_per_segment",
+    oracle="""
+    WITH ranked AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey)
+                   AS rk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def top_orders_per_segment(spark, sf_dir):
+    """Per-group top-k (the grouped analogue of O1's global top-k): top 5
+    orders by price within each market segment via a rank window with a
+    deterministic tie-break.  Scale shape: one hash exchange on the group
+    key, then a streaming rank — never a global sort, and AQE can split a
+    skewed segment because the window partitions by the same key."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("segment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
     "embedding_quantize",
     oracle="""
     WITH s AS (

@@ -7,6 +7,7 @@ from tsdisagg_spark.streaming.disagg import (
 )
 from tsdisagg_spark.streaming.windows import (
     sliding_counts,
+    stream_exact_dedup,
     stateful_sessions,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -17,6 +18,7 @@ __all__ = [
     "latest_solutions",
     "sliding_counts",
     "stateful_sessions",
+    "stream_exact_dedup",
     "stream_sliding_counts",
     "stream_tumbling_counts",
     "streaming_disaggregate",

@@ -97,6 +97,32 @@ def stream_sliding_counts(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the incremental twin of the batch
+    ``dedup.exact_groups`` keep-one step: the first document per content
+    digest passes, replays within the watermark horizon are dropped, and
+    digest state older than the watermark is reclaimed
+    (``dropDuplicatesWithinWatermark``: state ~ distinct digests per
+    horizon, not corpus size — the knob that makes streaming dedup viable
+    at ingest rates where unbounded ``dropDuplicates`` state would grow
+    forever).  Keys on the md5 digest, not the text, so the state store
+    holds 16 bytes per entry instead of whole documents."""
+    digested = docs.withColumn("__digest", F.md5(F.col(text_col)))
+    if docs.isStreaming:
+        return (
+            digested.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__digest"])
+            .drop("__digest")
+        )
+    # batch twin: plain first-wins dedup on the digest
+    return digested.dropDuplicates(["__digest"]).drop("__digest")
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
