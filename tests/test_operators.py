@@ -803,3 +803,46 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # batch twin agrees on the retained payload set
     batch = stream_exact_dedup(static).toPandas()
     assert sorted(batch["text"]) == sorted(got["text"])
+
+
+def test_sequence_packing_property(spark):
+    """Randomized packing configs vs a sequential pure-Python reference:
+    the hierarchical prefix sum must equal naive concatenate-and-cut for
+    every (budget, bucket_size, doc length profile)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsdisagg_spark.operators import packing
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        budget=st.integers(4, 300),
+        bucket_size=st.integers(1, 40),
+        lengths=st.lists(st.integers(1, 90), min_size=1, max_size=30),
+    )
+    def check(budget, bucket_size, lengths):
+        rows = [
+            (i, " ".join(f"t{i}_{j}" for j in range(ln)))
+            for i, ln in enumerate(lengths)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = {
+            (r.doc_id, r.bin_id): r.tokens_in_bin
+            for r in packing.pack_token_stream(
+                df, budget=budget, bucket_size=bucket_size
+            ).collect()
+        }
+        want = {}
+        offset = 0
+        for i, ln in enumerate(lengths):  # sequential reference
+            start, end = offset, offset + ln
+            for b in range(start // budget, (end - 1) // budget + 1):
+                want[(i, b)] = min(end, (b + 1) * budget) - max(start, b * budget)
+            offset = end
+        assert got == want
+
+    check()
