@@ -17,6 +17,7 @@ Two paths:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -171,7 +172,11 @@ def lsh_topk(
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the max-dot-product centroid, as a pure expression: build an
     array of (dot, idx) structs and take array_max (struct ordering compares
-    fields in order, so the max dot wins; idx breaks exact ties)."""
+    fields in order, so the max dot wins; idx breaks exact ties upward).
+    Right for a handful of rows (the query side); for corpus-wide
+    assignment use :func:`_nearest_centroid_gemm` — HOF lambdas evaluate
+    interpreted per element, and the corpus-side assignment was measured at
+    0.9 s of knn_ivf's 1.6 s at sf0.1 in expression form."""
     scored = F.array(
         *[
             F.struct(
@@ -182,6 +187,26 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
         ]
     )
     return F.array_max(scored)["idx"]
+
+
+def _nearest_centroid_gemm(vec: Column, centroids: list[list[float]]) -> Column:
+    """Corpus-side centroid assignment as one BLAS GEMM per Arrow batch
+    (vectorized pandas UDF): thousands of rows x L centroids in a single
+    matrix product instead of per-element interpreted lambdas.  Tie-break
+    matches :func:`_nearest_centroid` exactly (equal scores -> higher
+    index), so the two forms are interchangeable."""
+    Cm = np.array(centroids, dtype=float)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        sims = M @ Cm.T
+        # argmax of the column-reversed matrix = LAST max in the original
+        # order = higher index on exact ties (array_max struct semantics)
+        idx = Cm.shape[0] - 1 - np.argmax(sims[:, ::-1], axis=1)
+        return pd.Series(idx.astype(np.int32))
+
+    return assign(vec)
 
 
 def _top_probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
@@ -268,9 +293,9 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cvec"),
     )
-    c = c.withColumn("list", _nearest_centroid(F.col("cvec"), centroids)).withColumn(
-        "cnorm", norm(F.col("cvec"))
-    )
+    c = c.withColumn(
+        "list", _nearest_centroid_gemm(F.col("cvec"), centroids)
+    ).withColumn("cnorm", norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qvec"),
