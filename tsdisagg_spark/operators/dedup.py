@@ -22,6 +22,8 @@ Scale design notes (the reason each operator looks the way it does):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,7 +76,20 @@ def shingle_postings(
     self-join — a boilerplate shingle shared by 1M docs would otherwise
     produce 10^12 join rows in one partition)."""
     postings = _spread(df).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle")
+        F.col(id_col),
+        # the posting key is the shingle's 64-bit hash, not the string: the
+        # self-join and window exchange then move 8-byte longs instead of
+        # ~40-byte strings, and the window sort compares integers.  A hash
+        # collision would merge two shingles' postings (overcounting one
+        # intersection by one) — at 2^64 key space that needs ~10^9 distinct
+        # shingles per corpus before a single collision is likely.
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("shingle"),
     )
     if max_doc_freq is not None:
         # document frequency as an unordered window count: ONE exchange
@@ -165,17 +180,16 @@ def minhash_signatures(
     per element, while explode + hash-aggregate stays in whole-stage
     codegen.  Measured, not guessed (see BENCH notes).
 
-    Hash-count note: the shingle string is hashed ONCE (xxhash64); the
-    ``num_hashes`` slot values derive from that 64-bit value by integer
-    mixing (murmur over (long, slot)).  Hashing the string per slot costs
-    ~num_hashes x string-length byte mixing per posting row — measured ~25%
-    of the whole signature stage at 32 slots.
+    Hash-count note: the shingle string is hashed ONCE (the posting key is
+    already the shingle's xxhash64); the ``num_hashes`` slot values derive
+    from that 64-bit value by integer mixing (murmur over (long, slot)).
+    Hashing the string per slot costs ~num_hashes x string-length byte
+    mixing per posting row — measured ~25% of the whole signature stage at
+    32 slots.
     """
-    postings = shingle_postings(df, id_col, text_col, n).withColumn(
-        "sh64", F.xxhash64("shingle")
-    )
+    postings = shingle_postings(df, id_col, text_col, n)
     mins = [
-        F.min(F.hash(F.col("sh64"), F.lit(i))).alias(f"h{i}")
+        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agged = postings.groupBy(id_col).agg(*mins)
@@ -280,8 +294,17 @@ def simhash64(
     """SimHash per document: ``(id, simhash long)``.
 
     Per bit position: sum +1/-1 over the document's word hashes, take the
-    sign.  Expressed as one conditional-sum aggregate column per bit
-    (columnar, codegen) folded into one long.
+    sign.  A document's tokens already live in its own row, so the whole
+    computation is SHUFFLE-FREE: token hashing stays JVM-side as
+    ``transform(words(text), xxhash64)`` (no explode, no groupBy — an
+    earlier version exploded to 1 row/token and aggregated 64 conditional
+    sums back, paying a full-corpus shuffle plus seconds of janino codegen
+    for the 64-wide aggregate), and the 64 sign-sums fold in ONE
+    Arrow-vectorized pandas UDF per row batch: ``unpackbits`` on the
+    little-endian bytes of the hash array gives the (tokens x 64) bit
+    matrix, ``add.reduceat`` sums it per document.  This is the documented
+    exception where a Pandas UDF beats built-ins: 64 per-bit aggregates are
+    one numpy matrix op, but 64 separate codegen expressions.
 
     ``token_hash`` picks the per-token hash:
 
@@ -296,30 +319,41 @@ def simhash64(
     from tsdisagg_spark.operators.text import words
 
     nbits = _simhash_nbits(token_hash)
-    tokens = _spread(df).select(
-        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
-    )
     if token_hash == "md5":
-        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        h_of = lambda tok: F.conv(  # noqa: E731
+            F.substring(F.md5(tok), 1, 15), 16, 10
+        ).cast("long")
     else:
-        h = F.xxhash64("tok")
-    tokens = tokens.withColumn("h", h)
+        h_of = lambda tok: F.xxhash64(tok)  # noqa: E731 — *args fn can't be a HOF lambda directly
 
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(nbits)
-    ]
-    agged = tokens.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for i in range(nbits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: xor == or
-    return agged.select(F.col(id_col), sim.alias("simhash"))
+    @F.pandas_udf("long")
+    def fold_signs(hs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(a) for a in hs), count=len(hs), dtype=np.int64)
+        out = np.zeros(len(hs), dtype=np.uint64)
+        if lens.sum():
+            flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hs])
+            # little-endian byte view: unpackbits column k == bit k of the value
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            offsets = np.zeros(len(hs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # reduceat only over non-empty docs: their offsets are strictly
+            # increasing and in-bounds (empty docs would repeat or overrun)
+            nz = lens > 0
+            ones = np.zeros((len(hs), nbits), dtype=np.int64)
+            ones[nz] = np.add.reduceat(bits, offsets[nz], axis=0)[:, :nbits]
+            # sign rule: majority of ones, exact tie -> 0 (sum +1/-1 > 0)
+            code = (2 * ones.astype(np.int64) > lens[:, None]).astype(np.uint64)
+            out = (code << np.arange(nbits, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))
+
+    hashes = F.transform(words(F.col(text_col)), h_of)
+    return _spread(df).select(
+        F.col(id_col), fold_signs(hashes).alias("simhash")
+    )
 
 
 def _simhash_nbits(token_hash: str) -> int:
@@ -367,7 +401,9 @@ def simhash_pairs(
     width = nbits // n_bands
     mask = (1 << width) - 1
 
-    sims = simhash64(df, id_col, text_col, token_hash=token_hash)
+    # persisted: the banding self-join consumes sims on BOTH sides — without
+    # this the whole tokenize+hash+fold pipeline runs twice
+    sims = simhash64(df, id_col, text_col, token_hash=token_hash).persist()
     bands = sims.select(
         F.col(id_col),
         F.col("simhash"),

@@ -93,11 +93,13 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy checkpoint: the checksum aggregate right after is the single
+        # action that materializes it — one job per round, not two
+        .localCheckpoint(eager=False)
     )
     prev = _edge_checksum(edges)
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _edge_checksum(edges)
         if cur == prev:
             break
