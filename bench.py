@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_components",        # iterative large-star/small-star clustering
     "sequence_packing",        # hierarchical prefix sum + bin explode
     "events_sliding",          # overlapping hop-window aggregation
+    "events_asof_purchase",    # as-of join via union + ordered window
+    "gap_fill_nation",         # timeline completion + linear interpolation
 ]
 
 

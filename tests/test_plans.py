@@ -79,3 +79,28 @@ def test_sequence_packing_bucket_offsets_broadcast(spark):
     the doc-level side must never hash-exchange on the bucket key alone."""
     plan = _plan(Q.QUERIES["sequence_packing"](spark, SF))
     assert "BroadcastExchange" in plan, plan
+
+
+def test_asof_join_has_no_join_node(spark):
+    """The as-of join is a union + ordered window: the physical plan must
+    contain ZERO join operators (the |L| x |R| range-join blow-up is the
+    thing this formulation exists to avoid) and exactly one window sort."""
+    plan = _plan(Q.QUERIES["events_asof_purchase"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_gap_fill_merges_both_direction_windows(spark):
+    """Trailing (last-observation) and leading (next-observation) windows
+    share partitioning AND ascending sort order, so Catalyst must merge all
+    the interpolation's window expressions into a SINGLE Window physical
+    node over one sort — a second Window node would mean the leading
+    window was expressed with a reversed ordering and pays its own sort."""
+    plan = _plan(Q.QUERIES["gap_fill_nation"](spark, SF))
+    assert plan.count("Window ") == 1, plan
+
+
+def test_rolling_stats_single_window_node(spark):
+    """All four rolling stats share one frame: one Window physical node."""
+    plan = _plan(Q.QUERIES["rolling_revenue"](spark, SF))
+    assert plan.count("Window") == 1, plan

@@ -1,0 +1,208 @@
+"""Time-series relational operators: as-of join (vs pandas merge_asof),
+gap-fill interpolation (vs pandas interpolate), rolling stats (vs pandas
+rolling), indicator correlation (vs numpy corrcoef)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsdisagg_spark.operators import timeseries
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (1, _ts("2024-01-01T09:00:00"), "c"),  # before any right row
+            (2, _ts("2024-01-01T11:00:00"), "d"),
+            (3, _ts("2024-01-01T11:00:00"), "e"),  # key with no right rows
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 10.0),  # equal-instant tie
+            (1, _ts("2024-01-01T11:30:00"), 20.0),
+            (2, _ts("2024-01-01T09:00:00"), 30.0),
+        ],
+        "user_id long, ts timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(asof_frames):
+    left, right = asof_frames
+    out = timeseries.asof_join(left, right, on=["user_id"]).toPandas()
+    by_tag = out.set_index("tag")
+    assert by_tag.loc["a", "price"] == 10.0  # tie is visible when inclusive
+    assert by_tag.loc["b", "price"] == 20.0
+    assert pd.isna(by_tag.loc["c", "price"])
+    assert by_tag.loc["d", "price"] == 30.0
+    assert pd.isna(by_tag.loc["e", "price"])
+
+
+def test_asof_backward_strict(asof_frames):
+    left, right = asof_frames
+    out = timeseries.asof_join(left, right, on=["user_id"], strict=True).toPandas()
+    by_tag = out.set_index("tag")
+    assert pd.isna(by_tag.loc["a", "price"])  # equal instant excluded
+
+
+def test_asof_forward(asof_frames):
+    left, right = asof_frames
+    out = timeseries.asof_join(
+        left, right, on=["user_id"], direction="forward"
+    ).toPandas()
+    by_tag = out.set_index("tag")
+    assert by_tag.loc["c", "price"] == 10.0  # next right row at 10:00
+    assert by_tag.loc["a", "price"] == 10.0  # inclusive tie
+    assert pd.isna(by_tag.loc["b", "price"])  # nothing after 12:00
+    assert pd.isna(by_tag.loc["d", "price"])  # right row is before
+
+
+def test_asof_inner_and_tolerance(asof_frames):
+    left, right = asof_frames
+    inner = timeseries.asof_join(left, right, on=["user_id"], how="inner").toPandas()
+    assert set(inner["tag"]) == {"a", "b", "d"}
+    tol = timeseries.asof_join(
+        left, right, on=["user_id"], tolerance_seconds=3600.0
+    ).toPandas().set_index("tag")
+    assert tol.loc["a", "price"] == 10.0  # 0s gap
+    assert tol.loc["b", "price"] == 20.0  # 30min gap
+    assert pd.isna(tol.loc["d", "price"])  # 2h gap > tolerance
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 150
+    lp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="s"),
+        }
+    ).drop_duplicates(["k", "ts"])
+    rp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="s"),
+            "v": rng.uniform(0, 1, n_r).round(6),
+        }
+    ).drop_duplicates(["k", "ts"])
+    expected = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("ts"), on="ts", by="k"
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+
+    out = (
+        timeseries.asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            on=["k"],
+        )
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        out["v"], expected["v"], check_names=False
+    )
+
+
+def test_rolling_stats_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "sid": np.repeat(["a", "b"], 20),
+            "ts": list(pd.date_range("2020-01-01", periods=20, freq="MS")) * 2,
+            "value": rng.uniform(10, 500, 40).round(2),
+        }
+    )
+    out = (
+        timeseries.rolling_stats(spark.createDataFrame(pdf), ["sid"], "ts", "value", n=3)
+        .toPandas()
+        .sort_values(["sid", "ts"])
+        .reset_index(drop=True)
+    )
+    grp = pdf.sort_values(["sid", "ts"]).groupby("sid")["value"]
+    exp_avg = grp.rolling(3, min_periods=1).mean().round(2).reset_index(drop=True)
+    exp_std = grp.rolling(3, min_periods=1).std().round(2).reset_index(drop=True)
+    # atol 0.011: pandas round() is banker's, Spark's is HALF_UP — exact
+    # .005 ties (avg of 2-decimal inputs) legitimately differ by one cent
+    np.testing.assert_allclose(out["avg_3"], exp_avg, atol=0.011)
+    assert out["std_3"].isna().equals(exp_std.isna())
+    np.testing.assert_allclose(
+        out["std_3"].dropna(), exp_std.dropna(), atol=0.011
+    )
+    assert list(out["n_window"][:3]) == [1, 2, 3]
+
+
+def test_gap_fill_linear_interpolation(spark):
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["s"] * 3,
+            "ts": pd.to_datetime(["2020-01-01", "2020-04-01", "2020-05-01"]),
+            "value": [100.0, 400.0, 150.0],
+        }
+    )
+    out = (
+        timeseries.gap_fill(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5  # jan..may
+    np.testing.assert_allclose(out["value"], [100.0, 200.0, 300.0, 400.0, 150.0])
+    assert list(out["interpolated"]) == [False, True, True, False, False]
+
+
+def test_gap_fill_multi_series_independent_spans(spark):
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a", "a", "b", "b"],
+            "ts": pd.to_datetime(
+                ["2020-01-01", "2020-03-01", "2021-06-01", "2021-08-01"]
+            ),
+            "value": [1.0, 3.0, 10.0, 30.0],
+        }
+    )
+    out = timeseries.gap_fill(spark.createDataFrame(pdf)).toPandas()
+    a = out[out.series_id == "a"].sort_values("ts")
+    b = out[out.series_id == "b"].sort_values("ts")
+    assert len(a) == 3 and len(b) == 3
+    np.testing.assert_allclose(a["value"], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(b["value"], [10.0, 20.0, 30.0])
+
+
+def test_indicator_corr_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, 50)
+    y = 3 * x + rng.normal(0, 0.1, 50)
+    z = rng.uniform(0, 1, 50)
+    pdf = pd.DataFrame(
+        {
+            "sid": "s",
+            "ts": pd.date_range("2020-01-01", periods=50, freq="D"),
+            "y": y,
+            "x1": x,
+            "x2": z,
+        }
+    )
+    out = timeseries.indicator_corr(
+        spark.createDataFrame(pdf), "sid", "y", ["x1", "x2"]
+    ).toPandas()
+    assert out.loc[0, "n_obs"] == 50
+    np.testing.assert_allclose(
+        out.loc[0, "corr_x1"], np.corrcoef(y, x)[0, 1], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        out.loc[0, "corr_x2"], np.corrcoef(y, z)[0, 1], atol=1e-6
+    )

@@ -1,0 +1,261 @@
+"""Time-series relational operators beyond the reference's surface: as-of
+join, rolling-window statistics, gap-filling with linear interpolation, and
+indicator-correlation ranking.
+
+These are the queries a user of a temporal-disaggregation library runs
+*around* the disaggregation itself — aligning two event streams (as-of),
+smoothing an indicator (rolling stats), completing a sparse indicator
+timeline before using it as a regressor (gap-fill), and choosing which
+indicator to regress on (correlation ranking).  The reference stays inside
+pandas where ``merge_asof`` / ``rolling`` / ``interpolate`` do these on one
+machine (see pandas-adjacent usage around ts_disagg.py:298 where alignment
+is an outer merge); here each is a shuffle-lean distributed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: attach to every left row the single right row with the
+    largest ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' is
+    the mirror) sharing the equi-key ``on``.
+
+    Implemented as a UNION + ordered window, not a range join: both sides
+    are tagged and unioned, partitioned by the key, sorted once by
+    (timestamp, tag), and the right row's payload is propagated with
+    ``last(..., ignorenulls=True)``.  One shuffle, one sort, zero join
+    nodes — the row count through the exchange is |L| + |R|, never the
+    |L| x |R| blow-up a naive range-condition join risks, which is the
+    difference between viable and not at 100 TB.  Skew note: one key's
+    rows land in one task (any ordered-window operator does); keys here are
+    user/series grains, far finer than the task count at scale.
+
+    Ties (equal timestamps): with ``strict=False`` the right row at the
+    same instant is visible to the left row; ``strict=True`` requires
+    strictly earlier (later, for 'forward').  If several right rows share
+    one (key, timestamp), the propagated payload is the one sorting last by
+    the right payload struct's field order — pre-aggregate duplicates away
+    if that matters (the registry queries do).
+
+    ``right_cols`` are emitted with a ``matched_`` prefix on the timestamp
+    (``matched_ts``) and verbatim names for payload columns, so callers
+    control collisions by renaming up front.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
+
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    # tag ordering encodes the tie rule: the side that must be visible at an
+    # equal timestamp sorts first in scan order
+    right_tag, left_tag = (0, 1) if not strict else (1, 0)
+
+    rpay = F.struct(
+        F.col(right_ts).alias("__mts"), *[F.col(c) for c in right_cols]
+    )
+    r_side = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_tag).alias("__tag"),
+        rpay.alias("__rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("__lts"),
+        F.lit(False).alias("__is_left"),
+    )
+    l_side = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_tag).alias("__tag"),
+        F.lit(None).cast(r_side.schema["__rpay"].dataType).alias("__rpay"),
+        *[F.col(c) for c in left_payload],
+        F.col(left_ts).alias("__lts"),
+        F.lit(True).alias("__is_left"),
+    )
+    unioned = r_side.unionByName(l_side)
+
+    asc = direction == "backward"
+    order = [F.col("__ts").asc() if asc else F.col("__ts").desc(), F.col("__tag").asc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__rpay", ignorenulls=True).over(w)
+
+    out = (
+        unioned.withColumn("__m", matched)
+        .filter(F.col("__is_left"))
+        .select(
+            *on,
+            F.col("__lts").alias(left_ts),
+            *left_payload,
+            F.col("__m.__mts").alias("matched_ts"),
+            *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+        )
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(left_ts).cast("double") - F.col("matched_ts").cast("double")
+        )
+        out = out.withColumn(
+            "matched_ts",
+            F.when(gap <= tolerance_seconds, F.col("matched_ts")),
+        )
+        for c in right_cols:
+            out = out.withColumn(c, F.when(gap <= tolerance_seconds, F.col(c)))
+    if how == "inner":
+        out = out.filter(F.col("matched_ts").isNotNull())
+    return out
+
+
+def rolling_stats(
+    df: DataFrame,
+    partition_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n: int = 3,
+) -> DataFrame:
+    """Trailing ``n``-row window statistics per series: avg / sample-std /
+    min / max over the current row and the ``n-1`` preceding, plus
+    ``n_window`` (how many rows the frame actually held, < n at the head).
+
+    One hash exchange on the series key, one sort, four aggregates sharing
+    the same window frame — Catalyst evaluates them in a single Window
+    physical node, so the cost is the sort, not the stat count.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    return df.select(
+        *partition_cols,
+        ts_col,
+        value_col,
+        F.round(F.avg(value_col).over(w), 2).alias(f"avg_{n}"),
+        F.round(F.stddev_samp(value_col).over(w), 2).alias(f"std_{n}"),
+        F.round(F.min(value_col).over(w), 2).alias(f"min_{n}"),
+        F.round(F.max(value_col).over(w), 2).alias(f"max_{n}"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_months: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Complete each series' timeline at a fixed month step between its own
+    first and last observation, linearly interpolating missing values —
+    the standard repair for a gappy indicator before it can drive a
+    regression-based disaggregation (the reference outright *requires*
+    gap-free inputs, ts_disagg.py:221-231; this operator manufactures
+    them).
+
+    Plan shape: one tiny per-series min/max aggregate expands to the dense
+    timeline via ``sequence`` + ``explode`` (rows = series x months, never
+    wider), a left join pulls in the observed points, and ONE exchange +
+    ONE sort feeds two Window nodes (trailing last-observation and leading
+    next-observation, same partitioning/ordering — Catalyst reuses the
+    sort).  Output: ``(series, ts, value, interpolated)`` where boundary
+    rows are observed by construction.
+    """
+    span = df.groupBy(series_col).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    timeline = span.select(
+        series_col,
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"INTERVAL {step_months} MONTH"),
+            )
+        ).alias(ts_col),
+    )
+    joined = timeline.join(
+        df.select(series_col, ts_col, value_col), [series_col, ts_col], "left"
+    )
+
+    w_back = (
+        Window.partitionBy(series_col)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(series_col)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col(ts_col))
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+
+    frac = F.months_between(F.col(ts_col), prev_t) / F.months_between(
+        next_t, prev_t
+    )
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    # 6-decimal default, NOT 2: interpolated values frequently land exactly
+    # on half-cent boundaries (a cents difference divided by a small gap
+    # length), where engines disagree on tie direction; at 6 decimals the
+    # tie class is empty for currency-scale magnitudes
+    return joined.select(
+        series_col,
+        ts_col,
+        F.round(filled, round_to).alias(value_col),
+        v.isNull().alias("interpolated"),
+    )
+
+
+def indicator_corr(
+    df: DataFrame,
+    series_col: str,
+    y_col: str,
+    x_cols: list[str],
+) -> DataFrame:
+    """Pearson correlation of the target against each candidate indicator,
+    per series — the indicator-selection step before a Chow-Lin /
+    Litterman fit (the reference leaves choosing ``high_freq_df``'s
+    columns entirely to the user; this ranks them).
+
+    ``corr`` is an algebraic aggregate (sum, sum-of-squares, cross-sum):
+    map-side partial aggregation applies, so the shuffle carries one
+    partial state per (series, partition), not the rows.
+    """
+    aggs = [
+        F.round(F.corr(y_col, x), 6).alias(f"corr_{x}") for x in x_cols
+    ]
+    return df.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("n_obs"), *aggs
+    )

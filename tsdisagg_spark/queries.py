@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tsdisagg_spark.operators import dedup, similarity, text
+from tsdisagg_spark.operators import dedup, similarity, text, timeseries
 from tsdisagg_spark.spark import periods
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2571,6 +2571,194 @@ def pipeline_clean_corpus(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min("keep_id").cast("long").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series relational extensions: as-of join, rolling stats, gap fill,
+# indicator selection (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_asof_purchase",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, MAX(value) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT user_id, event_id, ts
+               FROM events WHERE event_type = 'click')
+    SELECT c.user_id, c.event_id, c.ts,
+           p.ts AS purchase_ts,
+           ROUND(p.purchase_value, 6) AS purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_purchase(spark, sf_dir):
+    """As-of join: every click annotated with the user's most recent
+    purchase at-or-before it.  The engine's implementation is a UNION +
+    ordered window — one shuffle carrying |clicks| + |purchases| rows, no
+    range-join blow-up (operators/timeseries.py:asof_join); the oracle is
+    DuckDB's native ASOF LEFT JOIN.  Purchases are pre-aggregated per
+    (user, instant) so ties are deterministic in both engines."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = timeseries.asof_join(
+        clicks, purchases, on=["user_id"], right_cols=["purchase_value"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("matched_ts").alias("purchase_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+@query(
+    "rolling_revenue",
+    oracle="""
+    WITH m AS (SELECT l_returnflag AS series_id,
+                      CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
+                      SUM(l_extendedprice) AS revenue
+               FROM lineitem GROUP BY 1, 2)
+    SELECT series_id, ts, ROUND(revenue, 2) AS revenue,
+           ROUND(AVG(revenue) OVER w, 2) AS avg_3,
+           ROUND(STDDEV_SAMP(revenue) OVER w, 2) AS std_3,
+           ROUND(MIN(revenue) OVER w, 2) AS min_3,
+           ROUND(MAX(revenue) OVER w, 2) AS max_3,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+    FROM m
+    WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_revenue(spark, sf_dir):
+    """Trailing 3-month window statistics per return-flag series — the
+    indicator-smoothing step before a disaggregation fit.  One exchange on
+    the series key; all four stats share a single Window physical node
+    (operators/timeseries.py:rolling_stats)."""
+    li = t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("series_id"),
+        F.date_trunc("month", "l_shipdate").alias("ts"),
+    ).agg(F.sum("l_extendedprice").alias("revenue"))
+    out = timeseries.rolling_stats(
+        monthly, ["series_id"], "ts", "revenue", n=3
+    )
+    return out.withColumn("revenue", F.round("revenue", 2))
+
+
+@query(
+    "gap_fill_nation",
+    oracle="""
+    WITH a AS (SELECT n.n_name AS series_id,
+                      CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS ts,
+                      ROUND(SUM(o.o_totalprice), 2) AS revenue
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               WHERE o.o_orderpriority = '1-URGENT'
+               GROUP BY 1, 2),
+         span AS (SELECT series_id, MIN(ts) AS lo, MAX(ts) AS hi
+                  FROM a GROUP BY 1),
+         tl AS (SELECT series_id, CAST(gs AS TIMESTAMP) AS ts
+                FROM span, LATERAL (SELECT unnest(generate_series(lo, hi,
+                                    INTERVAL 1 MONTH)) AS gs) g),
+         j AS (SELECT tl.series_id, tl.ts, a.revenue
+               FROM tl LEFT JOIN a USING (series_id, ts)),
+         w AS (SELECT series_id, ts, revenue,
+                      LAST_VALUE(revenue IGNORE NULLS) OVER wb AS pv,
+                      LAST_VALUE(CASE WHEN revenue IS NOT NULL THEN ts END
+                                 IGNORE NULLS) OVER wb AS pt,
+                      FIRST_VALUE(revenue IGNORE NULLS) OVER wf AS nv,
+                      FIRST_VALUE(CASE WHEN revenue IS NOT NULL THEN ts END
+                                  IGNORE NULLS) OVER wf AS nt
+               FROM j
+               WINDOW wb AS (PARTITION BY series_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wf AS (PARTITION BY series_id ORDER BY ts
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT series_id, ts,
+           ROUND(CASE WHEN revenue IS NOT NULL THEN revenue
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) *
+                           (datediff('month', pt, ts) * 1.0 /
+                            datediff('month', pt, nt)) END, 6) AS revenue,
+           revenue IS NULL AS interpolated
+    FROM w
+    """,
+)
+def gap_fill_nation(spark, sf_dir):
+    """Gap-filled monthly urgent-order revenue per nation: each series'
+    timeline is completed at month grain between its own endpoints and the
+    holes are linearly interpolated — the repair step that makes a gappy
+    indicator usable by the disaggregation kernels (which, like the
+    reference ts_disagg.py:221-231, require gap-free inputs).  Plan: tiny
+    span aggregate -> sequence/explode timeline -> left join -> ONE
+    exchange + ONE sort feeding both direction windows
+    (operators/timeseries.py:gap_fill)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    actual = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("series_id"),
+            F.date_trunc("month", "o_orderdate").alias("ts"),
+        )
+        # observed points are rounded to cents BEFORE interpolation so the
+        # interpolation arithmetic runs on engine-identical doubles (raw
+        # partial-agg sums differ in the last ulp between engines, which
+        # flips the final cent-rounding on boundary values)
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return timeseries.gap_fill(actual, "series_id", "ts", "revenue")
+
+
+@query(
+    "indicator_corr_flags",
+    oracle="""
+    WITH m AS (SELECT l_returnflag AS series_id,
+                      date_trunc('month', l_shipdate) AS ts,
+                      SUM(l_extendedprice) AS y,
+                      SUM(l_quantity) AS x_qty,
+                      COUNT(*) AS x_items
+               FROM lineitem GROUP BY 1, 2)
+    SELECT series_id,
+           COUNT(*) AS n_obs,
+           ROUND(CORR(y, x_qty), 6) AS corr_x_qty,
+           ROUND(CORR(y, x_items), 6) AS corr_x_items
+    FROM m GROUP BY 1
+    """,
+)
+def indicator_corr_flags(spark, sf_dir):
+    """Indicator selection: Pearson correlation of monthly revenue against
+    two candidate indicators (shipped quantity, item count) per return-flag
+    series — the ranking a user runs before choosing ``high_freq_df``
+    columns for a Chow-Lin fit.  corr is algebraic, so the shuffle moves
+    one partial state per (series, partition)
+    (operators/timeseries.py:indicator_corr)."""
+    li = t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("series_id"),
+        F.date_trunc("month", "l_shipdate").alias("ts"),
+    ).agg(
+        F.sum("l_extendedprice").alias("y"),
+        F.sum("l_quantity").alias("x_qty"),
+        F.count(F.lit(1)).cast("double").alias("x_items"),
+    )
+    return timeseries.indicator_corr(
+        monthly, "series_id", "y", ["x_qty", "x_items"]
     )
 
 
