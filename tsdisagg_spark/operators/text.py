@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: tiny per-language function-word sets for the n-gram language heuristic.
 #: Deliberately small: the heuristic is a cheap first-pass router, not a
@@ -238,6 +239,54 @@ def top_ngrams(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by tf-idf — the keyword/topic signal of
+    a corpus index: ``(id, term, score, rank)`` with
+    ``score = tf * ln(N / df)`` rounded to 6 decimals and rank ties broken
+    by term string so the result is deterministic across engines.
+
+    Plan shape: term frequencies are a map-side-combined hash aggregate on
+    (doc, term); document frequencies aggregate THAT result (one row per
+    (doc, term), so no second pass over raw text); N arrives as a
+    broadcast one-row cross join; the final top-k is a rank filter per
+    document.  Three shuffles total — (doc,term), term, doc — each on a
+    key that grows with the corpus, so no single reducer hot-spots at
+    scale.  Ranking compares the ROUNDED score: engines may differ in the
+    last ulp of ``ln``, and an unrounded ordering could rank two
+    near-equal terms differently.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dft")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", F.col("rank").cast("long").alias("rank"))
     )
 
 

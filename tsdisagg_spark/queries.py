@@ -2762,6 +2762,96 @@ def indicator_corr_flags(spark, sf_dir):
     )
 
 
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.dft), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf-idf (operators/text.py:tfidf_top_terms)
+    — corpus keyword extraction with rank ties broken on the rounded score
+    so both engines order identically."""
+    return text.tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "customer_quartiles",
+    oracle="""
+    WITH q AS (
+        SELECT c_mktsegment,
+               NTILE(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS quartile,
+               c_acctbal
+        FROM customer
+    )
+    SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+    FROM q GROUP BY 1, 2
+    """,
+)
+def customer_quartiles(spark, sf_dir):
+    """Equal-frequency binning: NTILE(4) over account balance per market
+    segment, summarized per bin.  The ordering includes the customer key so
+    balance ties land in the same bin in every engine."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def order_value_percentiles(spark, sf_dir):
+    """Exact linearly-interpolated percentiles of order value per priority
+    class — Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same order-statistic definition, so the oracle is a direct recompute.
+    Exact percentile sorts each group; at 100 TB swap in
+    ``approx_percentile`` (t-digest) — same call shape, bounded error."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
