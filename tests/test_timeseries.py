@@ -206,3 +206,51 @@ def test_indicator_corr_matches_numpy(spark):
     np.testing.assert_allclose(
         out.loc[0, "corr_x2"], np.corrcoef(y, z)[0, 1], atol=1e-6
     )
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce exactly the
+    batch twin's pairs once the availableNow trigger drains the source."""
+    from tsdisagg_spark.streaming.joins import interval_join
+
+    src = str(tmp_path / "iv_src")
+    rng = np.random.default_rng(5)
+    events = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86_400, 300), unit="s"),
+            "user_id": rng.integers(0, 10, 300),
+            "kind": rng.choice(["click", "purchase"], 300),
+            "value": rng.uniform(0, 100, 300).round(6),
+        }
+    )
+    spark.createDataFrame(events).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    def split(df):
+        clicks = df.filter(df.kind == "click").select("user_id", "ts")
+        purchases = df.filter(df.kind == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        return clicks, purchases
+
+    sc, sp = split(stream)
+    q = (
+        interval_join(sc, sp, on="user_id", upper="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("iv_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from iv_join").toPandas()
+
+    bc, bp = split(static)
+    expected = interval_join(bc, bp, on="user_id", upper="30 minutes").toPandas()
+    key = ["user_id", "ts", "r_ts"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[expected.columns],
+        expected.sort_values(key).reset_index(drop=True),
+    )

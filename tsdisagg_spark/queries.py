@@ -2852,6 +2852,44 @@ def order_value_percentiles(spark, sf_dir):
     )
 
 
+@query(
+    "click_purchase_conversions",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.ts AS purchase_ts, ROUND(p.value, 6) AS purchase_value
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def click_purchase_conversions(spark, sf_dir):
+    """Interval join: every (click, purchase) pair by the same user within
+    one hour — the attribution query.  The engine call
+    (streaming/joins.py:interval_join) is the SAME code that runs as a
+    watermarked stream-stream join on streaming inputs; here its batch twin
+    is checked against a plain SQL range join."""
+    from tsdisagg_spark.streaming.joins import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = interval_join(clicks, purchases, on="user_id", upper="1 hour")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+        F.round("r_value", 6).alias("purchase_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -5,6 +5,7 @@ from tsdisagg_spark.streaming.disagg import (
     latest_solutions,
     streaming_disaggregate,
 )
+from tsdisagg_spark.streaming.joins import interval_join
 from tsdisagg_spark.streaming.windows import (
     sliding_counts,
     stream_exact_dedup,
@@ -15,6 +16,7 @@ from tsdisagg_spark.streaming.windows import (
 )
 
 __all__ = [
+    "interval_join",
     "latest_solutions",
     "sliding_counts",
     "stateful_sessions",
