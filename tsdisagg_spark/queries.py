@@ -2890,6 +2890,83 @@ def click_purchase_conversions(spark, sf_dir):
     )
 
 
+@query(
+    "supplier_region_summary",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l.l_partkey) AS n_parts,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def supplier_region_summary(spark, sf_dir):
+    """Supply-side star join: fact table against three broadcast dimensions
+    (supplier -> nation -> region), two distinct-aggregations and a revenue
+    sum per region.  The fact table shuffles once for the distinct
+    expansion; dimensions never shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "brand_margin",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(DISTINCT p.p_partkey) AS n_parts,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(AVG(l.l_extendedprice / l.l_quantity / p.p_retailprice), 6)
+               AS realized_price_ratio
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def brand_margin(spark, sf_dir):
+    """Pricing-realization per brand: each lineitem's unit price against
+    the part's list price — broadcast join on the part dimension, the fact
+    table never shuffles before the aggregate's map-side partials."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(
+                F.avg(
+                    F.col("l_extendedprice")
+                    / F.col("l_quantity")
+                    / F.col("p_retailprice")
+                ),
+                6,
+            ).alias("realized_price_ratio"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
