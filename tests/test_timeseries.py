@@ -254,3 +254,47 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         got.sort_values(key).reset_index(drop=True)[expected.columns],
         expected.sort_values(key).reset_index(drop=True),
     )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_property_vs_merge_asof(spark, direction, strict):
+    """Randomized equivalence with pandas merge_asof over every
+    direction x tie-rule combination (allow_exact_matches == not strict)."""
+    rng = np.random.default_rng(hash((direction, strict)) % 2**32)
+    lp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 300),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 2_000, 300), unit="s"),
+        }
+    ).drop_duplicates(["k", "ts"])
+    rp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 120),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 2_000, 120), unit="s"),
+            "v": rng.uniform(0, 1, 120).round(6),
+        }
+    ).drop_duplicates(["k", "ts"])
+    expected = pd.merge_asof(
+        lp.sort_values("ts"),
+        rp.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction=direction,
+        allow_exact_matches=not strict,
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    out = (
+        timeseries.asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            on=["k"],
+            direction=direction,
+            strict=strict,
+        )
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(out["v"], expected["v"], check_names=False)
