@@ -1,0 +1,85 @@
+"""Storage layouts: period-partitioned parquet must prune at file-listing
+time; series-bucketed tables must feed keyed aggregations shuffle-free."""
+
+from pyspark.sql import functions as F
+
+from tsdisagg_spark import sources
+from tsdisagg_spark.queries import t
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    orders = t(spark, SF, "orders")
+    path = str(tmp_path / "orders_by_year")
+    sources.write_partitioned(orders, path, ts_col="o_orderdate", granularity="year")
+
+    pruned = sources.read_partitioned(spark, path, periods=["1996"], granularity="year")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    filt = plan[plan.find("PartitionFilters") :].splitlines()[0]
+    assert "p_year" in filt and "1996" in filt, filt
+
+    # pruning is semantic too: only 1996 rows come back
+    got = pruned.select(F.year("o_orderdate").alias("y")).distinct().collect()
+    assert [r["y"] for r in got] == [1996]
+
+
+def test_partitioned_roundtrip_preserves_rows(spark, tmp_path):
+    orders = t(spark, SF, "orders")
+    path = str(tmp_path / "orders_by_month")
+    sources.write_partitioned(orders, path, ts_col="o_orderdate", granularity="month")
+    back = sources.read_partitioned(spark, path)
+    assert back.count() == orders.count()
+
+
+def test_bucketed_aggregation_is_shuffle_free(spark, tmp_path):
+    """The whole point of bucketing: groupBy on the bucket key reads the
+    layout as a satisfied distribution — zero Exchange in the plan."""
+    orders = t(spark, SF, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    sources.write_bucketed(
+        orders,
+        "tsd_test_orders_bucketed",
+        bucket_col="o_custkey",
+        n_buckets=8,
+        sort_col="o_orderdate",
+        path=str(tmp_path / "orders_bucketed"),
+    )
+    try:
+        tb = sources.read_bucketed(spark, "tsd_test_orders_bucketed")
+        agg = tb.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        assert "Exchange" not in _plan(agg), _plan(agg)
+        # and the data survives the round trip
+        assert tb.count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tsd_test_orders_bucketed")
+
+
+def test_bucketed_self_join_has_no_shuffle_exchange(spark, tmp_path):
+    """A self-join on the bucket key must not hash-exchange either side
+    (broadcast is disabled to force the sort-merge path bucketing serves)."""
+    orders = t(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    sources.write_bucketed(
+        orders,
+        "tsd_test_orders_bucketed_j",
+        bucket_col="o_custkey",
+        n_buckets=8,
+        sort_col=None,
+        path=str(tmp_path / "orders_bucketed_j"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tb = sources.read_bucketed(spark, "tsd_test_orders_bucketed_j")
+        j = tb.alias("a").join(tb.alias("b"), "o_custkey")
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS tsd_test_orders_bucketed_j")
