@@ -2967,6 +2967,83 @@ def brand_margin(spark, sf_dir):
     )
 
 
+@query(
+    "cross_modal_dup_audit",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    rare AS (SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) <= 20),
+    sh AS (SELECT doc_id, shingle FROM sh_all JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ROUND(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+    FROM pairs p
+    JOIN v va ON p.id_a = va.vec_id
+    JOIN v vb ON p.id_b = vb.vec_id
+    """,
+)
+def cross_modal_dup_audit(spark, sf_dir):
+    """Cross-modal consistency audit: every TEXT near-dup pair (exact
+    shingle Jaccard, df-capped — the jaccard_near_dups pair set) annotated
+    with its EMBEDDING cosine, via two broadcast joins against the
+    embedding table.  The query a pipeline owner runs to check that the
+    lexical and semantic dedup signals agree before trusting either at
+    scale; at 100 TB the pair set is tiny relative to the corpus, so the
+    embedding lookups are broadcast- or semi-join-sized, never a corpus
+    shuffle."""
+    from tsdisagg_spark.operators.similarity import _as_double, dot, norm
+
+    pairs = dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_doc_freq=20
+    )
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("e")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        norm(F.col("e")).alias("n_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        norm(F.col("e")).alias("n_b"),
+    )
+    return (
+        pairs.join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
