@@ -298,3 +298,24 @@ def test_asof_property_vs_merge_asof(spark, direction, strict):
         .reset_index(drop=True)
     )
     pd.testing.assert_series_equal(out["v"], expected["v"], check_names=False)
+
+
+def test_clip_outliers_bounds_and_flags(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 100,
+            "value": list(range(1, 100)) + [10_000.0],  # one extreme outlier
+        }
+    )
+    out = timeseries.clip_outliers(
+        spark.createDataFrame(pdf), ["g"], "value", lower_q=0.05, upper_q=0.95
+    ).toPandas()
+    assert out["clipped"].sum() > 0
+    assert out["value_clipped"].max() < 10_000.0
+    lo = np.quantile(pdf["value"], 0.05)
+    hi = np.quantile(pdf["value"], 0.95)
+    np.testing.assert_allclose(out["value_clipped"].min(), round(lo, 6), atol=1e-6)
+    np.testing.assert_allclose(out["value_clipped"].max(), round(hi, 6), atol=1e-6)
+    # non-outliers pass through untouched
+    inner = out[~out["clipped"]]
+    np.testing.assert_allclose(inner["value_clipped"], inner["value"].round(6))

@@ -238,6 +238,43 @@ def gap_fill(
     )
 
 
+def clip_outliers(
+    df: DataFrame,
+    partition_cols: list[str],
+    value_col: str = "value",
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Winsorize ``value_col`` at per-group exact quantiles — the robust
+    preprocessing step before an outlier-sensitive fit (a single fat-finger
+    observation otherwise dominates a GLS indicator regression).
+
+    Adds ``<value>_clipped`` plus a ``clipped`` flag; group bounds come
+    from ONE aggregate (both quantiles in a single ``percentile`` pass)
+    broadcast-joined back, so the fact rows shuffle zero times.  Exact
+    percentile gathers each group's values executor-side; at 100 TB swap
+    ``approx_percentile`` into the same shape for a t-digest sketch with
+    bounded error.
+    """
+    bounds = df.groupBy(*partition_cols).agg(
+        F.expr(
+            f"percentile({value_col}, array({lower_q}, {upper_q}))"
+        ).alias("__b")
+    ).select(
+        *partition_cols,
+        F.col("__b")[0].alias("__lo"),
+        F.col("__b")[1].alias("__hi"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), partition_cols)
+        .withColumn(f"{value_col}_clipped", F.round(clipped, 6))
+        .withColumn("clipped", (v < F.col("__lo")) | (v > F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+
+
 def indicator_corr(
     df: DataFrame,
     series_col: str,

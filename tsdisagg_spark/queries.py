@@ -3044,6 +3044,33 @@ def cross_modal_dup_audit(spark, sf_dir):
     )
 
 
+@query(
+    "order_value_winsorized",
+    oracle="""
+    WITH b AS (SELECT o_orderpriority,
+                      quantile_cont(o_totalprice, 0.05) AS lo,
+                      quantile_cont(o_totalprice, 0.95) AS hi
+               FROM orders GROUP BY 1)
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           ROUND(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi), 6)
+               AS o_totalprice_clipped,
+           (o.o_totalprice < b.lo OR o.o_totalprice > b.hi) AS clipped
+    FROM orders o JOIN b USING (o_orderpriority)
+    """,
+)
+def order_value_winsorized(spark, sf_dir):
+    """Winsorization at per-priority p05/p95 — robust preprocessing before
+    an outlier-sensitive indicator regression
+    (operators/timeseries.py:clip_outliers).  Bounds come from one
+    percentile aggregate broadcast back; the fact rows never shuffle."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return timeseries.clip_outliers(
+        o, ["o_orderpriority"], "o_totalprice", lower_q=0.05, upper_q=0.95
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
