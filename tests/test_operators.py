@@ -846,3 +846,18 @@ def test_sequence_packing_property(spark):
         assert got == want
 
     check()
+
+
+def test_simhash_tolerates_null_text(spark):
+    """A corpus row with NULL text must be skipped (no signature), not
+    crash the vectorized sign-fold."""
+    from tsdisagg_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    sims = dedup.simhash64(df).toPandas()
+    assert set(sims["doc_id"]) == {1, 3}
+    pairs = dedup.simhash_pairs(df, max_hamming=3).toPandas()
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(1, 3)]

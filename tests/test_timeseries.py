@@ -244,7 +244,7 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not drain in 120s"
     got = spark.sql("select * from iv_join").toPandas()
 
     bc, bp = split(static)
@@ -261,7 +261,10 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
 def test_asof_property_vs_merge_asof(spark, direction, strict):
     """Randomized equivalence with pandas merge_asof over every
     direction x tie-rule combination (allow_exact_matches == not strict)."""
-    rng = np.random.default_rng(hash((direction, strict)) % 2**32)
+    # explicit per-combination seeds: hash() is salted per process and would
+    # make a failing dataset unreproducible
+    seed = {"backward": 101, "forward": 202}[direction] + int(strict)
+    rng = np.random.default_rng(seed)
     lp = pd.DataFrame(
         {
             "k": rng.integers(0, 4, 300),
@@ -319,3 +322,28 @@ def test_clip_outliers_bounds_and_flags(spark):
     # non-outliers pass through untouched
     inner = out[~out["clipped"]]
     np.testing.assert_allclose(inner["value_clipped"], inner["value"].round(6))
+
+
+def test_gap_fill_preserves_off_grid_observations(spark):
+    """Observations not on the lo + k*month grid must survive as anchors
+    (an earlier formulation's grid-only left join silently dropped them)."""
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["s"] * 2,
+            "ts": pd.to_datetime(["2020-01-15", "2020-03-01"]),
+            "value": [100.0, 300.0],
+        }
+    )
+    out = (
+        timeseries.gap_fill(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    obs = out[~out.interpolated]
+    assert len(obs) == 2  # both observations present
+    assert set(pd.to_datetime(obs["ts"])) == set(pd.to_datetime(pdf["ts"]))
+    np.testing.assert_allclose(sorted(obs["value"]), [100.0, 300.0])
+    # the grid point between them interpolates toward the real 03-01 anchor
+    mid = out[out.interpolated]
+    assert (mid["value"] > 100.0).all() and (mid["value"] < 300.0).all()

@@ -328,10 +328,17 @@ def simhash64(
 
     @F.pandas_udf("long")
     def fold_signs(hs: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(a) for a in hs), count=len(hs), dtype=np.int64)
+        # null text -> null token array -> None element here; treat as empty
+        # (the row is filtered out below, matching the explode formulation
+        # where a null array produced no rows and the doc had no signature)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hs), count=len(hs), dtype=np.int64
+        )
         out = np.zeros(len(hs), dtype=np.uint64)
         if lens.sum():
-            flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hs])
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs if a is not None]
+            )
             # little-endian byte view: unpackbits column k == bit k of the value
             bits = np.unpackbits(
                 flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
@@ -351,8 +358,12 @@ def simhash64(
         return pd.Series(out.view(np.int64))
 
     hashes = F.transform(words(F.col(text_col)), h_of)
-    return _spread(df).select(
-        F.col(id_col), fold_signs(hashes).alias("simhash")
+    # null-text docs carry no signature (parity with the explode formulation,
+    # where a null token array produced no rows); the filter pushes to the scan
+    return (
+        _spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), fold_signs(hashes).alias("simhash"))
     )
 
 

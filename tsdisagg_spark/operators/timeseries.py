@@ -48,9 +48,10 @@ def asof_join(
     Ties (equal timestamps): with ``strict=False`` the right row at the
     same instant is visible to the left row; ``strict=True`` requires
     strictly earlier (later, for 'forward').  If several right rows share
-    one (key, timestamp), the propagated payload is the one sorting last by
-    the right payload struct's field order — pre-aggregate duplicates away
-    if that matters (the registry queries do).
+    one (key, timestamp), which payload propagates is ARBITRARY (scan
+    order within the sorted partition) — pre-aggregate duplicate
+    (key, timestamp) rows away if determinism matters (the registry
+    queries do).
 
     ``right_cols`` are emitted with a ``matched_`` prefix on the timestamp
     (``matched_ts``) and verbatim names for payload columns, so callers
@@ -114,15 +115,22 @@ def asof_join(
         )
     )
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col(left_ts).cast("double") - F.col("matched_ts").cast("double")
+        # one select, gap computed ONCE from the pre-mask matched_ts — a
+        # withColumn chain would re-derive gap from the already-nulled
+        # column and only work by accident of null propagation
+        gap_ok = (
+            F.abs(
+                F.col(left_ts).cast("double") - F.col("matched_ts").cast("double")
+            )
+            <= tolerance_seconds
         )
-        out = out.withColumn(
-            "matched_ts",
-            F.when(gap <= tolerance_seconds, F.col("matched_ts")),
+        out = out.select(
+            *on,
+            left_ts,
+            *left_payload,
+            F.when(gap_ok, F.col("matched_ts")).alias("matched_ts"),
+            *[F.when(gap_ok, F.col(c)).alias(c) for c in right_cols],
         )
-        for c in right_cols:
-            out = out.withColumn(c, F.when(gap <= tolerance_seconds, F.col(c)))
     if how == "inner":
         out = out.filter(F.col("matched_ts").isNotNull())
     return out
@@ -134,6 +142,7 @@ def rolling_stats(
     ts_col: str = "ts",
     value_col: str = "value",
     n: int = 3,
+    round_to: int | None = 2,
 ) -> DataFrame:
     """Trailing ``n``-row window statistics per series: avg / sample-std /
     min / max over the current row and the ``n-1`` preceding, plus
@@ -142,20 +151,23 @@ def rolling_stats(
     One hash exchange on the series key, one sort, four aggregates sharing
     the same window frame — Catalyst evaluates them in a single Window
     physical node, so the cost is the sort, not the stat count.
+    ``round_to`` defaults to cents for currency series; pass a higher
+    precision (or ``None`` for no rounding) for rate/ratio-scale values.
     """
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(F.col(ts_col).asc())
         .rowsBetween(-(n - 1), Window.currentRow)
     )
+    rnd = (lambda c: c) if round_to is None else (lambda c: F.round(c, round_to))
     return df.select(
         *partition_cols,
         ts_col,
         value_col,
-        F.round(F.avg(value_col).over(w), 2).alias(f"avg_{n}"),
-        F.round(F.stddev_samp(value_col).over(w), 2).alias(f"std_{n}"),
-        F.round(F.min(value_col).over(w), 2).alias(f"min_{n}"),
-        F.round(F.max(value_col).over(w), 2).alias(f"max_{n}"),
+        rnd(F.avg(value_col).over(w)).alias(f"avg_{n}"),
+        rnd(F.stddev_samp(value_col).over(w)).alias(f"std_{n}"),
+        rnd(F.min(value_col).over(w)).alias(f"min_{n}"),
+        rnd(F.max(value_col).over(w)).alias(f"max_{n}"),
         F.count(F.lit(1)).over(w).alias("n_window"),
     )
 
@@ -186,7 +198,7 @@ def gap_fill(
     span = df.groupBy(series_col).agg(
         F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
     )
-    timeline = span.select(
+    grid = span.select(
         series_col,
         F.explode(
             F.sequence(
@@ -196,6 +208,13 @@ def gap_fill(
             )
         ).alias(ts_col),
     )
+    # the timeline is the month grid UNION the observed stamps: an
+    # observation off the lo + k*step grid (unaligned day-of-month, uneven
+    # spacing) would otherwise miss the left join and silently vanish; the
+    # union keeps every observation as an anchor the gaps interpolate toward
+    # (months_between handles fractional months), and is a no-op for inputs
+    # already on the grid
+    timeline = grid.unionByName(df.select(series_col, ts_col)).distinct()
     joined = timeline.join(
         df.select(series_col, ts_col, value_col), [series_col, ts_col], "left"
     )

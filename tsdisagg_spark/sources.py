@@ -65,11 +65,16 @@ def read_partitioned(
 
     The filter is expressed on the partition column so Catalyst turns it
     into a PartitionFilter — pruned directories are never even listed into
-    the scan."""
+    the scan.  Partition-column TYPE inference may read the written strings
+    back as int (``p_year``) or date (``p_day``); the filter runs against
+    the inferred type (Spark folds the string literals, so pruning still
+    fires), and the column is then cast back to string so the round-tripped
+    schema matches what ``write_partitioned`` wrote."""
+    part_col = f"p_{granularity}"
     df = spark.read.parquet(path)
     if periods is not None:
-        df = df.filter(F.col(f"p_{granularity}").isin(periods))
-    return df
+        df = df.filter(F.col(part_col).isin(periods))
+    return df.withColumn(part_col, F.col(part_col).cast("string"))
 
 
 def write_bucketed(
