@@ -3071,6 +3071,56 @@ def order_value_winsorized(spark, sf_dir):
     )
 
 
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+)
+def revenue_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (SURVEY 2.4 notes the reference has
+    no grouping sets; Spark exposes them natively): per (year, priority),
+    per year, and grand total in ONE aggregation pass — the expansion
+    happens inside the hash aggregate, not as three scans."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").cast("long").alias("year"), "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "returnflag_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS rev_A,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS rev_N,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS rev_R
+    FROM lineitem GROUP BY 1
+    """,
+)
+def returnflag_pivot(spark, sf_dir):
+    """Long-to-wide pivot: monthly revenue as one column per return flag.
+    The pivot values are declared explicitly so the plan is a single
+    conditional hash aggregation — an undeclared pivot would need an extra
+    distinct-values job before planning."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+        .withColumnsRenamed({"A": "rev_A", "N": "rev_N", "R": "rev_R"})
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
