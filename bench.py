@@ -45,6 +45,8 @@ HEADLINE = [
     "events_sliding",          # overlapping hop-window aggregation
     "events_asof_purchase",    # as-of join via union + ordered window
     "gap_fill_nation",         # timeline completion + linear interpolation
+    "tfidf_top_terms",         # corpus indexing: tf x idf + per-doc top-k
+    "supplier_region_summary", # distinct-heavy star join over broadcast dims
 ]
 
 
