@@ -115,6 +115,7 @@ def disaggregate(
     value_col: str = "y",
     errors: str = "raise",
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Disaggregate many low-frequency series to a higher frequency at once.
 
@@ -133,8 +134,16 @@ def disaggregate(
         empty group) instead of failing the job — at millions of series one
         malformed group should not kill a 1000-executor stage.
     num_partitions : int, optional
-        Partition count for the kernel stage; defaults to 4x the cluster's
-        default parallelism (see :func:`_partition_for_kernel`).
+        Partition count for the kernel stage; defaults to one partition per
+        core (see :func:`_partition_for_kernel`).
+    pre_partitioned : bool
+        Skip the kernel-stage repartition entirely: pass ``True`` when
+        ``low`` already carries a hash distribution on ``series_col`` the
+        grouped kernel can reuse — e.g. a series-bucketed table
+        (``sources.write_bucketed``) on the companion-index path (no
+        indicators; an internal union would otherwise discard the input's
+        partitioning).  The nightly re-run over a bucketed layout then has
+        ZERO exchanges before the kernel (plan-asserted in tests).
 
     Returns
     -------
@@ -204,7 +213,11 @@ def disaggregate(
                 ).astype({ts_col: "datetime64[ns]", "y_hat": "float64"})
             raise RuntimeError(f"disaggregation failed for series {sid!r}: {exc}") from exc
 
-    partitioned = _partition_for_kernel(unioned, series_col, num_partitions)
+    partitioned = (
+        unioned
+        if pre_partitioned
+        else _partition_for_kernel(unioned, series_col, num_partitions)
+    )
     return partitioned.groupBy(series_col).applyInPandas(solve_group, schema=out_schema)
 
 
