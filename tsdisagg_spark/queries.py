@@ -3121,6 +3121,88 @@ def returnflag_pivot(spark, sf_dir):
     )
 
 
+@query(
+    "signup_funnel",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS c_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+        FROM events GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN s_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_signed_up,
+           CAST(SUM(CASE WHEN c_ts > s_ts THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicked_after,
+           CAST(SUM(CASE WHEN p_ts > c_ts AND c_ts > s_ts THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_converted
+    FROM f
+    """,
+)
+def signup_funnel(spark, sf_dir):
+    """Ordered funnel: users who signed up, then clicked, then purchased —
+    stage membership from each user's FIRST event of each type, so the
+    whole funnel is one conditional-min aggregation per user plus one
+    global rollup.  No self-joins, no window scans: two map-side-combined
+    aggregates at any event volume."""
+    ev = t(spark, sf_dir, "events")
+    first = lambda kind: F.min(  # noqa: E731
+        F.when(F.col("event_type") == kind, F.col("ts"))
+    )
+    f = ev.groupBy("user_id").agg(
+        first("signup").alias("s_ts"),
+        first("click").alias("c_ts"),
+        first("purchase").alias("p_ts"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        flag(F.col("s_ts").isNotNull()).alias("n_signed_up"),
+        flag(F.col("c_ts") > F.col("s_ts")).alias("n_clicked_after"),
+        flag(
+            (F.col("p_ts") > F.col("c_ts")) & (F.col("c_ts") > F.col("s_ts"))
+        ).alias("n_converted"),
+    )
+
+
+@query(
+    "order_value_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS bucket_value
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def order_value_histogram(spark, sf_dir):
+    """Equi-width 20-bucket histogram of order value: global min/max from
+    one tiny aggregate broadcast back (scalar subquery), bucket index as a
+    codegen floor expression, counts map-side combined.  The top edge
+    clamps into the last bucket in both engines."""
+    o = t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
