@@ -104,3 +104,16 @@ def test_rolling_stats_single_window_node(spark):
     """All four rolling stats share one frame: one Window physical node."""
     plan = _plan(Q.QUERIES["rolling_revenue"](spark, SF))
     assert plan.count("Window") == 1, plan
+
+
+def test_supply_star_joins_broadcast_dimensions(spark):
+    for q in ("supplier_region_summary", "brand_margin"):
+        plan = _plan(Q.QUERIES[q](spark, SF))
+        assert "BroadcastHashJoin" in plan, (q, plan)
+        # the fact scan reads only needed columns
+        assert "l_comment" not in plan, (q, plan)
+
+
+def test_histogram_bounds_are_broadcast(spark):
+    plan = _plan(Q.QUERIES["order_value_histogram"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -347,3 +347,29 @@ def test_gap_fill_preserves_off_grid_observations(spark):
     # the grid point between them interpolates toward the real 03-01 anchor
     mid = out[out.interpolated]
     assert (mid["value"] > 100.0).all() and (mid["value"] < 300.0).all()
+
+
+def test_gap_fill_matches_pandas_interpolate(spark):
+    """Randomized on-grid series with holes: gap_fill must equal pandas
+    resample+interpolate('linear') (equal month spacing makes index-linear
+    and month-weighted interpolation coincide)."""
+    rng = np.random.default_rng(17)
+    idx = pd.date_range("2019-01-01", periods=40, freq="MS")
+    full = pd.Series(rng.uniform(50, 150, 40).round(6), index=idx)
+    keep = np.sort(
+        np.concatenate([[0, 39], rng.choice(np.arange(1, 39), 20, replace=False)])
+    )
+    sparse = full.iloc[keep]
+    pdf = pd.DataFrame(
+        {"series_id": "s", "ts": sparse.index, "value": sparse.to_numpy()}
+    )
+    out = (
+        timeseries.gap_fill(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    expected = sparse.resample("MS").interpolate("linear")
+    assert len(out) == 40
+    np.testing.assert_allclose(out["value"], expected.round(6), atol=1e-6)
+    assert (~out["interpolated"]).sum() == len(sparse)
