@@ -110,8 +110,9 @@ def test_supply_star_joins_broadcast_dimensions(spark):
     for q in ("supplier_region_summary", "brand_margin"):
         plan = _plan(Q.QUERIES[q](spark, SF))
         assert "BroadcastHashJoin" in plan, (q, plan)
-        # the fact scan reads only needed columns
-        assert "l_comment" not in plan, (q, plan)
+        # column pruning: l_tax exists in the schema but neither query
+        # touches it, so a scan reading it would mean pruning regressed
+        assert "l_tax" not in plan, (q, plan)
 
 
 def test_histogram_bounds_are_broadcast(spark):

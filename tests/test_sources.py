@@ -127,3 +127,24 @@ def test_bucketed_disaggregation_skips_kernel_exchange(spark, tmp_path):
         assert abs(reagg.loc[("s0", 2000)] - (100.0 + 0 + 2000)) < 1e-6
     finally:
         spark.sql("DROP TABLE IF EXISTS tsd_test_low_bucketed")
+
+
+def test_pre_partitioned_rejects_indicator_path(spark):
+    """pre_partitioned with indicators would silently reintroduce the AQE
+    coalescing pathology (the union discards partitioning) — must raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    low = spark.createDataFrame(
+        [("s", dt.datetime(2000, 1, 1), 1.0)],
+        "series_id string, ts timestamp, y double",
+    )
+    ind = spark.createDataFrame(
+        [("s", dt.datetime(2000, 1, 1), 1.0)],
+        "series_id string, ts timestamp, x1 double",
+    )
+    with _pytest.raises(ValueError, match="pre_partitioned"):
+        disaggregate(low, ind, pre_partitioned=True)

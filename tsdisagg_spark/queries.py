@@ -3172,7 +3172,10 @@ def signup_funnel(spark, sf_dir):
     oracle="""
     WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
                FROM orders)
-    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+    -- width floored at 1e-12: a degenerate hi == lo input would otherwise
+    -- divide 0/0 (NaN buckets in Spark, CAST error in DuckDB)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) /
+                            GREATEST((hi - lo) / 20, 1e-12)), 19)
                 AS BIGINT) AS bucket,
            COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS bucket_value
@@ -3189,7 +3192,9 @@ def order_value_histogram(spark, sf_dir):
     b = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    width = (F.col("hi") - F.col("lo")) / 20
+    # width floored at 1e-12 so a degenerate hi == lo input buckets to 0
+    # instead of producing NaN (Spark) / a CAST error (DuckDB oracle)
+    width = F.greatest((F.col("hi") - F.col("lo")) / 20, F.lit(1e-12))
     bucket = F.least(
         F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
     ).cast("long")

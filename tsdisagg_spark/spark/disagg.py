@@ -151,6 +151,16 @@ def disaggregate(
     """
     if errors not in ("raise", "skip"):
         raise ValueError("errors must be 'raise' or 'skip'")
+    if pre_partitioned and indicators is not None:
+        # the internal union with the indicator frame discards any input
+        # partitioning, so honoring the flag here would hand AQE a byte-tiny
+        # unguarded shuffle it coalesces to 1-2 tasks — the serialization
+        # pathology _partition_for_kernel exists to prevent
+        raise ValueError(
+            "pre_partitioned=True is only valid without indicators: the "
+            "internal target/indicator union discards the input's "
+            "partitioning, so the kernel repartition cannot be skipped."
+        )
 
     unioned, ind_cols = _tagged_union(low, indicators, series_col, ts_col, value_col)
 
