@@ -861,3 +861,19 @@ def test_simhash_tolerates_null_text(spark):
     assert set(sims["doc_id"]) == {1, 3}
     pairs = dedup.simhash_pairs(df, max_hamming=3).toPandas()
     assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(1, 3)]
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """The documented 100 TB cardinality path: approx_count_distinct (HLL++)
+    must land within its configured relative error of the exact count on
+    the real testdata (exact countDistinct is the small-scale oracle)."""
+    from pyspark.sql import functions as F
+
+    from tsdisagg_spark.queries import t
+
+    li = t(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"], row
