@@ -324,6 +324,58 @@ def test_clip_outliers_bounds_and_flags(spark):
     np.testing.assert_allclose(inner["value_clipped"], inner["value"].round(6))
 
 
+def test_clip_outliers_null_group_keys_survive(spark):
+    """NULL group keys form their own percentile group and must come back
+    through the (null-safe) bounds join — an equi-join would silently drop
+    them from the output."""
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 50 + [None] * 50,
+            "value": [float(i) for i in range(50)] + [float(100 + i) for i in range(50)],
+        }
+    )
+    out = timeseries.clip_outliers(
+        spark.createDataFrame(pdf), ["g"], "value", lower_q=0.05, upper_q=0.95
+    ).toPandas()
+    assert len(out) == 100  # no row vanished
+    null_rows = out[out["g"].isna()]
+    assert len(null_rows) == 50
+    # NULL group clipped against ITS OWN bounds (values 100..149), not "a"'s
+    lo = np.quantile(pdf["value"][50:], 0.05)
+    hi = np.quantile(pdf["value"][50:], 0.95)
+    np.testing.assert_allclose(null_rows["value_clipped"].min(), round(lo, 6), atol=1e-6)
+    np.testing.assert_allclose(null_rows["value_clipped"].max(), round(hi, 6), atol=1e-6)
+
+
+def test_asof_null_keys_never_match(spark):
+    """pandas merge_asof / DuckDB ASOF JOIN semantics: NULL keys don't
+    join.  NULL-key left rows emit unmatched; NULL-key right rows are
+    invisible even to NULL-key left rows in the same window partition."""
+    left = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01T12:00:00"), "null-left"),
+            (1, _ts("2024-01-01T12:00:00"), "matched"),
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01T10:00:00"), 99.0),  # must never propagate
+            (1, _ts("2024-01-01T10:00:00"), 10.0),
+        ],
+        "user_id long, ts timestamp, price double",
+    )
+    out = timeseries.asof_join(left, right, on=["user_id"]).toPandas()
+    by_tag = out.set_index("tag")
+    assert len(out) == 2
+    assert pd.isna(by_tag.loc["null-left", "price"])
+    assert by_tag.loc["matched", "price"] == 10.0
+    inner = timeseries.asof_join(
+        left, right, on=["user_id"], how="inner"
+    ).toPandas()
+    assert inner["tag"].tolist() == ["matched"]
+
+
 def test_gap_fill_preserves_off_grid_observations(spark):
     """Observations not on the lo + k*month grid must survive as anchors
     (an earlier formulation's grid-only left join silently dropped them)."""

@@ -18,6 +18,14 @@ Scale design notes (the reason each operator looks the way it does):
 * **SimHash** — 64 sign-sums per document (columnar aggregates, codegen),
   band-blocked for candidate generation, exact Hamming distance via
   ``bit_count(xor)`` to verify.
+
+Cache lifetime: the pair functions ``persist()`` an intermediate
+(signatures / posting lists) that feeds both sides of a self-join, and
+return a LAZY DataFrame — so the cached blocks cannot be dropped inside the
+function without forcing an extra job.  The cache lifetime is
+caller-managed: after materializing the result, call
+``spark.catalog.clearCache()`` (or keep a handle and ``unpersist()``) in
+long-lived sessions; a one-shot job can rely on session teardown.
 """
 
 from __future__ import annotations
@@ -398,6 +406,10 @@ def simhash_pairs(
     selective buckets — at corpus scale prefer raising ``max_hamming`` only
     as far as the band width you can afford, since bucket occupancy (and
     the candidate join fan-out) grows ~N / 2**band_width.
+
+    The signatures DataFrame is ``persist()``-ed (both self-join sides read
+    it) and stays cached after this call returns — caller-managed lifetime;
+    see the module docstring.
     """
     nbits = _simhash_nbits(token_hash)
     if n_bands is None:

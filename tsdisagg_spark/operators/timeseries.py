@@ -56,6 +56,12 @@ def asof_join(
     ``right_cols`` are emitted with a ``matched_`` prefix on the timestamp
     (``matched_ts``) and verbatim names for payload columns, so callers
     control collisions by renaming up front.
+
+    NULL keys never match (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics): NULL-keyed right rows are filtered before the union, so a
+    NULL-keyed left row flows through unmatched (dropped under
+    ``how='inner'``) instead of pairing with NULL-keyed right rows that
+    happen to co-partition with it.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -70,6 +76,12 @@ def asof_join(
     # tag ordering encodes the tie rule: the side that must be visible at an
     # equal timestamp sorts first in scan order
     right_tag, left_tag = (0, 1) if not strict else (1, 0)
+
+    # NULL-keyed right rows can never legitimately match anything — drop
+    # them map-side so they can't propagate to NULL-keyed left rows that
+    # land in the same window partition
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
 
     rpay = F.struct(
         F.col(right_ts).alias("__mts"), *[F.col(c) for c in right_cols]
@@ -274,23 +286,32 @@ def clip_outliers(
     percentile gathers each group's values executor-side; at 100 TB swap
     ``approx_percentile`` into the same shape for a t-digest sketch with
     bounded error.
+
+    The bounds join is NULL-SAFE (``<=>``): ``groupBy`` puts NULL-keyed
+    rows in their own group, and a plain equi-join would then silently drop
+    exactly those rows on the way back.  With ``<=>`` they rejoin their own
+    group's bounds — no row of ``df`` ever vanishes (SQL mirror:
+    ``IS NOT DISTINCT FROM``).
     """
     bounds = df.groupBy(*partition_cols).agg(
         F.expr(
             f"percentile({value_col}, array({lower_q}, {upper_q}))"
         ).alias("__b")
     ).select(
-        *partition_cols,
+        *[F.col(c).alias(f"__k_{c}") for c in partition_cols],
         F.col("__b")[0].alias("__lo"),
         F.col("__b")[1].alias("__hi"),
     )
+    cond = F.lit(True)
+    for c in partition_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
     v = F.col(value_col)
     clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
     return (
-        df.join(F.broadcast(bounds), partition_cols)
+        df.join(F.broadcast(bounds), cond)
         .withColumn(f"{value_col}_clipped", F.round(clipped, 6))
         .withColumn("clipped", (v < F.col("__lo")) | (v > F.col("__hi")))
-        .drop("__lo", "__hi")
+        .drop("__lo", "__hi", *[f"__k_{c}" for c in partition_cols])
     )
 
 

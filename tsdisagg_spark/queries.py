@@ -2626,9 +2626,9 @@ def events_asof_purchase(spark, sf_dir):
     oracle="""
     WITH m AS (SELECT l_returnflag AS series_id,
                       CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
-                      SUM(l_extendedprice) AS revenue
+                      ROUND(SUM(l_extendedprice), 2) AS revenue
                FROM lineitem GROUP BY 1, 2)
-    SELECT series_id, ts, ROUND(revenue, 2) AS revenue,
+    SELECT series_id, ts, revenue,
            ROUND(AVG(revenue) OVER w, 2) AS avg_3,
            ROUND(STDDEV_SAMP(revenue) OVER w, 2) AS std_3,
            ROUND(MIN(revenue) OVER w, 2) AS min_3,
@@ -2643,16 +2643,17 @@ def rolling_revenue(spark, sf_dir):
     """Trailing 3-month window statistics per return-flag series — the
     indicator-smoothing step before a disaggregation fit.  One exchange on
     the series key; all four stats share a single Window physical node
-    (operators/timeseries.py:rolling_stats)."""
+    (operators/timeseries.py:rolling_stats).  Monthly revenue is rounded to
+    cents BEFORE the window (mirrored in the oracle CTE) so both engines
+    window over identical doubles — raw partial-sum orderings differ in the
+    last ulp and a half-cent boundary would otherwise flip under the two
+    engines' rounding rules (same discipline as gap_fill_nation)."""
     li = t(spark, sf_dir, "lineitem")
     monthly = li.groupBy(
         F.col("l_returnflag").alias("series_id"),
         F.date_trunc("month", "l_shipdate").alias("ts"),
-    ).agg(F.sum("l_extendedprice").alias("revenue"))
-    out = timeseries.rolling_stats(
-        monthly, ["series_id"], "ts", "revenue", n=3
-    )
-    return out.withColumn("revenue", F.round("revenue", 2))
+    ).agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    return timeseries.rolling_stats(monthly, ["series_id"], "ts", "revenue", n=3)
 
 
 @query(
@@ -3055,14 +3056,18 @@ def cross_modal_dup_audit(spark, sf_dir):
            ROUND(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi), 6)
                AS o_totalprice_clipped,
            (o.o_totalprice < b.lo OR o.o_totalprice > b.hi) AS clipped
-    FROM orders o JOIN b USING (o_orderpriority)
+    FROM orders o
+    JOIN b ON o.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
     """,
 )
 def order_value_winsorized(spark, sf_dir):
     """Winsorization at per-priority p05/p95 — robust preprocessing before
     an outlier-sensitive indicator regression
     (operators/timeseries.py:clip_outliers).  Bounds come from one
-    percentile aggregate broadcast back; the fact rows never shuffle."""
+    percentile aggregate broadcast back; the fact rows never shuffle.  The
+    bounds re-join is null-safe on BOTH engines (`<=>` / IS NOT DISTINCT
+    FROM) so NULL-keyed fact rows keep their own group's bounds instead of
+    vanishing."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
