@@ -3178,9 +3178,12 @@ def signup_funnel(spark, sf_dir):
     WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
                FROM orders)
     -- width floored at 1e-12: a degenerate hi == lo input would otherwise
-    -- divide 0/0 (NaN buckets in Spark, CAST error in DuckDB)
-    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) /
-                            GREATEST((hi - lo) / 20, 1e-12)), 19)
+    -- divide 0/0 (NaN buckets in Spark, CAST error in DuckDB); the ratio is
+    -- rounded at 9 decimals BEFORE floor (same on the Spark side) so a value
+    -- landing a hair off a bucket edge after the two engines' double
+    -- arithmetic can't floor into different buckets
+    SELECT CAST(LEAST(FLOOR(ROUND((o_totalprice - lo) /
+                                  GREATEST((hi - lo) / 20, 1e-12), 9)), 19)
                 AS BIGINT) AS bucket,
            COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS bucket_value
@@ -3200,8 +3203,12 @@ def order_value_histogram(spark, sf_dir):
     # width floored at 1e-12 so a degenerate hi == lo input buckets to 0
     # instead of producing NaN (Spark) / a CAST error (DuckDB oracle)
     width = F.greatest((F.col("hi") - F.col("lo")) / 20, F.lit(1e-12))
+    # the bucket ratio is rounded at 9 decimals before floor (mirrored in
+    # the oracle) — values an ulp below an integer edge would otherwise
+    # floor into different buckets per engine
     bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+        F.floor(F.round((F.col("o_totalprice") - F.col("lo")) / width, 9)),
+        F.lit(19),
     ).cast("long")
     return (
         o.crossJoin(F.broadcast(b))
