@@ -47,6 +47,16 @@ HEADLINE = [
     "gap_fill_nation",         # timeline completion + linear interpolation
     "tfidf_top_terms",         # corpus indexing: tf x idf + per-doc top-k
     "supplier_region_summary", # distinct-heavy star join over broadcast dims
+    "signup_funnel",           # ordered multi-stage event funnel
+    "order_value_histogram",   # equi-width bucketing off a broadcast min/max
+    "revenue_rollup",          # GROUP BY ROLLUP hierarchy aggregation
+    "returnflag_pivot",        # pivoted aggregation (flag x status grid)
+    "order_value_percentiles", # exact percentile aggregation per group
+    "order_value_winsorized",  # percentile bounds broadcast-joined back
+    "rolling_revenue",         # trailing-window stats, single Window node
+    "doc_chunks",              # codegen document slicing (1-to-N explode)
+    "embedding_quantize",      # vectorized int8 quantization over arrays
+    "stratified_sample",       # deterministic md5-bucket stratified sample
 ]
 
 

@@ -104,3 +104,23 @@ def test_query_without_oracle_runs(name, spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_readme_counts_match_registry():
+    """README's query/oracle counts are DERIVED claims — this pins them to
+    the registry so adding a query without updating the doc fails CI
+    (round-2 review found the doc 20 queries stale)."""
+    import re
+
+    readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
+    n_q, n_o = len(entry_mod.queries()), len(entry_mod.oracle_sql())
+    n_rows_only = n_q - n_o
+    assert f"{n_q} queries, {n_o} DuckDB oracles" in readme, (
+        f"README registry line is stale: registry has {n_q} queries / "
+        f"{n_o} oracles"
+    )
+    assert f"`queries()` ({n_q} operators" in readme
+    assert f"`oracle_sql()` ({n_o} DuckDB equivalents" in readme
+    assert f"the {n_rows_only} rows-only entries" in readme, (
+        f"README rows-only count is stale: registry has {n_rows_only}"
+    )
