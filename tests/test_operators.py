@@ -877,3 +877,83 @@ def test_approx_distinct_within_tolerance(spark):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"], row
+
+
+def test_real_decoders_roundtrip():
+    """The pure-Python decoders parse GENUINE containers: WAV through the
+    stdlib wave module, PPM/BMP through their documented binary layouts —
+    features must equal segment means of the known raw samples."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    # --- WAV: 512 samples 0..255 cycling, known segment means
+    data = bytes(range(256)) * 2
+    payload = multimodal.make_wav_pcm8(data)
+    assert len(payload) == 556  # 44-byte canonical header + 512 samples
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getnframes()) == (1, 1, 512)
+    feats = multimodal.decode_wav(payload)
+    assert feats.shape == (multimodal.FEATURE_DIM,)
+    expected = np.frombuffer(data, np.uint8).reshape(16, 32).mean(axis=1) / 255.0
+    np.testing.assert_allclose(feats, expected, rtol=1e-6)
+
+    # truncation + zero-padding: short data pads, long data truncates
+    short = multimodal.decode_wav(multimodal.make_wav_pcm8(b"\xff" * 32))
+    np.testing.assert_allclose(short[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(short[1:], 0.0)
+
+    # --- PPM: 4x4 all-128 image (with a header comment)
+    ppm = b"P6\n# comment\n4 4\n255\n" + bytes([128]) * 48
+    np.testing.assert_allclose(
+        multimodal.decode_ppm(ppm), 128.0 / 255.0, rtol=1e-6
+    )
+
+    # --- BMP: 2x2 24-bit uncompressed, rows padded to 4 bytes
+    row = bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00"  # 2px * 3B + 2B pad
+    pixel_data = row * 2
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    bmp_feats = multimodal.decode_bmp(header + pixel_data)
+    assert bmp_feats.shape == (multimodal.FEATURE_DIM,)
+    assert abs(bmp_feats.sum() * 255 - np.frombuffer(pixel_data, np.uint8).sum() / 1.0) < 1e-3
+
+
+def test_auto_decode_dispatch():
+    """Magic sniffing: real containers hit the real decoders, everything
+    else falls back to the deterministic stub."""
+    import numpy as np
+
+    wav = multimodal.make_wav_pcm8(b"abc")
+    np.testing.assert_array_equal(
+        multimodal.auto_decode(wav, "audio"), multimodal.decode_wav(wav)
+    )
+    blob = b"\x89PNG not actually parseable here"
+    np.testing.assert_array_equal(
+        multimodal.auto_decode(blob, "image"), multimodal.fake_decode(blob, "image")
+    )
+    with pytest.raises(ValueError):
+        multimodal.auto_decode(None, "image")
+
+
+def test_extract_features_with_real_decoder(spark):
+    """End-to-end: WAV assets built distributed, decoded by the REAL path
+    inside mapInPandas, features equal the local decode of the same text."""
+    import numpy as np
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", ""]})
+    assets = multimodal.wav_assets(spark.createDataFrame(pdf))
+    out = (
+        multimodal.extract_features(assets, decode_fn=multimodal.auto_decode)
+        .toPandas()
+        .set_index("asset_id")
+    )
+    assert (out["n_bytes"] == 556).all()
+    local = multimodal.decode_wav(multimodal.make_wav_pcm8(b"hello world"))
+    np.testing.assert_allclose(np.array(out.loc[1, "features"]), local, rtol=1e-6)
+    np.testing.assert_allclose(np.array(out.loc[2, "features"]), 0.0)

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns.
 
 The Spark-side machinery here is real and tested — schemas, Arrow-batched
-``mapInPandas`` decode pipelines, batch sizing, partition hygiene.  The
-actual media decoding is STUBBED: codec libraries (Pillow, torchaudio,
-ffmpeg) are not available in this environment, so ``decode_fn`` defaults to
-a clearly-marked deterministic fake that derives features from the payload
-bytes.  Swap in a real decoder by passing ``decode_fn``; the distributed
-plumbing does not change.
+``mapInPandas`` decode pipelines, batch sizing, partition hygiene.  Media
+decoding comes in two tiers: :func:`auto_decode` routes payloads whose
+magic bytes match a container this environment can GENUINELY parse without
+codec libraries — WAV PCM (stdlib ``wave``), binary PPM, uncompressed BMP —
+through a real decode path (``wav_feature_quanta`` oracle-checks it
+end-to-end); everything else (JPEG/MP3/MP4 need Pillow/torchaudio/ffmpeg,
+absent here) falls back to :func:`fake_decode`, a clearly-marked
+deterministic stub deriving features from the payload digest.  Swap in a
+richer decoder by passing ``decode_fn``; the distributed plumbing does not
+change.
 
 Design for 100 TB of media:
 
@@ -22,6 +26,9 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -55,6 +62,151 @@ def fake_decode(payload: bytes, media_type: str) -> np.ndarray:
     digest = hashlib.sha256(media_type.encode() + payload).digest()
     raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
     return (raw.astype(np.float32) / 65535.0).astype(np.float32)
+
+
+def _segment_means(x: np.ndarray, scale: float) -> np.ndarray:
+    """FEATURE_DIM equal-length segment means of ``x`` normalized by
+    ``scale`` — zero-padded up to a segment multiple so every sample lands
+    in exactly one segment.  Computed in an exact-integer-safe order (sum of
+    <=2^24-magnitude float32 values, then two divisions) so the quanta
+    oracle can recover the integer segment sums bit-exactly."""
+    if x.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    seg = -(-x.size // FEATURE_DIM)  # ceil
+    padded = np.zeros(seg * FEATURE_DIM, dtype=np.float32)
+    padded[: x.size] = x
+    sums = padded.reshape(FEATURE_DIM, seg).sum(axis=1)
+    return (sums / (seg * scale)).astype(np.float32)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decoder (stdlib ``wave`` — no external deps): parse the
+    RIFF/WAVE container, read the PCM frames, and emit ``FEATURE_DIM``
+    segment mean amplitudes normalized to [0, 1].
+
+    Handles mono/stereo 8-bit unsigned and 16-bit signed PCM — the formats
+    the stdlib reader covers.  This is the genuine decode path the stub
+    stands in for elsewhere: the bytes that come out are the samples that
+    went in through a real codec container round-trip.
+    """
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, samp_w = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if samp_w == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        scale = 255.0
+    elif samp_w == 2:
+        x = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.float32))
+        scale = 32768.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {samp_w}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return _segment_means(x, scale)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decoder for binary PPM (``P6``): parse the ASCII header
+    (width, height, maxval; ``#`` comments allowed), then segment-mean the
+    raw interleaved RGB bytes normalized by maxval."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raw pixel data
+    width, height, maxval = tokens
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
+    return _segment_means(pixels.astype(np.float32), float(maxval))
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decoder for uncompressed BMP: struct-parse the file +
+    info headers (pixel-array offset, dimensions, bpp, BI_RGB check), then
+    segment-mean the pixel bytes."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    row_bytes = (abs(width) * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * abs(height), offset=data_offset
+    )
+    return _segment_means(pixels.astype(np.float32), 255.0)
+
+
+def auto_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Magic-sniffing decoder: route to the REAL pure-Python decoder when
+    the payload is a container this environment can parse without codec
+    libraries (WAV PCM via stdlib ``wave``, binary PPM, uncompressed BMP),
+    else fall back to the deterministic :func:`fake_decode` stub.  Drop-in
+    ``decode_fn`` for :func:`extract_features` / :func:`sample_frames`."""
+    if payload is None:
+        raise ValueError("cannot decode a null payload")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return fake_decode(payload, media_type)
+
+
+def make_wav_pcm8(
+    data: bytes, sample_rate: int = 8000, n_samples: int = 512
+) -> bytes:
+    """Wrap ``data`` as a genuine mono 8-bit PCM WAV container (truncated /
+    zero-padded to exactly ``n_samples`` samples) using the stdlib writer —
+    the asset synthesizer for exercising :func:`decode_wav` on real
+    containers.  512 samples = 32 per feature segment, so the quanta oracle
+    recovers exact integer segment sums."""
+    body = (data or b"")[:n_samples].ljust(n_samples, b"\x00")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(body)
+    return buf.getvalue()
+
+
+def wav_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_samples: int = 512,
+) -> DataFrame:
+    """Turn a text table into audio assets whose payloads are REAL WAV
+    containers (the text's UTF-8 bytes as 8-bit PCM samples) — deterministic
+    input for the genuine decode path, synthesized distributed (Arrow-batched
+    pandas UDF), never on the driver."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: make_wav_pcm8((s or "").encode("utf-8"), n_samples=n_samples)
+        )
+
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        to_wav(F.col(text_col)).alias("payload"),
+    )
 
 
 def extract_features(

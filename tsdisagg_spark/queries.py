@@ -1755,6 +1755,59 @@ def frame_feature_quanta(spark, sf_dir):
     )
 
 
+@query(
+    "wav_feature_quanta",
+    oracle="""
+    -- predicts the REAL WAV decode: payload = 44-byte canonical header +
+    -- utf-8 text bytes as 512 8-bit PCM samples (zero-padded), features =
+    -- 16 segment means / 255, so quanta q = v * 32 * 255 = the exact
+    -- integer sum of each 32-byte segment
+    WITH b AS (SELECT doc_id AS asset_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    i AS (SELECT unnest(generate_series(0, 511)) AS i)
+    SELECT asset_id,
+           CAST(556 AS BIGINT) AS n_bytes,
+           CAST(i // 32 AS BIGINT) AS pos,
+           SUM(CASE WHEN i < n
+                    THEN ('0x' || substr(hx, i*2 + 1, 2))::BIGINT
+                    ELSE 0 END) AS q
+    FROM b CROSS JOIN i
+    GROUP BY 1, 2, 3
+    """,
+)
+def wav_feature_quanta(spark, sf_dir):
+    """The REAL (non-stub) multimodal decode path with a HARD oracle: each
+    document's utf-8 bytes are wrapped as a genuine mono 8-bit PCM WAV
+    container (stdlib writer, 512 samples, operators/multimodal.py:
+    make_wav_pcm8), decoded back through the stdlib ``wave`` reader by
+    ``auto_decode`` (magic-sniffed), and featurized as 16 segment mean
+    amplitudes.  DuckDB predicts every lane from the raw text bytes —
+    proving the pipeline decodes the actual PCM samples out of a real
+    container, not a digest of the payload.  Quanta contract: v = seg_sum /
+    (32*255) exactly, so round(v * 8160) recovers the integer segment sum
+    through float32 (error <= 8160 * 2^-24 < 0.001)."""
+    from tsdisagg_spark.operators import multimodal
+
+    assets = multimodal.wav_assets(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    feats = multimodal.extract_features(
+        assets, decode_fn=multimodal.auto_decode, batch_size=256
+    )
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.posexplode("features").alias("pos0", "v"),
+    ).select(
+        "asset_id",
+        "n_bytes",
+        F.col("pos0").cast("long").alias("pos"),
+        F.round(F.col("v") * (32 * 255)).cast("long").alias("q"),
+    )
+
+
 @query("frame_samples")
 def frame_samples(spark, sf_dir):
     """Video-style keyframe sampling (no SQL oracle — stub decoder is
