@@ -282,3 +282,65 @@ def test_business_month_end_matches_pandas(spark):
         + pd.offsets.BMonthEnd(1)
     ).dt.date
     assert (pd.Series(got).to_numpy() == want.to_numpy()).all()
+
+
+def test_kernel_stage_skew_and_error_isolation(spark):
+    """The README's skew claim, tested at its shape: a fleet of 1000 short
+    series plus ONE series 100x longer must finish in time bounded by the
+    big series (the shorts drain in parallel around it — hash partitioning
+    on series_id cannot serialize the fleet behind the straggler), and
+    errors='skip' must isolate a malformed member without killing the job
+    or perturbing anyone else's output."""
+    import time
+
+    years = pd.date_range("2000-01-01", freq="YS", periods=3)
+    big_years = pd.date_range("1700-01-01", freq="YS", periods=300)  # 100x
+    rows = [
+        pd.DataFrame(
+            {
+                "series_id": f"s{i:04d}",
+                "ts": years,
+                "y": 100.0 + i + np.arange(len(years)),
+            }
+        )
+        for i in range(1000)
+    ]
+    big = pd.DataFrame(
+        {"series_id": "big", "ts": big_years, "y": 50.0 + np.arange(300.0)}
+    )
+    # malformed: all-NaN targets -> zero usable rows -> per-series solve fails
+    bad = pd.DataFrame({"series_id": "bad", "ts": years, "y": np.nan})
+
+    big_sdf = spark.createDataFrame(big)
+    t0 = time.perf_counter()
+    n_big = disaggregate(
+        big_sdf, method="denton-cholette", agg_func="sum", target_freq="MS"
+    ).count()
+    t_big = time.perf_counter() - t0
+    assert n_big == 3600  # 300 years x 12 months, through the banded path
+
+    fleet = spark.createDataFrame(pd.concat(rows + [big, bad], ignore_index=True))
+    t0 = time.perf_counter()
+    out = disaggregate(
+        fleet, method="denton-cholette", agg_func="sum", target_freq="MS",
+        errors="skip",
+    ).toPandas()
+    t_fleet = time.perf_counter() - t0
+
+    # error isolation: the malformed series vanishes, everyone else lands
+    got = set(out["series_id"])
+    assert "bad" not in got
+    assert "big" in got
+    assert len(got) == 1001
+    # spot-check a short series is unperturbed: re-aggregation returns input
+    s0 = out[out["series_id"] == "s0000"].set_index("ts")["y_hat"]
+    reagg = s0.groupby(s0.index.year).sum()
+    np.testing.assert_allclose(reagg.to_numpy(), 100.0 + np.arange(3.0), rtol=1e-8)
+
+    # skew bound: serialized execution would cost ~1000 short solves ON TOP
+    # of the big one (tens of seconds); parallel execution hides the shorts
+    # behind the straggler.  Generous margin for shared-machine noise.
+    assert t_fleet < 2.0 * t_big + 10.0, (
+        f"kernel stage serialized behind the skewed series: "
+        f"fleet {t_fleet:.1f}s vs big-alone {t_big:.1f}s"
+    )
