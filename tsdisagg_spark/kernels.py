@@ -671,6 +671,48 @@ def _difference_gram_band(
     return diags
 
 
+def _constraint_blocks(C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row contiguous support ``[lo_i, hi_i]`` of the constraint matrix,
+    validating the banded-path preconditions (contiguous support, strictly
+    increasing end columns) — ``ValueError`` otherwise so callers can fall
+    back to the dense path."""
+    n_low = C.shape[0]
+    lo = np.full(n_low, -1, dtype=int)
+    hi = np.full(n_low, -1, dtype=int)
+    for i in range(n_low):
+        nz = np.flatnonzero(C[i])
+        if nz.size == 0:
+            raise ValueError(f"constraint row {i} is empty")
+        lo[i], hi[i] = nz[0], nz[-1]
+        if not np.all(np.diff(nz) == 1):
+            raise ValueError(f"constraint row {i} support is not contiguous")
+    if np.any(np.diff(hi) <= 0):
+        raise ValueError("constraint rows must end at strictly increasing columns")
+    return lo, hi
+
+
+def _interleave_positions(
+    n: int, hi: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Interleaved KKT ordering: x_t, then every lambda_i whose period ends
+    at t — the permutation that makes the KKT system banded."""
+    n_low = hi.shape[0]
+    pos = np.empty(n, dtype=int)       # position of x_t
+    lpos = np.empty(n_low, dtype=int)  # position of lambda_i
+    ci = 0
+    nxt = 0
+    for t in range(n):
+        pos[t] = nxt
+        nxt += 1
+        while ci < n_low and hi[ci] == t:
+            lpos[ci] = nxt
+            nxt += 1
+            ci += 1
+    if ci != n_low:
+        raise ValueError("constraint end column beyond the high-freq axis")
+    return pos, lpos, n + n_low
+
+
 def denton_banded(
     y: np.ndarray,
     X: np.ndarray,
@@ -700,34 +742,9 @@ def denton_banded(
         n, order, scale, trimmed=(method == "denton-cholette")
     )
 
+    lo, hi = _constraint_blocks(C)
     n_low = C.shape[0]
-    lo = np.full(n_low, -1, dtype=int)
-    hi = np.full(n_low, -1, dtype=int)
-    for i in range(n_low):
-        nz = np.flatnonzero(C[i])
-        if nz.size == 0:
-            raise ValueError(f"constraint row {i} is empty")
-        lo[i], hi[i] = nz[0], nz[-1]
-        if not np.all(np.diff(nz) == 1):
-            raise ValueError(f"constraint row {i} support is not contiguous")
-    if np.any(np.diff(hi) <= 0):
-        raise ValueError("constraint rows must end at strictly increasing columns")
-
-    # interleaved ordering: x_t, then every lambda_i whose period ends at t
-    pos = np.empty(n, dtype=int)       # position of x_t
-    lpos = np.empty(n_low, dtype=int)  # position of lambda_i
-    ci = 0
-    nxt = 0
-    for t in range(n):
-        pos[t] = nxt
-        nxt += 1
-        while ci < n_low and hi[ci] == t:
-            lpos[ci] = nxt
-            nxt += 1
-            ci += 1
-    if ci != n_low:
-        raise ValueError("constraint end column beyond the high-freq axis")
-    N = n + n_low
+    pos, lpos, N = _interleave_positions(n, hi)
 
     # collect symmetric entries (a <= b) of the permuted KKT
     rows_a, rows_b, vals = [], [], []
@@ -764,6 +781,369 @@ def denton_banded(
 
 
 #: above this high-frequency length the Denton family dispatches to the
+# ---------------------------------------------------------------------------
+# banded Chow-Lin (SURVEY.md §4 scale path: the AR(1) covariance has a
+# closed-form TRIDIAGONAL inverse, so the whole GLS fit — profile likelihood
+# included — runs through the same interleaved banded KKT as the Denton
+# family, O(n b^2) per rho instead of O(n^3), never materializing Sigma)
+#
+# Identities used (M = unit-sigma2 AR(1) covariance, rho^|i-j| / (1-rho^2)):
+#   * M^{-1} = tridiag(diag=[1, 1+rho^2, ..., 1+rho^2, 1], off=-rho)
+#   * [[M^{-1}, C'], [C, 0]] [w; mu] = [0; b]  =>  mu = -(C M C')^{-1} b
+#     and w = M C' (C M C')^{-1} b — one banded solve yields BOTH the GLS
+#     normal-equation pieces (mu rows) and the distribution step (w rows).
+#   * log det(C M C') = log|det KKT| - log det M^{-1},
+#     log det M^{-1} = log(1 - rho^2)  (det of the AR(1) precision).
+# ---------------------------------------------------------------------------
+
+def banded_lu_solve_grid(
+    ab: np.ndarray, kl: int, ku: int, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-RHS :func:`banded_lu_solve` over a leading stack
+    axis: ``ab`` is ``(G, 2*kl + ku + 1, n)``, ``b`` is ``(G, n, m)``; the
+    same elimination runs data-parallel across all ``G`` systems (the rho
+    grid of a profile-likelihood scan), amortizing the per-column Python
+    overhead that would otherwise dominate G sequential factorizations.
+
+    Returns ``(x, logabsdet)`` with ``x`` of shape ``(G, n, m)`` and
+    ``logabsdet`` the log|det| of each system (sum of log|pivot|).  ``ab``
+    and ``b`` are modified in place.
+    """
+    G, _, n = ab.shape
+    diag = kl + ku
+    gi = np.arange(G)
+    base = np.arange(n + ku + kl)          # shared index pool — no per-column allocs
+    rbase = np.arange(kl)[:, None]
+    pivs = np.empty((G, n))                # log|det| summed once at the end
+    for j in range(n):
+        nm = min(kl, n - 1 - j)
+        col = ab[:, diag : diag + nm + 1, j]
+        pj = np.argmax(np.abs(col), axis=1)
+        jend = min(j + ku + kl, n - 1)
+        if pj.any():
+            cols = base[j : jend + 1]
+            r1 = diag + j - cols
+            r2 = diag + j + pj[:, None] - cols[None, :]
+            tmp = ab[:, r1, cols].copy()
+            ab[:, r1, cols] = ab[gi[:, None], r2, cols[None, :]]
+            ab[gi[:, None], r2, cols[None, :]] = tmp
+            tb = b[:, j, :].copy()
+            b[:, j, :] = b[gi, j + pj, :]
+            b[gi, j + pj, :] = tb
+        piv = ab[:, diag, j]
+        pivs[:, j] = piv
+        if nm:
+            m = ab[:, diag + 1 : diag + nm + 1, j] / piv[:, None]
+            cols2 = base[j + 1 : jend + 1]
+            # update parallelogram: rows (diag + j + 1 - c .. +nm) of col c
+            rows = (diag + j - cols2)[None, :] + 1 + rbase[:nm]
+            ab[:, rows, cols2[None, :]] -= (
+                m[:, :, None] * ab[:, diag + j - cols2, cols2][:, None, :]
+            )
+            b[:, j + 1 : j + nm + 1, :] -= m[:, :, None] * b[:, j, None, :]
+    if not np.all(pivs):
+        raise np.linalg.LinAlgError("singular banded matrix in grid solve")
+    logdet = np.log(np.abs(pivs)).sum(axis=1)
+    x = np.empty_like(b)
+    for i in range(n - 1, -1, -1):
+        cend = min(i + ku + kl, n - 1)
+        if cend > i:
+            cols = base[i + 1 : cend + 1]
+            s = np.einsum(
+                "gl,glm->gm", ab[:, diag + i - cols, cols], x[:, cols, :]
+            )
+            x[:, i, :] = (b[:, i, :] - s) / ab[:, diag, i][:, None]
+        else:
+            x[:, i, :] = b[:, i, :] / ab[:, diag, i][:, None]
+    return x, logdet
+
+
+def _chow_lin_kkt_indices(C, n: int | None = None) -> dict:
+    """rho-independent skeleton of the banded Chow-Lin KKT: constraint
+    blocks, interleaved ordering, flattened scatter indices, and bandwidth.
+    Built once per series, reused by every grid evaluation.
+
+    ``C`` is either the dense constraint matrix, or — for series long
+    enough that a dense (n_low, n) would itself be the memory wall, e.g.
+    8000 x 96000 = 6 GB — the block form ``(lo, hi, vals)`` with per-row
+    contiguous support ``[lo_i, hi_i]`` and ``vals`` the concatenated
+    nonzero coefficients (requires explicit ``n``)."""
+    if isinstance(C, np.ndarray):
+        n_low, n = C.shape
+        lo, hi = _constraint_blocks(C)
+        lens = hi - lo + 1
+        row_idx = np.repeat(np.arange(n_low), lens)
+        col_idx = _block_col_idx(lo, lens)
+        cvals = C[row_idx, col_idx].astype(float)
+    else:
+        lo, hi, cvals = C
+        if n is None:
+            raise ValueError("block-form constraints need an explicit n")
+        lo, hi = np.asarray(lo, dtype=int), np.asarray(hi, dtype=int)
+        n_low = lo.shape[0]
+        if np.any(np.diff(hi) <= 0):
+            raise ValueError(
+                "constraint rows must end at strictly increasing columns"
+            )
+        if hi[-1] >= n or lo[0] < 0 or np.any(hi < lo):
+            raise ValueError("constraint block support out of range")
+        lens = hi - lo + 1
+        row_idx = np.repeat(np.arange(n_low), lens)
+        col_idx = _block_col_idx(lo, lens)
+        cvals = np.asarray(cvals, dtype=float)
+        if cvals.shape[0] != col_idx.shape[0]:
+            raise ValueError("vals length must equal total block support")
+    pos, lpos, N = _interleave_positions(n, hi)
+    # scatter targets: tridiagonal gram (x_i,x_i), (x_i,x_{i+1}); C entries
+    # (x_col, lambda_row) — lambda sits after its period's last member, so
+    # lpos[row] > pos[col] always: (a, b) = (pos[col], lpos[row])
+    ra = np.concatenate([pos, pos[:-1], pos[col_idx]])
+    rb = np.concatenate([pos, pos[1:], lpos[row_idx]])
+    bw = int(np.max(rb - ra))
+    return {
+        "n": n, "n_low": n_low, "N": N, "pos": pos, "lpos": lpos,
+        "ra": ra, "rb": rb, "cvals": cvals, "bw": bw,
+        "row_idx": row_idx, "col_idx": col_idx,
+    }
+
+
+def _block_col_idx(lo: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(lo_i, lo_i + lens_i)`` per constraint block."""
+    if lens.sum() == 0:
+        return np.empty(0, dtype=int)
+    step = np.ones(int(lens.sum()), dtype=int)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # +1 within a block; at each block start, jump from the previous block's
+    # last column to this block's first
+    step[starts[1:]] = lo[1:] - (lo[:-1] + lens[:-1] - 1)
+    step[0] = lo[0] + 1  # cumsum yields lo[0] + 1 - 1 = lo[0] at position 0
+    return np.cumsum(step) - 1
+
+
+def _chow_lin_kkt_solve(
+    grid: np.ndarray, skel: dict, B_low: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Assemble + solve the banded KKT for every rho in ``grid`` with the
+    low-frequency RHS ``B_low`` (n_low, m) placed on the lambda rows.
+
+    Returns ``(Ainv_B, W_B, logdetA)``: ``Ainv_B[g] = (C M C')^{-1} B_low``
+    (G, n_low, m), ``W_B[g] = M C' (C M C')^{-1} B_low`` (G, n, m), and
+    ``log det(C M C')`` per grid member.
+    """
+    G = len(grid)
+    n, n_low, N = skel["n"], skel["n_low"], skel["N"]
+    pos, lpos = skel["pos"], skel["lpos"]
+    ra, rb, cvals, bw = skel["ra"], skel["rb"], skel["cvals"], skel["bw"]
+    kl = ku = bw
+    diag = kl + ku
+    rho = np.asarray(grid, dtype=float)
+
+    # per-member values for the shared scatter indices: tridiagonal M^{-1}
+    # then the constraint coefficients (rho-independent)
+    d0 = np.ones((G, n))
+    d0[:, 1:-1] = 1.0 + rho[:, None] ** 2
+    vv = np.concatenate(
+        [d0, np.broadcast_to(-rho[:, None], (G, n - 1)),
+         np.broadcast_to(cvals, (G, cvals.shape[0]))],
+        axis=1,
+    )
+    ab = np.zeros((G, 2 * kl + ku + 1, N))
+    # no duplicate (a, b) pairs by construction (same invariant the dense
+    # denton_banded assembly relies on), so fancy += is a plain scatter
+    ab[:, diag + ra - rb, rb] += vv
+    off = ra != rb
+    ab[:, diag + rb[off] - ra[off], ra[off]] += vv[:, off]
+
+    m = B_low.shape[1]
+    B = np.zeros((G, N, m))
+    B[:, lpos, :] = B_low[None, :, :]
+    sol, logdetK = banded_lu_solve_grid(ab, kl, ku, B)
+    # mu rows carry -(C M C')^{-1} B; w rows carry M C' (C M C')^{-1} B
+    Ainv_B = -sol[:, lpos, :]
+    W_B = sol[:, pos, :]
+    # log det M^{-1} = log(1 - rho^2)
+    logdetA = logdetK - np.log(1.0 - rho**2)
+    return Ainv_B, W_B, logdetA
+
+
+#: memory budget for one banded profile-scan pass; the grid chunk adapts to
+#: it.  The wall-clock cost of the scan is dominated by the PER-COLUMN
+#: Python overhead of the elimination loop, paid once per pass — so the
+#: fewer passes the better, as long as the (chunk, 3bw+1, N) stack fits.
+_CHOW_LIN_SCAN_BYTES = 2 << 30
+
+
+def _chow_lin_profile_grid_banded(
+    grid: np.ndarray, y: np.ndarray, CX: np.ndarray, skel: dict
+) -> np.ndarray:
+    """Banded twin of ``_profile_grid_nll`` for Chow-Lin: the same
+    concentrated objective values, computed through the KKT identities
+    instead of dense Sigma stacks."""
+    n_low, k = CX.shape
+    B_low = np.hstack([CX, y.reshape(-1, 1)])
+    out = np.empty(len(grid))
+    member_bytes = (3 * skel["bw"] + 1) * skel["N"] * 8
+    chunk = max(1, min(len(grid), _CHOW_LIN_SCAN_BYTES // max(member_bytes, 1)))
+    for s in range(0, len(grid), chunk):
+        sub = np.asarray(grid[s : s + chunk], dtype=float)
+        Ainv_B, _W, logdetA = _chow_lin_kkt_solve(sub, skel, B_low)
+        Ainv_CX, Ainv_y = Ainv_B[:, :, :k], Ainv_B[:, :, k]
+        M1 = np.einsum("ij,gil->gjl", CX, Ainv_CX)
+        r1 = np.einsum("ij,gi->gj", CX, Ainv_y)
+        beta = np.linalg.solve(M1, r1[..., None])[..., 0]
+        resid = y[None, :] - beta @ CX.T
+        Ainv_resid = Ainv_y - np.einsum("gik,gk->gi", Ainv_CX, beta)
+        q0 = np.einsum("gi,gi->g", resid, Ainv_resid)
+        s_star = np.maximum(q0 / n_low, 1e-300)
+        out[s : s + len(sub)] = 0.5 * (
+            n_low * np.log(2.0 * np.pi)
+            + n_low * np.log(s_star)
+            + logdetA
+            + n_low
+        )
+    return out
+
+
+def _chow_lin_eval(
+    rho_val: float, y: np.ndarray, X: np.ndarray, CX: np.ndarray, skel: dict
+) -> tuple[float, float, np.ndarray, np.ndarray]:
+    """One full Chow-Lin evaluation at fixed rho through the banded KKT:
+    concentrated NLL, profiled scale, GLS beta, and distributed series —
+    the banded mirror of (profile_negative_loglik, gls_beta,
+    distribution_matrix) combined, from ONE factorization."""
+    n_low, k = CX.shape
+    B_low = np.hstack([CX, y.reshape(-1, 1)])
+    Ainv_B, W_B, logdetA = _chow_lin_kkt_solve(np.array([rho_val]), skel, B_low)
+    Ainv_CX, Ainv_y = Ainv_B[0, :, :k], Ainv_B[0, :, k]
+    beta = np.linalg.solve(CX.T @ Ainv_CX, CX.T @ Ainv_y)
+    resid = y - CX @ beta
+    q0 = float(resid @ (Ainv_y - Ainv_CX @ beta))
+    s_star = max(q0 / n_low, 1e-300)
+    nll = 0.5 * (
+        n_low * np.log(2.0 * np.pi)
+        + n_low * np.log(s_star)
+        + float(logdetA[0])
+        + n_low
+    )
+    # distribution by linearity: w(resid) = w(y) - w(CX) @ beta
+    y_hat = X @ beta + (W_B[0, :, k] - W_B[0, :, :k] @ beta)
+    return nll, s_star, beta, y_hat
+
+
+def chow_lin_banded_solve(
+    y: np.ndarray, X: np.ndarray, C, rho: float
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Fixed-rho banded Chow-Lin: ``(y_hat, beta, s_star, nll)`` — the
+    distribution/GLS machinery alone, for callers that bring their own rho
+    (and for parity testing against the dense pipeline config-by-config,
+    the direct analog of the Denton banded-vs-dense battery)."""
+    y = np.asarray(y, dtype=float)
+    n, k = X.shape
+    skel = _chow_lin_kkt_indices(C, n=n)
+    if isinstance(C, np.ndarray):
+        CX = C @ X
+    else:
+        CX = np.zeros((skel["n_low"], k))
+        np.add.at(
+            CX, skel["row_idx"], skel["cvals"][:, None] * X[skel["col_idx"]]
+        )
+    nll, s_star, beta, y_hat = _chow_lin_eval(rho, y, X, CX, skel)
+    return y_hat, beta, s_star, nll
+
+
+def chow_lin_banded_fit(
+    y: np.ndarray,
+    X: np.ndarray,
+    C: np.ndarray,
+    optimizer_kwargs: dict | None = None,
+) -> tuple[np.ndarray, "FitResult", dict]:
+    """Full banded Chow-Lin solve — the very-long-series twin of the dense
+    ``fit_rho_sigma`` + ``gls_beta`` + ``distribution_matrix`` pipeline,
+    with the SAME two-level profile-likelihood grid (identical rho
+    semantics) but O(n b^2) per evaluation and O(n b) memory.  A 96k-point
+    series fits in seconds where dense Sigma alone would need 74 GB.
+
+    Only the default (profile) optimizer is supported; callers wanting the
+    reference's 2-D Nelder-Mead surface fall back to the dense path.
+    Raises ``ValueError`` for non-contiguous constraint support (same
+    contract as :func:`denton_banded`).
+    """
+    kwargs = dict(optimizer_kwargs or {})
+    method = str(kwargs.get("method", "brent-profile")).lower()
+    if method not in ("brent-profile", "profile"):
+        raise ValueError(
+            "chow_lin_banded_fit supports only the concentrated profile "
+            f"optimizer, got method={method!r}"
+        )
+    y = np.asarray(y, dtype=float)
+    n, k = X.shape
+    n_low = y.shape[0]
+    skel = _chow_lin_kkt_indices(C, n=n)
+    if isinstance(C, np.ndarray):
+        CX = C @ X
+    else:  # block form: aggregate X through the scatter indices
+        CX = np.zeros((skel["n_low"], k))
+        np.add.at(
+            CX, skel["row_idx"], skel["cvals"][:, None] * X[skel["col_idx"]]
+        )
+
+    # identical two-level scan to fit_rho_sigma's default path
+    grid = np.linspace(_RHO_LO, _RHO_HI, 41)
+    values = _chow_lin_profile_grid_banded(grid, y, CX, skel)
+    best = int(np.argmin(values))
+    lo_g = grid[max(best - 1, 0)]
+    hi_g = grid[min(best + 1, len(grid) - 1)]
+    fine = np.linspace(lo_g, hi_g, 33)
+    fvals = _chow_lin_profile_grid_banded(fine, y, CX, skel)
+    j = int(np.argmin(fvals))
+    rho_star = float(fine[j])
+    nfev = len(grid) + len(fine)
+    if 0 < j < len(fine) - 1:
+        f0, f1, f2 = fvals[j - 1], fvals[j], fvals[j + 1]
+        denom = f0 - 2.0 * f1 + f2
+        if denom > 0:
+            h = fine[1] - fine[0]
+            step = 0.5 * h * (f0 - f2) / denom
+            rho_star = float(np.clip(fine[j] + step, fine[j - 1], fine[j + 1]))
+
+    def final_eval(rho_val: float):
+        return _chow_lin_eval(rho_val, y, X, CX, skel)
+
+    nll_star, s_star, beta, y_hat = final_eval(rho_star)
+    nfev += 1
+    if nll_star > fvals[j]:  # parabola overshot a non-quadratic kink
+        rho_star = float(fine[j])
+        nll_star, s_star, beta, y_hat = final_eval(rho_star)
+        nfev += 1
+    sigma2 = s_star / (1.0 + rho_star)
+
+    # std errors via the tridiagonal precision: X' Sigma^{-1} X with
+    # Sigma = sigma2 * M (the dense solve_series builds Sigma from the
+    # UN-rescaled sigma2 — mirror that, not the (1+rho) ML-internal scale),
+    # M^{-1} = tridiag([1, 1+rho^2, ..., 1], -rho)
+    d0 = np.full(n, 1.0 + rho_star**2)
+    d0[0] = d0[-1] = 1.0
+    MinvX = d0[:, None] * X
+    MinvX[:-1] -= rho_star * X[1:]
+    MinvX[1:] -= rho_star * X[:-1]
+    xtsx = (X.T @ MinvX) / sigma2
+    std_beta = np.sqrt(np.diagonal(np.linalg.inv(xtsx)))
+
+    result = FitResult(
+        x=np.array([rho_star, sigma2]),
+        fun=nll_star,
+        nfev=nfev,
+        extras={"scaled_sigma2": s_star},
+    )
+    info = {
+        "beta": beta,
+        "rho": rho_star,
+        "sigma2": sigma2,
+        "std_beta": std_beta,
+    }
+    return y_hat, result, info
+
+
 #: banded KKT path (dense is O(n^3): ~10 s and ~200 MB at 3000, hopeless at
 #: 10^5; the banded path is linear in n)
 BANDED_THRESHOLD = 2000
@@ -822,6 +1202,15 @@ def solve_series(
             D = denton_cholette_distribution(n, n_low, C, X, order, criterion)
         p = X.ravel()
     else:
+        if method == "chow-lin" and n >= BANDED_THRESHOLD:
+            # dense Sigma is O(n^2) memory / O(n^3) flops; the tridiagonal
+            # AR(1) precision makes the whole fit banded.  Falls through to
+            # dense for non-contiguous constraints or a non-profile
+            # optimizer request (both only realistic at small n).
+            try:
+                return chow_lin_banded_fit(y, X, C, optimizer_kwargs)
+            except ValueError:
+                pass
         cov_builder = COVARIANCE_BUILDERS[method]
         result = fit_rho_sigma(y, X, C, cov_builder, optimizer_kwargs)
         rho, sigma2 = result.x
