@@ -414,3 +414,84 @@ def test_chow_lin_banded_96k_points():
     assert abs(info["rho"] - 0.7) < 0.05          # true AR(1) coefficient
     assert abs(info["beta"][0] - 3.0) < 0.05      # true regression slope
     assert np.corrcoef(y_hat, x)[0, 1] > 0.9
+
+
+@pytest.mark.parametrize("factor", [3, 12])
+@pytest.mark.parametrize("agg", ["sum", "mean", "first", "last"])
+@pytest.mark.parametrize("rho", [0.15, 0.8])
+def test_litterman_banded_equals_dense(factor, agg, rho):
+    """Litterman through the same banded KKT (pentadiagonal random-walk
+    precision): fixed-rho parity vs the dense pipeline at 1e-7 — note the
+    dense path pays an O(n^3) inverse just to BUILD Sigma."""
+    rng = np.random.default_rng(factor)
+    n_low = 25
+    n = n_low * factor
+    X = rng.uniform(1, 3, (n, 1))
+    C = kernels.conversion_matrix(
+        np.arange(n_low), np.repeat(np.arange(n_low), factor), factor, agg
+    )
+    u = np.cumsum(0.3 * rng.standard_normal(n))  # random-walk disturbance
+    y = C @ (2.0 * X.ravel() + u)
+
+    yh_b, beta_b, s_b, nll_b = kernels.litterman_banded_solve(y, X, C, rho)
+
+    Sigma0 = kernels.litterman_covariance(rho, 1.0, n)
+    beta_d = kernels.gls_beta(Sigma0, y, X, C)
+    D = kernels.distribution_matrix(Sigma0, C)
+    p = X @ beta_d
+    yh_d = p + D @ (y - C @ p)
+    nll_d, s_d = kernels.profile_negative_loglik(
+        rho, y, X, C, kernels.litterman_covariance
+    )
+    np.testing.assert_allclose(beta_b, beta_d, rtol=1e-7)
+    np.testing.assert_allclose(yh_b, yh_d, rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(s_b, s_d, rtol=1e-7)
+    np.testing.assert_allclose(nll_b, nll_d, rtol=1e-9, atol=1e-8)
+
+
+def test_litterman_banded_full_fit_equals_dense():
+    """Full banded Litterman fit vs the dense fit: same two-level grid, so
+    rho/sigma2/beta and the distributed series must agree."""
+    rng = np.random.default_rng(7)
+    factor, n_low = 4, 25
+    n = n_low * factor
+    X = rng.uniform(1, 3, (n, 1))
+    C = kernels.conversion_matrix(
+        np.arange(n_low), np.repeat(np.arange(n_low), factor), factor, "sum"
+    )
+    u = np.cumsum(0.3 * rng.standard_normal(n))
+    y = C @ (2.0 * X.ravel() + u)
+
+    yh_b, res_b, info_b = kernels.litterman_banded_fit(y, X, C)
+    res_d = kernels.fit_rho_sigma(y, X, C, kernels.litterman_covariance)
+    np.testing.assert_allclose(res_b.fun, res_d.fun, rtol=1e-9)
+    np.testing.assert_allclose(res_b.x, res_d.x, rtol=1e-6)
+    Sigma = kernels.litterman_covariance(*res_d.x, n)
+    beta_d = kernels.gls_beta(Sigma, y, X, C)
+    D = kernels.distribution_matrix(Sigma, C)
+    p = X @ beta_d
+    yh_d = p + D @ (y - C @ p)
+    np.testing.assert_allclose(yh_b, yh_d, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        info_b["std_beta"], kernels.beta_std_errors(Sigma, X), rtol=1e-6
+    )
+
+
+def test_solve_series_dispatches_banded_litterman():
+    """Above BANDED_THRESHOLD, litterman routes through the banded fit —
+    the dense path's O(n^3) covariance INVERSE alone would dwarf the whole
+    banded solve at this size."""
+    rng = np.random.default_rng(9)
+    factor, n_low = 12, 200
+    n = n_low * factor  # 2400 >= BANDED_THRESHOLD
+    X = rng.uniform(1, 3, (n, 1))
+    C = kernels.conversion_matrix(
+        np.arange(n_low), np.repeat(np.arange(n_low), factor), factor, "sum"
+    )
+    u = np.cumsum(0.2 * rng.standard_normal(n))
+    y = C @ (2.0 * X.ravel() + u)
+    y_hat, result, info = kernels.solve_series(y, X, C, "litterman")
+    assert result is not None and "beta" in info
+    yh_b, res_b, _ = kernels.litterman_banded_fit(y, X, C)
+    np.testing.assert_array_equal(y_hat, yh_b)
+    np.testing.assert_allclose(C @ y_hat, y, rtol=1e-9)
