@@ -800,46 +800,75 @@ def banded_lu_solve_grid(
     ab: np.ndarray, kl: int, ku: int, b: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized multi-RHS :func:`banded_lu_solve` over a leading stack
-    axis: ``ab`` is ``(G, 2*kl + ku + 1, n)``, ``b`` is ``(G, n, m)``; the
-    same elimination runs data-parallel across all ``G`` systems (the rho
-    grid of a profile-likelihood scan), amortizing the per-column Python
-    overhead that would otherwise dominate G sequential factorizations.
+    axis: ``ab`` is ``(G, 2*kl + ku + 1, n)`` in LAPACK band layout,
+    ``b`` is ``(G, n, m)``; the same elimination runs data-parallel across
+    all ``G`` systems (the rho grid of a profile-likelihood scan),
+    amortizing the per-column Python overhead that would otherwise dominate
+    G sequential factorizations.
 
     Returns ``(x, logabsdet)`` with ``x`` of shape ``(G, n, m)`` and
-    ``logabsdet`` the log|det| of each system (sum of log|pivot|).  ``ab``
-    and ``b`` are modified in place.
+    ``logabsdet`` the log|det| of each system (sum of log|pivot|).  ``b``
+    is modified in place.
     """
-    G, _, n = ab.shape
+    abt = np.ascontiguousarray(ab.transpose(0, 2, 1))
+    return _banded_lu_solve_grid_t(abt, kl, ku, b)
+
+
+def _banded_lu_solve_grid_t(
+    abt: np.ndarray, kl: int, ku: int, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grid banded LU on TRANSPOSED band storage ``abt`` (G, n, W) with
+    ``abt[g, c, kl + ku + i - c] = A[i, c]`` (one system-column per
+    C-contiguous row).  In this layout the elimination's parallelogram
+    update, multiplier row, and back-substitution row are all REGULAR
+    STRIDED VIEWS of the flat buffer (element (i, c) lives at flat
+    ``c*(W-1) + kl + ku + i``, so fixed-i-varying-c is a stride-(W-1)
+    walk) — one fused vector op each, no per-column index-array
+    gather/scatter.  The per-member pivot row swap still needs fancy
+    indexing but only fires at the (rare) columns where a member pivots.
+    ``abt`` and ``b`` are modified in place.
+    """
+    from numpy.lib.stride_tricks import as_strided
+
+    G, n, W = abt.shape
+    if W != 2 * kl + ku + 1:
+        raise ValueError(f"band storage has {W} rows, expected {2 * kl + ku + 1}")
     diag = kl + ku
+    Fv = abt.reshape(G, n * W)
+    sG, sE = Fv.strides
+    sC = (W - 1) * sE
     gi = np.arange(G)
-    base = np.arange(n + ku + kl)          # shared index pool — no per-column allocs
-    rbase = np.arange(kl)[:, None]
+    cbase = np.arange(n + kl + ku)
     pivs = np.empty((G, n))                # log|det| summed once at the end
     for j in range(n):
         nm = min(kl, n - 1 - j)
-        col = ab[:, diag : diag + nm + 1, j]
+        col = abt[:, j, diag : diag + nm + 1]
         pj = np.argmax(np.abs(col), axis=1)
         jend = min(j + ku + kl, n - 1)
         if pj.any():
-            cols = base[j : jend + 1]
-            r1 = diag + j - cols
-            r2 = diag + j + pj[:, None] - cols[None, :]
-            tmp = ab[:, r1, cols].copy()
-            ab[:, r1, cols] = ab[gi[:, None], r2, cols[None, :]]
-            ab[gi[:, None], r2, cols[None, :]] = tmp
+            # swap system-rows j and j+pj[g] over columns j..jend: flat
+            # positions c*(W-1) + diag + j (+ pj) — per-member offsets, so
+            # fancy indexing, but only at pivoting columns
+            idx = cbase[j : jend + 1] * (W - 1) + (diag + j)
+            idx2 = idx[None, :] + pj[:, None]
+            r1 = Fv[:, idx].copy()
+            Fv[:, idx] = Fv[gi[:, None], idx2]
+            Fv[gi[:, None], idx2] = r1
             tb = b[:, j, :].copy()
             b[:, j, :] = b[gi, j + pj, :]
             b[gi, j + pj, :] = tb
-        piv = ab[:, diag, j]
+        piv = abt[:, j, diag]
         pivs[:, j] = piv
+        L2 = jend - j
         if nm:
-            m = ab[:, diag + 1 : diag + nm + 1, j] / piv[:, None]
-            cols2 = base[j + 1 : jend + 1]
-            # update parallelogram: rows (diag + j + 1 - c .. +nm) of col c
-            rows = (diag + j - cols2)[None, :] + 1 + rbase[:nm]
-            ab[:, rows, cols2[None, :]] -= (
-                m[:, :, None] * ab[:, diag + j - cols2, cols2][:, None, :]
-            )
+            m = abt[:, j, diag + 1 : diag + nm + 1] / piv[:, None]
+            if L2:
+                off0 = (j + 1) * (W - 1) + diag + j
+                rowj = as_strided(Fv[:, off0:], shape=(G, L2), strides=(sG, sC))
+                blk = as_strided(
+                    Fv[:, off0 + 1 :], shape=(G, L2, nm), strides=(sG, sC, sE)
+                )
+                blk -= m[:, None, :] * rowj[:, :, None]
             b[:, j + 1 : j + nm + 1, :] -= m[:, :, None] * b[:, j, None, :]
     if not np.all(pivs):
         raise np.linalg.LinAlgError("singular banded matrix in grid solve")
@@ -847,14 +876,14 @@ def banded_lu_solve_grid(
     x = np.empty_like(b)
     for i in range(n - 1, -1, -1):
         cend = min(i + ku + kl, n - 1)
-        if cend > i:
-            cols = base[i + 1 : cend + 1]
-            s = np.einsum(
-                "gl,glm->gm", ab[:, diag + i - cols, cols], x[:, cols, :]
-            )
-            x[:, i, :] = (b[:, i, :] - s) / ab[:, diag, i][:, None]
+        L = cend - i
+        if L:
+            off = (i + 1) * (W - 1) + diag + i
+            rowi = as_strided(Fv[:, off:], shape=(G, L), strides=(sG, sC))
+            s = np.einsum("gl,glm->gm", rowi, x[:, i + 1 : cend + 1, :])
+            x[:, i, :] = (b[:, i, :] - s) / abt[:, i, diag][:, None]
         else:
-            x[:, i, :] = b[:, i, :] / ab[:, diag, i][:, None]
+            x[:, i, :] = b[:, i, :] / abt[:, i, diag][:, None]
     return x, logdet
 
 
@@ -991,17 +1020,19 @@ def _gls_kkt_solve(
     vv = np.concatenate(
         [gram_vv, np.broadcast_to(cvals, (G, cvals.shape[0]))], axis=1
     )
-    ab = np.zeros((G, 2 * kl + ku + 1, N))
-    # no duplicate (a, b) pairs by construction (same invariant the dense
-    # denton_banded assembly relies on), so fancy += is a plain scatter
-    ab[:, diag + ra - rb, rb] += vv
+    # assemble straight into the transposed layout the strided solver wants
+    # (abt[g, c, diag + i - c] = A[i, c]); no duplicate (a, b) pairs by
+    # construction (same invariant the dense denton_banded assembly relies
+    # on), so fancy += is a plain scatter
+    abt = np.zeros((G, N, 2 * kl + ku + 1))
+    abt[:, rb, diag + ra - rb] += vv
     off = ra != rb
-    ab[:, diag + rb[off] - ra[off], ra[off]] += vv[:, off]
+    abt[:, ra[off], diag + rb[off] - ra[off]] += vv[:, off]
 
     m = B_low.shape[1]
     B = np.zeros((G, N, m))
     B[:, lpos, :] = B_low[None, :, :]
-    sol, logdetK = banded_lu_solve_grid(ab, kl, ku, B)
+    sol, logdetK = _banded_lu_solve_grid_t(abt, kl, ku, B)
     # mu rows carry -(C M C')^{-1} B; w rows carry M C' (C M C')^{-1} B
     Ainv_B = -sol[:, lpos, :]
     W_B = sol[:, pos, :]
