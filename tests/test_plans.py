@@ -118,3 +118,47 @@ def test_supply_star_joins_broadcast_dimensions(spark):
 def test_histogram_bounds_are_broadcast(spark):
     plan = _plan(Q.QUERIES["order_value_histogram"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_winsorize_bounds_are_broadcast(spark):
+    """clip_outliers joins per-group percentile bounds back with an explicit
+    broadcast (null-safe condition included) — the fact rows never
+    shuffle."""
+    plan = _plan(Q.QUERIES["order_value_winsorized"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_percentiles_single_aggregate(spark):
+    """All requested quantiles come from ONE percentile pass per group —
+    no join, no second aggregate over the facts."""
+    plan = _plan(Q.QUERIES["order_value_percentiles"](spark, SF))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_pivot_is_single_aggregate_no_join(spark):
+    """returnflag_pivot folds the flag x status grid into one hash
+    aggregate (pivot lowers to conditional aggregates, not self-joins)."""
+    plan = _plan(Q.QUERIES["returnflag_pivot"](spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_funnel_is_single_pass_over_events(spark):
+    """signup_funnel computes all stage timestamps in one aggregation over
+    events — per-user min-if expressions, not one join per stage."""
+    plan = _plan(Q.QUERIES["signup_funnel"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    # one scan of the events table, not one per funnel stage
+    assert plan.count("Scan parquet") <= 1 or plan.count("FileScan") <= 1, plan
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """The md5-bucket sampling decision is per-row: rides the scan."""
+    plan = _plan(Q.QUERIES["stratified_sample"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_quantize_no_shuffle(spark):
+    """Embedding quantization is per-row array math: rides the scan."""
+    plan = _plan(Q.QUERIES["embedding_quantize"](spark, SF))
+    assert "Exchange" not in plan, plan
