@@ -957,3 +957,20 @@ def test_extract_features_with_real_decoder(spark):
     local = multimodal.decode_wav(multimodal.make_wav_pcm8(b"hello world"))
     np.testing.assert_allclose(np.array(out.loc[1, "features"]), local, rtol=1e-6)
     np.testing.assert_allclose(np.array(out.loc[2, "features"]), 0.0)
+
+
+def test_ppm_container_roundtrip_distributed(spark):
+    """PPM assets built distributed decode through the REAL header-parsing
+    path to the segment means of the original bytes."""
+    import numpy as np
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["pixel data " * 10]})
+    assets = multimodal.ppm_assets(spark.createDataFrame(pdf))
+    out = (
+        multimodal.extract_features(assets, decode_fn=multimodal.auto_decode)
+        .toPandas()
+        .set_index("asset_id")
+    )
+    assert (out["n_bytes"] == 525).all()  # 12-byte header + 513 RGB bytes
+    local = multimodal.decode_ppm(multimodal.make_ppm(b"pixel data " * 10))
+    np.testing.assert_allclose(np.array(out.loc[1, "features"]), local, rtol=1e-6)

@@ -185,6 +185,41 @@ def make_wav_pcm8(
     return buf.getvalue()
 
 
+def make_ppm(data: bytes, width: int = 19, height: int = 9) -> bytes:
+    """Wrap ``data`` as a genuine binary PPM (P6) image — ``width*height*3``
+    raw RGB bytes (truncated / zero-padded), preceded by the documented
+    ASCII header.  The image synthesizer for exercising :func:`decode_ppm`
+    on real containers (default 19x9 = 513 pixel bytes)."""
+    n_pix = width * height * 3
+    body = (data or b"")[:n_pix].ljust(n_pix, b"\x00")
+    return f"P6\n{width} {height}\n255\n".encode() + body
+
+
+def ppm_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 19,
+    height: int = 9,
+) -> DataFrame:
+    """Text table -> image assets whose payloads are REAL PPM containers
+    (the text's UTF-8 bytes as raw RGB) — the image twin of
+    :func:`wav_assets`, built distributed via an Arrow-batched pandas
+    UDF."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: make_ppm((s or "").encode("utf-8"), width, height)
+        )
+
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        to_ppm(F.col(text_col)).alias("payload"),
+    )
+
+
 def wav_assets(
     df: DataFrame,
     id_col: str = "doc_id",

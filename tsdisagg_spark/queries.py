@@ -1808,6 +1808,58 @@ def wav_feature_quanta(spark, sf_dir):
     )
 
 
+@query(
+    "ppm_feature_quanta",
+    oracle="""
+    -- predicts the REAL PPM image decode: payload = 12-byte "P6 19 9 255"
+    -- header + utf-8 text bytes as 513 raw RGB samples (zero-padded); the
+    -- decoder zero-pads to 16 segments of ceil(513/16) = 33, so quanta
+    -- q = v * 33 * 255 = the exact integer sum of each 33-byte segment
+    WITH b AS (SELECT doc_id AS asset_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    i AS (SELECT unnest(generate_series(0, 527)) AS i)
+    SELECT asset_id,
+           CAST(525 AS BIGINT) AS n_bytes,
+           CAST(i // 33 AS BIGINT) AS pos,
+           SUM(CASE WHEN i < 513 AND i < n
+                    THEN ('0x' || substr(hx, i*2 + 1, 2))::BIGINT
+                    ELSE 0 END) AS q
+    FROM b CROSS JOIN i
+    GROUP BY 1, 2, 3
+    """,
+)
+def ppm_feature_quanta(spark, sf_dir):
+    """The REAL image-decode twin of `wav_feature_quanta`: each document's
+    utf-8 bytes become the raw RGB of a genuine binary PPM (P6) container
+    (operators/multimodal.py:make_ppm, 19x9 = 513 pixel bytes), decoded
+    back through the real header-parsing path by ``auto_decode``
+    (magic-sniffed) and featurized as 16 segment mean intensities.  DuckDB
+    predicts every lane from the raw text bytes — the image plumbing, not
+    just audio, is proven over genuinely decoded pixels.  Quanta contract:
+    v = seg_sum / (33*255) exactly, round(v * 8415) recovers the integer
+    segment sum through float32 (error <= 8415 * 2^-24 < 0.001)."""
+    from tsdisagg_spark.operators import multimodal
+
+    assets = multimodal.ppm_assets(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    feats = multimodal.extract_features(
+        assets, decode_fn=multimodal.auto_decode, batch_size=256
+    )
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.posexplode("features").alias("pos0", "v"),
+    ).select(
+        "asset_id",
+        "n_bytes",
+        F.col("pos0").cast("long").alias("pos"),
+        F.round(F.col("v") * (33 * 255)).cast("long").alias("q"),
+    )
+
+
 @query("frame_samples")
 def frame_samples(spark, sf_dir):
     """Video-style keyframe sampling (no SQL oracle — stub decoder is
