@@ -57,6 +57,7 @@ HEADLINE = [
     "doc_chunks",              # codegen document slicing (1-to-N explode)
     "embedding_quantize",      # vectorized int8 quantization over arrays
     "stratified_sample",       # deterministic md5-bucket stratified sample
+    "wav_feature_quanta",      # REAL WAV decode through mapInPandas
 ]
 
 
