@@ -165,6 +165,12 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        # the pair list is tiny relative to the corpus (near-dup pairs) and
+        # is the natural pipeline boundary: persisting it lets a downstream
+        # clustering pass — or a later query with the identical plan, via
+        # the CacheManager's canonicalized-plan matching — skip the posting
+        # self-join entirely.  Caller-managed lifetime (module docstring).
+        .persist()
     )
 
 

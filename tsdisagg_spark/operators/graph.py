@@ -37,12 +37,19 @@ def _both_directions(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every neighbor larger than u to min({u} U N(u))."""
+    """Connect every neighbor larger than u to min({u} U N(u)).
+
+    The per-neighborhood minimum is an unordered WINDOW over u — one hash
+    exchange feeding every row its group min in place — rather than the
+    groupBy + self-join formulation, which pays two more exchanges per
+    round for the same rows (the joins dominated the iteration's fixed cost
+    at bench scale and shuffle the same data at cluster scale)."""
+    from pyspark.sql.window import Window
+
     nb = _both_directions(edges)
-    mins = nb.groupBy("u").agg(F.min("v").alias("mv"))
-    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
     return (
-        nb.join(mins, "u")
+        nb.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -52,13 +59,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Connect every neighbor smaller than u (and u itself) to the minimum
-    of u's smaller neighborhood."""
+    of u's smaller neighborhood — window-min formulation, same as
+    :func:`_large_star` (the (u, m) self-edge rides along per-row and the
+    trailing distinct collapses it)."""
+    from pyspark.sql.window import Window
+
     nb = _both_directions(edges).where(F.col("v") < F.col("u"))
-    mins = nb.groupBy("u").agg(F.min("v").alias("m"))
+    nb = nb.withColumn("m", F.min("v").over(Window.partitionBy("u")))
     return (
-        nb.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        nb.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(nb.select(F.col("u"), F.col("m").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
