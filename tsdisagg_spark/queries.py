@@ -3208,6 +3208,30 @@ def revenue_rollup(spark, sf_dir):
 
 
 @query(
+    "priority_status_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def priority_status_cube(spark, sf_dir):
+    """Full cross-classification subtotals via CUBE — every grouping-set
+    combination of (priority, status) including both marginals and the
+    grand total, in ONE aggregation pass (the grouping-set expansion
+    happens inside the hash aggregate, same machinery as
+    `revenue_rollup`'s hierarchy; NULL marks a rolled-up dimension in both
+    engines)."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
     "returnflag_pivot",
     oracle="""
     SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
