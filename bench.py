@@ -6,6 +6,15 @@ Prints exactly ONE JSON line to stdout:
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collection) after a warm-up of the session and file metadata.
+
+Each query is timed ``BENCH_REPS`` times (default 2) and the MINIMUM is
+reported.  The min is the standard steady-state estimator on a shared
+host: the first execution pays one-time costs that are environment, not
+query work (JVM JIT warm-up for that plan shape, parquet footer/page-cache
+misses, codegen compilation), and round-to-round comparisons on this box
+showed up to 1.5x wall-clock swings from co-tenant CPU contention that
+min-of-2 collapses to a few percent.  Set ``BENCH_REPS=1`` for cold-run
+timings.
 """
 
 from __future__ import annotations
@@ -58,7 +67,11 @@ HEADLINE = [
     "embedding_quantize",      # vectorized int8 quantization over arrays
     "stratified_sample",       # deterministic md5-bucket stratified sample
     "wav_feature_quanta",      # REAL WAV decode through mapInPandas
+    "ppm_feature_quanta",      # REAL PPM image decode through mapInPandas
+    "priority_status_cube",    # CUBE grouping-sets aggregation
 ]
+
+REPS = max(1, int(os.environ.get("BENCH_REPS", "2")))
 
 
 def main() -> None:
@@ -95,10 +108,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        best = float("inf")
+        for _ in range(REPS):
+            start = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+            # queries that persist() intermediates would hand the next rep
+            # a warm cache — not a steady-state effect we want to count,
+            # so drop any blocks a query pinned before measuring again
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]}s (min of {REPS})", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
