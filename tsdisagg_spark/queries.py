@@ -1996,6 +1996,171 @@ def dedup_components(spark, sf_dir):
 
 
 @query(
+    "dedup_canonical",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    rare AS (SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) <= 20),
+    sh AS (SELECT doc_id, shingle FROM sh_all JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+             FROM reach GROUP BY u),
+    m AS (SELECT c.doc_id, c.component_id, d.n_chars
+          FROM comp c JOIN documents d USING (doc_id)),
+    canon AS (
+        SELECT component_id, doc_id AS canonical_id
+        FROM (SELECT component_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY component_id
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM m)
+        WHERE rk = 1
+    )
+    SELECT m.doc_id, m.component_id, canon.canonical_id,
+           m.doc_id = canon.canonical_id AS keep
+    FROM m JOIN canon USING (component_id)
+    """,
+)
+def dedup_canonical(spark, sf_dir):
+    """Cluster-representative selection — the pipeline step AFTER
+    clustering: within each near-dup component keep the highest-quality
+    member (longest text, doc_id as the deterministic tie-break) and map
+    every member to its canonical id, yielding the drop/keep verdict a
+    corpus-dedup pass applies.  Scale shape: the component table is tiny
+    relative to the corpus (near-dup members only), so both the quality
+    lookup and the canonical map are broadcast joins — the full documents
+    table is scanned once for ``n_chars`` and never shuffles.  The oracle
+    recomputes pairs -> recursive-CTE closure -> per-component argmax in
+    SQL."""
+    from tsdisagg_spark.operators import graph
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=20)
+    comps = graph.connected_components(pairs)  # (node, component)
+    members = F.broadcast(comps).join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    rk = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("node")
+    )
+    canon = (
+        members.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("node").alias("canonical_id"))
+    )
+    return (
+        members.join(F.broadcast(canon), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("component_id"),
+            "canonical_id",
+            (F.col("node") == F.col("canonical_id")).alias("keep"),
+        )
+    )
+
+
+@query(
+    "kmeans_assign_update",
+    oracle="""
+    WITH seeds AS (
+        SELECT vec_id AS seed_id, embedding AS seed
+        FROM embeddings WHERE vec_id < 8
+    ),
+    d2 AS (
+        SELECT e.vec_id, s.seed_id,
+               list_sum(list_transform(list_zip(e.embedding, s.seed),
+                   x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                      * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster
+        FROM (SELECT vec_id, seed_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, seed_id ASC) AS rk
+              FROM d2)
+        WHERE rk = 1
+    )
+    SELECT a.cluster, CAST(i AS BIGINT) AS pos,
+           ROUND(AVG(CAST(e.embedding[i] AS DOUBLE)), 6) AS avg_val,
+           COUNT(*) AS n
+    FROM embeddings e
+    JOIN assign a USING (vec_id),
+    LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+    GROUP BY 1, 2
+    """,
+)
+def kmeans_assign_update(spark, sf_dir):
+    """One full Lloyd iteration of distributed k-means, hash-exact against
+    SQL: assign every vector to its nearest of K=8 deterministic seed
+    centroids (the vec_id<8 embeddings), then recompute the cluster means
+    in long form.  The assignment argmin needs NO rounding guard: both
+    engines fold the squared-distance terms in array order over
+    float32-exact doubles (Spark ``F.aggregate``, DuckDB ``list_sum`` —
+    verified bit-identical sequential folds), so distances agree to the
+    last bit and ``(d2, seed_id)`` ordering is deterministic.  Scale shape:
+    seeds broadcast to a K-row cross join that carries only (vec_id,
+    seed_id, d2) — the K-fold fan-out never copies the embedding arrays —
+    and the update is one posexplode hash-agg; iterating = re-running with
+    the new centroids (the driver loop is K tiny rows per round).  The
+    production many-round/many-K path batches assignment as a GEMM per
+    Arrow batch (operators/similarity.py:ivf_build's centroid assignment
+    — same kernel, sampled seeds)."""
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed")
+    )
+    diff2 = F.zip_with(
+        "embedding",
+        "seed",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    d2 = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
+    )
+    assign = d2.groupBy("vec_id").agg(
+        F.min_by("seed_id", F.struct("d2", "seed_id")).alias("cluster")
+    )
+    return (
+        emb.join(assign, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("cluster", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("avg_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
     "minhash_near_dups",
     oracle="""
     WITH words AS (
