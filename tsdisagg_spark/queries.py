@@ -330,6 +330,53 @@ def retained_customers(spark, sf_dir):
 
 
 @query(
+    "large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(big.total_qty, 2) AS total_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_orders(spark, sf_dir):
+    """Aggregate-HAVING semi-join shape (TPC-H Q18 analogue): orders whose
+    total lineitem quantity clears a threshold, decorated with customer
+    identity.  Scale shape: the HAVING aggregate reduces the fact table to
+    a tiny key set BEFORE any dimension touch, so both subsequent joins
+    broadcast the filtered aggregate — the orders and customer tables are
+    probed, never shuffled (the classic trap here is joining facts to
+    dims first and aggregating last, which shuffles everything)."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
     "month_end_revenue",
     oracle="""
     SELECT CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
