@@ -495,3 +495,45 @@ def test_solve_series_dispatches_banded_litterman():
     yh_b, res_b, _ = kernels.litterman_banded_fit(y, X, C)
     np.testing.assert_array_equal(y_hat, yh_b)
     np.testing.assert_allclose(C @ y_hat, y, rtol=1e-9)
+
+
+def test_coarse_v0_cache_is_transparent():
+    """The coarse-grid (V0, logdet) cache must be numerically invisible:
+    a cached fit returns bit-identical results to a cold one, and series
+    sharing (builder, n, C) actually hit the cache."""
+    rng = np.random.default_rng(11)
+    factor, n_low = 12, 6
+    n = n_low * factor
+    C = kernels.conversion_matrix(
+        np.arange(n_low), np.repeat(np.arange(n_low), factor), factor, "sum"
+    )
+    fits = []
+    for method in ("chow-lin", "litterman"):
+        for trial in range(2):
+            X = np.column_stack(
+                [rng.uniform(1, 3, n), np.ones(n)]
+            )
+            y = C @ (1.5 * X[:, 0] + 0.3 * rng.standard_normal(n))
+            kernels._COARSE_V0_CACHE.clear()
+            cold = kernels.solve_series(y, X, C, method)
+            assert len(kernels._COARSE_V0_CACHE) == 1  # coarse pass cached
+            warm = kernels.solve_series(y, X, C, method)
+            np.testing.assert_array_equal(cold[0], warm[0])
+            assert cold[1].x[0] == warm[1].x[0]
+            fits.append(cold)
+    kernels._COARSE_V0_CACHE.clear()
+
+
+def test_coarse_v0_cache_skips_oversized_entries():
+    """Stacks past the byte cap are returned but never pinned."""
+    n_low = 200  # 41 * 200^2 * 8 bytes ~ 13 MB > 4 MB cap
+    factor = 3
+    n = n_low * factor
+    C = kernels.conversion_matrix(
+        np.arange(n_low), np.repeat(np.arange(n_low), factor), factor, "sum"
+    )
+    kernels._COARSE_V0_CACHE.clear()
+    V0, logdet = kernels._coarse_v0(C, n, kernels.chow_lin_covariance)
+    assert V0.shape == (41, n_low, n_low)
+    assert len(kernels._COARSE_V0_CACHE) == 0
+    kernels._COARSE_V0_CACHE.clear()

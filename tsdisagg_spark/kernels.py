@@ -387,6 +387,69 @@ def _litterman_V0_stack(grid: np.ndarray, n: int, C: np.ndarray) -> np.ndarray:
 litterman_covariance.batched_V0 = _litterman_V0_stack  # type: ignore[attr-defined]
 
 
+#: fixed coarse scan grid for the profile likelihood (fit_rho_sigma); being
+#: a module constant is what makes the V0 cache below valid — the cached
+#: values are keyed on (builder, n, C) with the grid implicit
+_COARSE_GRID = np.linspace(_RHO_LO, _RHO_HI, 41)
+_COARSE_GRID.setflags(write=False)
+
+#: coarse-pass V0 = C Sigma0(rho) C' stacks and their slogdets, keyed
+#: (builder name, n, C bytes).  At fleet width an applyInPandas worker
+#: solves hundreds of series that share the SAME period structure (same n,
+#: same constraint matrix) — only y/X differ — so the rho-independent
+#: coarse-scan algebra is identical across them and was measured at ~20%
+#: of per-series CPU (chow-lin; more for litterman, whose V0 stack needs a
+#: batched linear solve to even build).  Values are read-only; a bounded
+#: FIFO keeps the cache a few MB.
+_COARSE_V0_CACHE: dict = {}
+_COARSE_V0_CACHE_MAX = 32
+
+
+def _coarse_v0(
+    C: np.ndarray,
+    n: int,
+    cov_builder: Callable[[float, float, int], np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """(V0 stack, logdet stack) for the fixed coarse grid, cached."""
+    key = (getattr(cov_builder, "__name__", id(cov_builder)), n, C.tobytes())
+    hit = _COARSE_V0_CACHE.get(key)
+    if hit is None:
+        V0 = _grid_v0(_COARSE_GRID, n, C, cov_builder)
+        _sign, logdet0 = np.linalg.slogdet(V0)
+        # don't let one long-series fleet pin hundreds of MB per worker:
+        # a (41, n_low, n_low) stack past a few MB (n_low ~ 180+) is cheap
+        # to rebuild relative to its own solve cost anyway
+        if V0.nbytes > (4 << 20):
+            return V0, logdet0
+        V0.setflags(write=False)
+        logdet0.setflags(write=False)
+        if len(_COARSE_V0_CACHE) >= _COARSE_V0_CACHE_MAX:
+            _COARSE_V0_CACHE.pop(next(iter(_COARSE_V0_CACHE)))
+        hit = _COARSE_V0_CACHE[key] = (V0, logdet0)
+    return hit
+
+
+def _grid_v0(
+    grid: np.ndarray,
+    n: int,
+    C: np.ndarray,
+    cov_builder: Callable[[float, float, int], np.ndarray],
+) -> np.ndarray:
+    """V0 = C Sigma0(rho) C' for every rho in ``grid`` — builder dispatch
+    shared by the cached coarse pass and the per-series fine pass."""
+    v0_fn = getattr(cov_builder, "batched_V0", None)
+    if v0_fn is not None:
+        return v0_fn(grid, n, C)
+    stack_fn = getattr(cov_builder, "batched", None)
+    if stack_fn is not None:
+        Sig = stack_fn(grid, n)
+    else:
+        Sig = np.empty((len(grid), n, n))
+        for i, r in enumerate(grid):
+            Sig[i] = cov_builder(r, 1.0, n)
+    return np.matmul(np.matmul(C, Sig), C.T)
+
+
 def _profile_grid_nll(
     grid: np.ndarray,
     y: np.ndarray,
@@ -404,25 +467,19 @@ def _profile_grid_nll(
     """
     n = X.shape[0]
     n_low = y.shape[0]
-    G = len(grid)
     # the scan only ever needs V0 = C Sigma C' — builders may supply it
-    # directly (litterman avoids G full inverses that way)
-    v0_fn = getattr(cov_builder, "batched_V0", None)
-    if v0_fn is not None:
-        V0 = v0_fn(grid, n, C)
+    # directly (litterman avoids G full inverses that way); the coarse
+    # fixed-grid pass reuses the rho-independent (V0, logdet) across every
+    # series with the same period structure
+    if grid is _COARSE_GRID:
+        V0, logdet0 = _coarse_v0(np.ascontiguousarray(C), n, cov_builder)
     else:
-        stack_fn = getattr(cov_builder, "batched", None)
-        if stack_fn is not None:
-            Sig = stack_fn(grid, n)
-        else:
-            Sig = np.empty((G, n, n))
-            for i, r in enumerate(grid):
-                Sig[i] = cov_builder(r, 1.0, n)
-        V0 = np.matmul(np.matmul(C, Sig), C.T)  # (G, n_low, n_low)
+        V0 = _grid_v0(grid, n, C, cov_builder)
+        _sign, logdet0 = np.linalg.slogdet(V0)
     CX = C @ X                                  # (n_low, k)
     y2 = np.asarray(y, dtype=float).reshape(-1, 1)
     rhs = np.hstack([CX, y2])                   # (n_low, k+1)
-    solved = np.linalg.solve(V0, np.broadcast_to(rhs, (G, *rhs.shape)))
+    solved = np.linalg.solve(V0, np.broadcast_to(rhs, (len(grid), *rhs.shape)))
     Vinv_CX, Vinv_y = solved[:, :, : CX.shape[1]], solved[:, :, CX.shape[1] :]
     A = np.matmul(CX.T, Vinv_CX)                # (G, k, k)
     b = np.matmul(CX.T, Vinv_y)                 # (G, k, 1)
@@ -431,7 +488,6 @@ def _profile_grid_nll(
     # V0^{-1} resid reuses the factored RHS: V0^{-1}y - V0^{-1}CX @ beta
     Vinv_resid = Vinv_y - np.matmul(Vinv_CX, beta)
     q0 = np.einsum("gij,gij->g", resid, Vinv_resid)
-    _sign, logdet0 = np.linalg.slogdet(V0)
     s_star = np.maximum(q0 / n_low, 1e-300)
     return 0.5 * (
         n_low * np.log(2.0 * np.pi) + n_low * np.log(s_star) + logdet0 + n_low
@@ -530,7 +586,7 @@ def fit_rho_sigma(
     # precision far below what the distribution step can observe (y_hat is
     # stationary in rho at the optimum; goldens pass at rtol 1e-3 with the
     # two-level grid's ~1e-6 rho accuracy).
-    grid = np.linspace(_RHO_LO, _RHO_HI, 41)
+    grid = _COARSE_GRID
     values = _profile_grid_nll(grid, y, X, C, cov_builder)
     best = int(np.argmin(values))
     lo = grid[max(best - 1, 0)]
