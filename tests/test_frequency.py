@@ -175,3 +175,40 @@ def test_output_column_names():
         "yearly_sales",
         "quarterly_sales",
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    step=st.sampled_from([1, 2, 3, 6, 12, 24]),
+    m0=st.integers(1, 12),
+    y0=st.integers(1980, 2030),
+    n=st.integers(1, 30),
+    day=st.sampled_from([1, 1, 1, 15, 28]),
+)
+def test_fast_infer_agrees_with_pandas(step, m0, y0, n, day):
+    """The numpy inference fast path must return EXACTLY what pandas
+    ``inferred_freq`` returns whenever it claims a code, and fall back
+    (None) otherwise — across supported steps, unsupported steps, short
+    indexes, and non-day-1 stamps."""
+    idx = pd.DatetimeIndex(
+        [pd.Timestamp(y0 + ((m0 - 1 + i * step) // 12),
+                      (m0 - 1 + i * step) % 12 + 1, day)
+         for i in range(n)]
+    )
+    fast = freq._fast_infer(idx)
+    if fast is not None:
+        assert fast == pd.DatetimeIndex(idx.values).inferred_freq
+    # infer_code must equal the reference expression in all cases
+    expected = (
+        idx.freq.freqstr if idx.freq is not None else idx.inferred_freq
+    )
+    assert freq.infer_code(idx) == expected
+
+
+def test_fast_infer_rejects_irregular_and_intraday():
+    reg = pd.date_range("2001-01-01", periods=6, freq="MS")
+    assert freq._fast_infer(pd.DatetimeIndex(reg.values)) == "MS"
+    hole = pd.DatetimeIndex(reg.values).delete(2)
+    assert freq._fast_infer(hole) is None
+    shifted = pd.DatetimeIndex(reg.values) + pd.Timedelta(hours=1)
+    assert freq._fast_infer(shifted) is None

@@ -516,7 +516,8 @@ def test_coarse_v0_cache_is_transparent():
             y = C @ (1.5 * X[:, 0] + 0.3 * rng.standard_normal(n))
             kernels._COARSE_V0_CACHE.clear()
             cold = kernels.solve_series(y, X, C, method)
-            assert len(kernels._COARSE_V0_CACHE) == 1  # coarse pass cached
+            # coarse pass + its refinement bracket both cached
+            assert len(kernels._COARSE_V0_CACHE) == 2
             warm = kernels.solve_series(y, X, C, method)
             np.testing.assert_array_equal(cold[0], warm[0])
             assert cold[1].x[0] == warm[1].x[0]

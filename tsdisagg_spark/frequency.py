@@ -21,6 +21,7 @@ from __future__ import annotations
 import calendar as _stdlib_calendar
 import datetime as _dt
 
+import numpy as np
 import pandas as pd
 
 MONTH_ABBRS = (
@@ -122,14 +123,53 @@ def step_down(code: str) -> str:
     raise FrequencyError(f"No frequency lower than {fam} currently supported")
 
 
+_MONTH_ABBR = (
+    "JAN FEB MAR APR MAY JUN JUL AUG SEP OCT NOV DEC".split()
+)
+
+
+def _fast_infer(idx: pd.DatetimeIndex) -> str | None:
+    """Numpy inference for the regular start-anchored families the engine
+    actually converts (MS / QS-* / YS-*): all stamps on day 1 at midnight
+    with a constant month step of 1/3/12.  Returns exactly the string
+    pandas ``inferred_freq`` produces for these shapes (QS anchors cycle
+    OCT/NOV/DEC by start month mod 3, YS anchors by start month —
+    verified empirically for every start month and pinned by a property
+    test), or None to fall back to pandas for everything else.  This is
+    the fleet hot path: pandas' rule-based inference costs ~0.4 ms per
+    call, which at thousands of ``applyInPandas`` groups was a measurable
+    slice of kernel CPU."""
+    if len(idx) < 3 or idx.tz is not None:
+        return None
+    if (idx.asi8 % 86_400_000_000_000 != 0).any() or (idx.day != 1).any():
+        return None
+    months = idx.year.to_numpy() * 12 + idx.month.to_numpy()
+    steps = np.diff(months)
+    step = steps[0]
+    if not (steps == step).all():
+        return None
+    m0 = int(idx.month[0])
+    if step == 1:
+        return "MS"
+    if step == 3:
+        return "QS-" + _MONTH_ABBR[9 + (m0 - 1) % 3]
+    if step == 12:
+        return "YS-" + _MONTH_ABBR[m0 - 1]
+    return None
+
+
 def infer_code(index) -> str | None:
     """Infer a pandas-style frequency code from a datetime index/array.
 
-    Delegates to pandas' inference so the engine agrees with the reference's
-    use of ``DatetimeIndex.inferred_freq`` (ts_disagg.py:246,264,295-296).
-    """
+    Agrees with the reference's use of ``DatetimeIndex.inferred_freq``
+    (ts_disagg.py:246,264,295-296): a numpy fast path covers the regular
+    start-anchored families (bit-identical strings, see
+    :func:`_fast_infer`); everything else delegates to pandas."""
     idx = pd.DatetimeIndex(index)
-    return idx.freq.freqstr if idx.freq is not None else idx.inferred_freq
+    if idx.freq is not None:
+        return idx.freq.freqstr
+    code = _fast_infer(idx)
+    return code if code is not None else idx.inferred_freq
 
 
 # ---------------------------------------------------------------------------

@@ -402,7 +402,7 @@ _COARSE_GRID.setflags(write=False)
 #: batched linear solve to even build).  Values are read-only; a bounded
 #: FIFO keeps the cache a few MB.
 _COARSE_V0_CACHE: dict = {}
-_COARSE_V0_CACHE_MAX = 32
+_COARSE_V0_CACHE_MAX = 64  # coarse + refinement-bracket entries
 
 
 def _coarse_v0(
@@ -426,6 +426,43 @@ def _coarse_v0(
         if len(_COARSE_V0_CACHE) >= _COARSE_V0_CACHE_MAX:
             _COARSE_V0_CACHE.pop(next(iter(_COARSE_V0_CACHE)))
         hit = _COARSE_V0_CACHE[key] = (V0, logdet0)
+    return hit
+
+
+def _bracket_v0(
+    C: np.ndarray,
+    n: int,
+    cov_builder: Callable[[float, float, int], np.ndarray],
+    best: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(fine grid, V0 stack, logdet stack) for the refinement bracket
+    around coarse point ``best`` — cached like :func:`_coarse_v0`.
+
+    The fine grid is fully determined by the coarse argmin index (one of
+    41 possible brackets), and a fleet of same-structure series lands on a
+    handful of brackets, so the refinement pass caches as well as the
+    coarse one.  Grid values are bit-identical to the uncached
+    ``np.linspace(lo, hi, 33)``."""
+    lo = _COARSE_GRID[max(best - 1, 0)]
+    hi = _COARSE_GRID[min(best + 1, len(_COARSE_GRID) - 1)]
+    key = (
+        getattr(cov_builder, "__name__", id(cov_builder)),
+        n,
+        C.tobytes(),
+        int(best),
+    )
+    hit = _COARSE_V0_CACHE.get(key)
+    if hit is None:
+        fine = np.linspace(lo, hi, 33)
+        V0 = _grid_v0(fine, n, C, cov_builder)
+        _sign, logdet0 = np.linalg.slogdet(V0)
+        if V0.nbytes > (4 << 20):
+            return fine, V0, logdet0
+        for arr in (fine, V0, logdet0):
+            arr.setflags(write=False)
+        if len(_COARSE_V0_CACHE) >= _COARSE_V0_CACHE_MAX:
+            _COARSE_V0_CACHE.pop(next(iter(_COARSE_V0_CACHE)))
+        hit = _COARSE_V0_CACHE[key] = (fine, V0, logdet0)
     return hit
 
 
@@ -466,7 +503,6 @@ def _profile_grid_nll(
     numerically the same computation.
     """
     n = X.shape[0]
-    n_low = y.shape[0]
     # the scan only ever needs V0 = C Sigma C' — builders may supply it
     # directly (litterman avoids G full inverses that way); the coarse
     # fixed-grid pass reuses the rho-independent (V0, logdet) across every
@@ -476,10 +512,24 @@ def _profile_grid_nll(
     else:
         V0 = _grid_v0(grid, n, C, cov_builder)
         _sign, logdet0 = np.linalg.slogdet(V0)
+    return _nll_from_v0(V0, logdet0, len(grid), y, X, C)
+
+
+def _nll_from_v0(
+    V0: np.ndarray,
+    logdet0: np.ndarray,
+    G: int,
+    y: np.ndarray,
+    X: np.ndarray,
+    C: np.ndarray,
+) -> np.ndarray:
+    """The per-series half of the grid scan: everything downstream of the
+    (rho-independent, cacheable) V0 stack."""
+    n_low = y.shape[0]
     CX = C @ X                                  # (n_low, k)
     y2 = np.asarray(y, dtype=float).reshape(-1, 1)
     rhs = np.hstack([CX, y2])                   # (n_low, k+1)
-    solved = np.linalg.solve(V0, np.broadcast_to(rhs, (len(grid), *rhs.shape)))
+    solved = np.linalg.solve(V0, np.broadcast_to(rhs, (G, *rhs.shape)))
     Vinv_CX, Vinv_y = solved[:, :, : CX.shape[1]], solved[:, :, CX.shape[1] :]
     A = np.matmul(CX.T, Vinv_CX)                # (G, k, k)
     b = np.matmul(CX.T, Vinv_y)                 # (G, k, 1)
@@ -589,10 +639,10 @@ def fit_rho_sigma(
     grid = _COARSE_GRID
     values = _profile_grid_nll(grid, y, X, C, cov_builder)
     best = int(np.argmin(values))
-    lo = grid[max(best - 1, 0)]
-    hi = grid[min(best + 1, len(grid) - 1)]
-    fine = np.linspace(lo, hi, 33)
-    fvals = _profile_grid_nll(fine, y, X, C, cov_builder)
+    fine, fine_V0, fine_logdet = _bracket_v0(
+        np.ascontiguousarray(C), X.shape[0], cov_builder, best
+    )
+    fvals = _nll_from_v0(fine_V0, fine_logdet, len(fine), y, X, C)
     j = int(np.argmin(fvals))
     rho_star = float(fine[j])
     nfev = len(grid) + len(fine)
