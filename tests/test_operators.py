@@ -974,3 +974,53 @@ def test_ppm_container_roundtrip_distributed(spark):
     assert (out["n_bytes"] == 525).all()  # 12-byte header + 513 RGB bytes
     local = multimodal.decode_ppm(multimodal.make_ppm(b"pixel data " * 10))
     np.testing.assert_allclose(np.array(out.loc[1, "features"]), local, rtol=1e-6)
+
+
+def test_kmeans_fit_matches_numpy_lloyd(spark):
+    """Distributed Lloyd (GEMM E-step + partial-sum M-step) must reproduce
+    a sequential numpy Lloyd run with identical init (first-k by id),
+    identical tie rule (lowest cluster index), and identical empty-cluster
+    policy — centroid partial sums differ from numpy only in fp ordering."""
+    rng = np.random.default_rng(7)
+    n, d, k = 400, 16, 5
+    X = rng.standard_normal((n, d)) + rng.integers(0, 4, n)[:, None] * 2.0
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [row.astype(np.float32).tolist() for row in X]}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+
+    fit = similarity.kmeans_fit(df, k=k, max_iter=8, tol=0.0)
+
+    # sequential reference with the same rules (float32-cast input)
+    Xd = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    C = Xd[:k].copy()
+    for _ in range(8):
+        assign = np.argmax(Xd @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
+        for j in range(k):
+            m = Xd[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+    np.testing.assert_allclose(np.array(fit["centroids"]), C, rtol=1e-9, atol=1e-9)
+    assert fit["n_iter"] == 8
+
+    assign = np.argmax(Xd @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
+    inertia_ref = float(((Xd - C[assign]) ** 2).sum())
+    assert abs(fit["inertia"] - inertia_ref) < 1e-6 * max(1.0, inertia_ref)
+
+    # kmeans_assign agrees with the reference assignment
+    out = similarity.kmeans_assign(df, fit["centroids"]).select("vec_id", "cluster").toPandas()
+    got = out.sort_values("vec_id")["cluster"].to_numpy()
+    np.testing.assert_array_equal(got, assign)
+
+
+def test_kmeans_fit_converges_and_stops_early(spark):
+    rng = np.random.default_rng(3)
+    X = np.concatenate([rng.normal(0, 0.05, (50, 4)), rng.normal(5, 0.05, (50, 4))])
+    pdf = pd.DataFrame({"vec_id": np.arange(100), "embedding": [r.tolist() for r in X]})
+    df = spark.createDataFrame(pdf)
+    fit = similarity.kmeans_fit(df, k=2, max_iter=20, tol=1e-8)
+    assert fit["n_iter"] < 20  # two tight blobs converge in a few rounds
+    # each centroid sits on one blob
+    cents = np.array(fit["centroids"])
+    means = sorted(cents.mean(axis=1).round(1).tolist())
+    assert means[0] == 0.0 and means[1] == 5.0

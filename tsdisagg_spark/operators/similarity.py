@@ -478,3 +478,131 @@ def quantize_embeddings(
         F.floor(F.col("x") / F.col("__scale") + F.lit(0.5)).alias("q"),
         F.floor(F.col("__scale") * 1e9 + F.lit(0.5)).alias("scale_q"),
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every row to its nearest centroid by squared Euclidean
+    distance (lowest index wins exact ties) — one BLAS GEMM per Arrow
+    batch via the identity argmin ||x-c||^2 = argmax (x.c - ||c||^2 / 2);
+    the ||x||^2 term is constant per row and drops out.  Adds a
+    ``cluster int`` column; the corpus never shuffles."""
+    Cm = np.array(centroids, dtype=float)
+    half_sq = 0.5 * (Cm * Cm).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(float)
+        score = M @ Cm.T - half_sq
+        return pd.Series(np.argmax(score, axis=1).astype(np.int32))
+
+    return df.withColumn("cluster", assign(F.col(vec_col)))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> dict:
+    """Fully distributed Lloyd's k-means over an embedding column.
+
+    The scale contract (vs :func:`train_centroids`, the bounded-sample
+    coarse quantizer): here the FULL corpus drives both steps, and only
+    k x d floats ever cross the driver boundary per round —
+
+    * E-step: assignment is one GEMM per Arrow batch (``mapInPandas``);
+    * M-step: each batch emits k x d partial (cluster, pos, sum, count)
+      rows — a few hundred per batch regardless of batch size — which one
+      hash aggregation reduces to the k x d centroid table the driver
+      collects (tree-aggregate shape: no per-row shuffle, no
+      ``collect()`` of data rows).
+
+    Init is deterministic: the k rows with the smallest ``id_col`` values.
+    Empty clusters keep their previous centroid.  Stops when the max
+    centroid L2 shift drops below ``tol`` or after ``max_iter`` rounds.
+
+    Returns ``{"centroids": list[k][d], "n_iter": int, "inertia": float}``
+    (inertia = sum of squared distances to the assigned centroid, from the
+    final assignment pass).
+    """
+    seeds = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_fit: corpus has fewer than k={k} rows")
+    centroids = np.array([[float(x) for x in r[1]] for r in seeds])
+    d = centroids.shape[1]
+    vecs = df.select(vec_col)
+
+    partial_schema = "cluster int, pos int, s double, n long"
+
+    def partials_for(Cm: np.ndarray):
+        half_sq = 0.5 * (Cm * Cm).sum(axis=1)
+
+        def emit(batches):
+            for pdf in batches:
+                M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+                assign = np.argmax(M @ Cm.T - half_sq, axis=1)
+                sums = np.zeros((len(Cm), d))
+                np.add.at(sums, assign, M)
+                counts = np.bincount(assign, minlength=len(Cm))
+                nz = np.repeat(np.arange(len(Cm)), d)
+                yield pd.DataFrame(
+                    {
+                        "cluster": nz.astype(np.int32),
+                        "pos": np.tile(np.arange(d), len(Cm)).astype(np.int32),
+                        "s": sums.ravel(),
+                        "n": np.repeat(counts, d).astype(np.int64),
+                    }
+                )
+
+        return emit
+
+    n_iter = 0
+    for _ in range(max_iter):
+        rows = (
+            vecs.mapInPandas(partials_for(centroids), schema=partial_schema)
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        counts = np.zeros(k)
+        for r in rows:
+            counts[r["cluster"]] = r["n"]
+            if r["n"] > 0:
+                new_c[r["cluster"], r["pos"]] = r["s"] / r["n"]
+        n_iter += 1
+        shift = float(np.sqrt(((new_c - centroids) ** 2).sum(axis=1)).max())
+        centroids = new_c
+        if shift < tol:
+            break
+
+    # final inertia in one distributed pass (same partial-sum shape)
+    Cm = centroids
+    half_sq = 0.5 * (Cm * Cm).sum(axis=1)
+
+    def inertia_partials(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            score = M @ Cm.T - half_sq
+            assign = np.argmax(score, axis=1)
+            diff = M - Cm[assign]
+            yield pd.DataFrame({"i": [float((diff * diff).sum())]})
+
+    inertia = (
+        vecs.mapInPandas(inertia_partials, schema="i double")
+        .agg(F.sum("i").alias("i"))
+        .collect()[0]["i"]
+    )
+    return {
+        "centroids": centroids.tolist(),
+        "n_iter": n_iter,
+        "inertia": float(inertia or 0.0),
+    }
