@@ -162,3 +162,35 @@ def test_quantize_no_shuffle(spark):
     """Embedding quantization is per-row array math: rides the scan."""
     plan = _plan(Q.QUERIES["embedding_quantize"](spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_large_orders_aggregates_before_dimension_joins(spark):
+    """The HAVING aggregate must reduce lineitem BEFORE any dimension
+    touch, and both downstream joins must broadcast the filtered
+    aggregate — orders/customer are probed, never shuffled."""
+    plan = _plan(Q.QUERIES["large_orders"](spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_canonical_broadcasts_component_maps(spark):
+    """Both the component table and the canonical map are tiny relative to
+    the corpus: each must join back via broadcast, so the documents scan
+    for n_chars never shuffles."""
+    plan = _plan(Q.QUERIES["dedup_canonical"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_kmeans_assign_update_broadcasts_seeds(spark):
+    """The K-row seed side of the distance cross join must broadcast, its
+    scan must push the vec_id < 8 filter down, and the K-fold fan-out must
+    carry only (vec_id, seed_id, d2) — never a duplicated embedding
+    array."""
+    plan = _plan(Q.QUERIES["kmeans_assign_update"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "LessThan(vec_id,8)" in plan, plan
+    # the post-join projection before the argmin aggregate is 3 columns
+    assert "d2" in plan, plan
