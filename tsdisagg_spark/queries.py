@@ -1530,6 +1530,55 @@ def doc_chunks(spark, sf_dir):
 
 
 @query(
+    "boilerplate_chunks",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, CAST(len(w) - 1 AS BIGINT),
+                                      CAST(32 AS BIGINT))) AS s
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id, md5(array_to_string(w[s + 1 : s + 32], ' ')) AS digest
+        FROM st
+    )
+    SELECT digest,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS exemplar_doc
+    FROM ch
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def boilerplate_chunks(spark, sf_dir):
+    """Cross-document repeated-paragraph detection — the boilerplate pass a
+    web-corpus pipeline runs between chunking and dedup: non-overlapping
+    32-word blocks are digested and any digest appearing in >= 2 distinct
+    documents is flagged with its spread.  Scale shape: the chunk text is
+    reduced to a 32-char digest BEFORE the aggregation, so the shuffle
+    moves digests, never paragraphs, and the expansion itself rides the
+    scan (same shuffle-free chunker as `doc_chunks`)."""
+    chunks = text.chunk_documents(
+        t(spark, sf_dir, "documents"), size=32, stride=32
+    )
+    return (
+        chunks.select("doc_id", F.md5("chunk_text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
     "salted_user_activity",
     oracle="""
     SELECT e.user_id, ANY_VALUE(c.c_mktsegment) AS segment,
