@@ -1024,3 +1024,54 @@ def test_kmeans_fit_converges_and_stops_early(spark):
     cents = np.array(fit["centroids"])
     means = sorted(cents.mean(axis=1).round(1).tolist())
     assert means[0] == 0.0 and means[1] == 5.0
+
+
+def test_jaccard_pairs_property_vs_python(spark):
+    """Randomized corpora vs a pure-Python shingle-set reference: the
+    posting-list self-join (hashed keys, df cap off) must produce exactly
+    the brute-force pair set with exactly the rounded scores."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = [f"w{i}" for i in range(12)]  # small vocab -> real collisions
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(words), min_size=3, max_size=20),
+            min_size=2,
+            max_size=12,
+        ),
+        threshold=st.sampled_from([0.1, 0.3, 0.5]),
+    )
+    def check(docs, threshold):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(df, n=3, threshold=threshold).collect()
+        }
+        # pure-Python reference over the same shingle definition
+        sets = {
+            i: {
+                " ".join(ws[j : j + 3])
+                for j in range(max(len(ws) - 2, 0))
+            }
+            for i, ws in enumerate(docs)
+        }
+        want = {}
+        ids = sorted(sets)
+        for a in ids:
+            for b in ids:
+                if a < b and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+                    if j >= threshold:
+                        want[(a, b)] = j
+        assert got == want
+
+    check()
