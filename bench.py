@@ -69,6 +69,11 @@ HEADLINE = [
     "wav_feature_quanta",      # REAL WAV decode through mapInPandas
     "ppm_feature_quanta",      # REAL PPM image decode through mapInPandas
     "priority_status_cube",    # CUBE grouping-sets aggregation
+    "large_orders",            # aggregate-HAVING semi-join (Q18 shape)
+    "kmeans_assign_update",    # one distributed Lloyd round (GEMM-free expr path)
+    "boilerplate_chunks",      # repeated-paragraph digests across documents
+    # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
+    # dedup_components (both timed above) plus two broadcast joins
 ]
 
 REPS = max(1, int(os.environ.get("BENCH_REPS", "2")))
