@@ -1530,6 +1530,63 @@ def doc_chunks(spark, sf_dir):
 
 
 @query(
+    "daily_weekly_active",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+    wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM days d
+            JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY 1)
+    SELECT CAST(days.day AS TIMESTAMP) AS day, dau.dau, wau.wau
+    FROM days JOIN dau USING (day) JOIN wau USING (day)
+    """,
+)
+def daily_weekly_active(spark, sf_dir):
+    """DAU / trailing-7-day WAU — the engagement-analytics family, and a
+    windowed COUNT DISTINCT, which no window frame supports directly.  The
+    scale formulation inverts the usual range self-join: each distinct
+    (user, day) pair fans out to the <= 7 report days it contributes to
+    (``explode(sequence(...))``), turning the trailing window into a plain
+    hash aggregation — the event table is reduced to distinct pairs
+    FIRST, so the fan-out is 7x the (tiny) pair set, not 7x the events,
+    and there is no range join anywhere in the plan.  The oracle
+    deliberately computes the SAME numbers through the classic range-join
+    formulation, so the hash match proves the two formulations
+    equivalent."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("rday"),
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(ud.select("day").distinct()),
+            contrib.rday == F.col("day"),
+            "left_semi",
+        )
+        .groupBy("rday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.rday)
+        .select(F.col("day").cast("timestamp").alias("day"), "dau", "wau")
+    )
+
+
+@query(
     "boilerplate_chunks",
     oracle="""
     WITH w AS (
