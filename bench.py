@@ -120,7 +120,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
             # queries that persist() intermediates would hand the next rep
             # a warm cache — not a steady-state effect we want to count,
-            # so drop any blocks a query pinned before measuring again
+            # so drop any blocks a query pinned before measuring again.
+            # Deliberate side effect: this also disables CROSS-query plan
+            # cache reuse (e.g. dedup_components re-deriving
+            # jaccard_near_dups' persisted pair list), so every headline
+            # number is the query's standalone cost — comparable across
+            # bench orderings, at the price of timing shared subplans
+            # twice.
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s (min of {REPS})", file=sys.stderr)

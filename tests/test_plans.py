@@ -172,6 +172,10 @@ def test_large_orders_aggregates_before_dimension_joins(spark):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+    # plan strings print children BELOW parents: the HAVING aggregate must
+    # sit inside a join input (deeper than the first join line), i.e. the
+    # dataflow aggregates BEFORE joining — not join-everything-then-agg
+    assert agg_pos > join_pos, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
 

@@ -344,3 +344,25 @@ def test_kernel_stage_skew_and_error_isolation(spark):
         f"kernel stage serialized behind the skewed series: "
         f"fleet {t_fleet:.1f}s vs big-alone {t_big:.1f}s"
     )
+
+
+def test_duplicate_low_stamps_raise_engine_error():
+    """Duplicate low-frequency timestamps must fall back from the reindex
+    merge fast path to the outer join and surface the engine's own
+    frequency error — not pandas' 'cannot reindex on an axis with
+    duplicate labels' (regression guard for the fast-path guard)."""
+    import pandas as pd
+    import numpy as np
+    import pytest as _pytest
+    from tsdisagg_spark.disagg import disaggregate_full
+
+    low = pd.DataFrame(
+        {"y": [1.0, 2.0, 3.0]},
+        index=pd.to_datetime(["2000-01-01", "2000-01-01", "2001-01-01"]),
+    )
+    hi = pd.DataFrame(
+        {"x": np.ones(36)},
+        index=pd.date_range("2000-01-01", periods=36, freq="MS"),
+    )
+    with _pytest.raises(ValueError, match="valid time index with\\s+frequency"):
+        disaggregate_full(low, hi, method="denton", verbose=False)

@@ -153,6 +153,7 @@ def prepare_inputs(
     if (
         high_df.index.is_monotonic_increasing
         and high_df.index.is_unique
+        and low_df.index.is_unique  # reindex rejects duplicate labels
         and low_df.index.isin(high_df.index).all()
     ):
         merged = high_df.copy()

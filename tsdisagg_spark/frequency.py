@@ -123,11 +123,6 @@ def step_down(code: str) -> str:
     raise FrequencyError(f"No frequency lower than {fam} currently supported")
 
 
-_MONTH_ABBR = (
-    "JAN FEB MAR APR MAY JUN JUL AUG SEP OCT NOV DEC".split()
-)
-
-
 def _fast_infer(idx: pd.DatetimeIndex) -> str | None:
     """Numpy inference for the regular start-anchored families the engine
     actually converts (MS / QS-* / YS-*): all stamps on day 1 at midnight
@@ -152,9 +147,9 @@ def _fast_infer(idx: pd.DatetimeIndex) -> str | None:
     if step == 1:
         return "MS"
     if step == 3:
-        return "QS-" + _MONTH_ABBR[9 + (m0 - 1) % 3]
+        return "QS-" + MONTH_ABBRS[9 + (m0 - 1) % 3]
     if step == 12:
-        return "YS-" + _MONTH_ABBR[m0 - 1]
+        return "YS-" + MONTH_ABBRS[m0 - 1]
     return None
 
 

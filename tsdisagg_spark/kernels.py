@@ -411,7 +411,11 @@ def _coarse_v0(
     cov_builder: Callable[[float, float, int], np.ndarray],
 ) -> tuple[np.ndarray, np.ndarray]:
     """(V0 stack, logdet stack) for the fixed coarse grid, cached."""
-    key = (getattr(cov_builder, "__name__", id(cov_builder)), n, C.tobytes())
+    # key on the builder OBJECT (kept alive by the cache entry), not its
+    # name: two distinct builders can share a __name__ (lambdas), and an
+    # id() can be reused after GC — either would silently cross-wire
+    # covariance families
+    key = (cov_builder, n, C.tobytes())
     hit = _COARSE_V0_CACHE.get(key)
     if hit is None:
         V0 = _grid_v0(_COARSE_GRID, n, C, cov_builder)
@@ -445,12 +449,7 @@ def _bracket_v0(
     ``np.linspace(lo, hi, 33)``."""
     lo = _COARSE_GRID[max(best - 1, 0)]
     hi = _COARSE_GRID[min(best + 1, len(_COARSE_GRID) - 1)]
-    key = (
-        getattr(cov_builder, "__name__", id(cov_builder)),
-        n,
-        C.tobytes(),
-        int(best),
-    )
+    key = (cov_builder, n, C.tobytes(), int(best))
     hit = _COARSE_V0_CACHE.get(key)
     if hit is None:
         fine = np.linspace(lo, hi, 33)

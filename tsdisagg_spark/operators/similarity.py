@@ -573,9 +573,7 @@ def kmeans_fit(
             .collect()
         )
         new_c = centroids.copy()
-        counts = np.zeros(k)
         for r in rows:
-            counts[r["cluster"]] = r["n"]
             if r["n"] > 0:
                 new_c[r["cluster"], r["pos"]] = r["s"] / r["n"]
         n_iter += 1
