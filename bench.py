@@ -72,6 +72,8 @@ HEADLINE = [
     "large_orders",            # aggregate-HAVING semi-join (Q18 shape)
     "kmeans_assign_update",    # one distributed Lloyd round (GEMM-free expr path)
     "boilerplate_chunks",      # repeated-paragraph digests across documents
+    "daily_weekly_active",     # DAU/WAU contribution fan-out
+    "ppm_resize_quanta",       # REAL box-average image resize
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins
 ]

@@ -1075,3 +1075,23 @@ def test_jaccard_pairs_property_vs_python(spark):
         assert got == want
 
     check()
+
+
+def test_resize_ppm_gray_box_average():
+    """resize_ppm_gray must equal a hand-rolled crop + block mean."""
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, 19 * 9 * 3, dtype=np.uint8).tobytes()
+    payload = multimodal.make_ppm(data, width=19, height=9)
+    out = multimodal.resize_ppm_gray(payload, box=3)
+    assert out.shape == (3, 6)
+    img = np.frombuffer(data, dtype=np.uint8).reshape(9, 19, 3).astype(float)
+    ref = (
+        img[:9, :18, :]
+        .reshape(3, 3, 6, 3, 3)
+        .sum(axis=(1, 3, 4))
+        / (27 * 255)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    # per-asset isolation: a truncated payload yields null pixels, not a crash
+    with pytest.raises(ValueError):
+        multimodal.resize_ppm_gray(b"P5 1 1 255 x", box=3)

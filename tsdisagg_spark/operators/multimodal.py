@@ -105,10 +105,9 @@ def decode_wav(payload: bytes) -> np.ndarray:
     return _segment_means(x, scale)
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """REAL image decoder for binary PPM (``P6``): parse the ASCII header
-    (width, height, maxval; ``#`` comments allowed), then segment-mean the
-    raw interleaved RGB bytes normalized by maxval."""
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (``P6``) header: ``(width, height, maxval,
+    data_offset)``; ``#`` comments allowed."""
     if payload[:2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     tokens: list[int] = []
@@ -127,8 +126,83 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval, then raw pixel data
     width, height, maxval = tokens
-    pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
+    return width, height, maxval, i
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decoder for binary PPM (``P6``): parse the ASCII header,
+    then segment-mean the raw interleaved RGB bytes normalized by maxval."""
+    width, height, maxval, off = _parse_ppm(payload)
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=off
+    )
     return _segment_means(pixels.astype(np.float32), float(maxval))
+
+
+def resize_ppm_gray(payload: bytes, box: int = 3) -> np.ndarray:
+    """REAL image resize: box-average a binary PPM down by ``box`` in each
+    dimension, collapsing RGB to grayscale — the classic area-interpolation
+    downsample.  The image is floor-cropped to multiples of ``box`` (the
+    partial edge rows/cols are dropped), so every output cell is the exact
+    mean of ``box*box*3`` input bytes — which is what makes the distributed
+    path oracle-checkable: ``cell * (box*box*3) * maxval`` is an integer
+    byte sum a SQL engine can recompute from the raw payload.  Returns a
+    float32 ``(height//box, width//box)`` matrix in [0, 1]."""
+    width, height, maxval, off = _parse_ppm(payload)
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=off
+    ).reshape(height, width, 3)
+    h_out, w_out = height // box, width // box
+    if h_out == 0 or w_out == 0:
+        raise ValueError(f"image {width}x{height} smaller than box {box}")
+    cropped = pixels[: h_out * box, : w_out * box, :].astype(np.float64)
+    cells = cropped.reshape(h_out, box, w_out, box, 3)
+    out = cells.sum(axis=(1, 3, 4)) / (box * box * 3 * maxval)
+    return out.astype(np.float32)
+
+
+def resize_images(
+    assets: DataFrame,
+    box: int = 3,
+    resize_fn: Callable[[bytes, int], np.ndarray] = resize_ppm_gray,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed image downsampling: ``(asset_id, out_h, out_w, pixels)``
+    with ``pixels`` the row-major flattened grayscale grid.
+
+    Same Arrow-batch shape as :func:`extract_features` (mapInPandas, whole
+    batches, per-asset failure isolation via null pixels)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, px = [], [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(aid)
+                try:
+                    grid = resize_fn(payload, box)
+                    hs.append(grid.shape[0])
+                    ws.append(grid.shape[1])
+                    px.append([float(x) for x in grid.ravel()])
+                except Exception:  # noqa: BLE001 — per-asset isolation
+                    hs.append(0)
+                    ws.append(0)
+                    px.append(None)
+            yield pd.DataFrame(
+                {id_col: ids, "out_h": hs, "out_w": ws, "pixels": px}
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        resize_batches, schema=out_schema
+    )
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:

@@ -2013,6 +2013,61 @@ def ppm_feature_quanta(spark, sf_dir):
     )
 
 
+@query(
+    "ppm_resize_quanta",
+    oracle="""
+    -- predicts the REAL box-average image resize: the 19x9 PPM's RGB
+    -- bytes are the utf-8 text zero-padded to 513; box=3 crops to 18
+    -- cols and collapses each 3x3 pixel block (27 bytes) to one gray
+    -- cell, so quanta q = v * 27 * 255 = the exact integer byte sum of
+    -- the block
+    WITH b AS (SELECT doc_id AS asset_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    i AS (SELECT unnest(generate_series(0, 512)) AS i),
+    px AS (SELECT asset_id,
+                  (i // 3) // 19 AS r,
+                  (i // 3) % 19 AS c,
+                  CASE WHEN i < n
+                       THEN ('0x' || substr(hx, i*2 + 1, 2))::BIGINT
+                       ELSE 0 END AS byte
+           FROM b CROSS JOIN i)
+    SELECT asset_id,
+           CAST(r // 3 AS BIGINT) AS cell_r,
+           CAST(c // 3 AS BIGINT) AS cell_c,
+           SUM(byte) AS q
+    FROM px
+    WHERE c < 18 AND r < 9
+    GROUP BY 1, 2, 3
+    """,
+)
+def ppm_resize_quanta(spark, sf_dir):
+    """The REAL image-RESIZE path with a hard oracle: every document's PPM
+    is box-average downsampled 3x in each dimension to a 3x6 grayscale
+    grid through the genuine header-parse + reshape + area-mean kernel
+    (operators/multimodal.py:resize_ppm_gray), and DuckDB recomputes each
+    output cell's exact 27-byte block sum from the raw text bytes — so
+    crop semantics, block geometry, and the mean normalization are all
+    hash-checked.  Quanta contract: v = block_sum / (27*255) exactly;
+    round(v * 6885) recovers the integer sum through float32
+    (error <= 6885 * 2^-24 < 0.0005)."""
+    from tsdisagg_spark.operators import multimodal
+
+    assets = multimodal.ppm_assets(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    grids = multimodal.resize_images(assets, box=3)
+    return grids.select(
+        "asset_id", "out_w", F.posexplode("pixels").alias("pos0", "v")
+    ).select(
+        "asset_id",
+        (F.col("pos0") / F.col("out_w")).cast("long").alias("cell_r"),
+        (F.col("pos0") % F.col("out_w")).cast("long").alias("cell_c"),
+        F.round(F.col("v") * (27 * 255)).cast("long").alias("q"),
+    )
+
+
 @query("frame_samples")
 def frame_samples(spark, sf_dir):
     """Video-style keyframe sampling (no SQL oracle — stub decoder is
