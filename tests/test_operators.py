@@ -1095,3 +1095,85 @@ def test_resize_ppm_gray_box_average():
     # per-asset isolation: a truncated payload yields null pixels, not a crash
     with pytest.raises(ValueError):
         multimodal.resize_ppm_gray(b"P5 1 1 255 x", box=3)
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics pinned end-to-end: with a 1-hour watermark and
+    append output, an event arriving in a LATER micro-batch but stamped
+    before the watermark cut must be dropped — the already-closed window
+    emits WITHOUT it — while state for still-open windows survives."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsdisagg_spark.streaming import stream_tumbling_counts
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, ts_list):
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    pd.to_datetime(ts_list).tz_localize("UTC"),
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "event_type": pa.array(["a"] * len(ts_list)),
+                "value": pa.array([1.0] * len(ts_list)),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    # batch 1: one event in window [00:00, 01:00), one at 03:30 that
+    # advances the watermark to 02:30 — the first window emits at the END
+    # of the NEXT batch (Spark applies an updated watermark one trigger
+    # later; a late row arriving in that same batch would still merge)
+    write_batch("b1.parquet", ["2024-01-01 00:10:00", "2024-01-01 03:30:00"])
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    # batch 2: on-time event, watermark advances to 04:00 and [00:00) is
+    # emitted + its state evicted
+    write_batch("b2.parquet", ["2024-01-01 05:00:00"])
+    _time.sleep(1.1)
+    # batch 3: a LATE event for the long-closed [00:00) window (dropped —
+    # its state is gone) plus an on-time 06:30 event
+    write_batch("b3.parquet", ["2024-01-01 00:20:00", "2024-01-01 06:30:00"])
+
+    static = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream_tumbling_counts(stream, window_size="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("select * from late_counts")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    emitted = {
+        (str(r.window_start), int(r.n_events)) for r in got.itertuples()
+    }
+    # the closed first window emitted WITHOUT the late 00:20 event: its
+    # state was evicted when the watermark passed, so the batch-3 late row
+    # had nothing to merge into and was discarded
+    assert ("2024-01-01 00:00:00", 1) in emitted, emitted
+    # the 03:30 window closed by batch 3's watermark advance, count 1
+    assert ("2024-01-01 03:00:00", 1) in emitted, emitted
+    # nothing else surfaced: no window carries the late event, and the
+    # still-open 05:00 / 06:00 windows were not emitted in append mode
+    assert emitted == {
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 03:00:00", 1),
+    }, emitted
