@@ -1092,9 +1092,36 @@ def test_resize_ppm_gray_box_average():
         / (27 * 255)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-6)
-    # per-asset isolation: a truncated payload yields null pixels, not a crash
+    # the raw kernel rejects non-P6 payloads outright
     with pytest.raises(ValueError):
         multimodal.resize_ppm_gray(b"P5 1 1 255 x", box=3)
+
+
+def test_resize_images_isolates_bad_assets(spark):
+    """Distributed per-asset isolation: a malformed payload in the batch
+    yields a null-pixel row (out_h/out_w = 0) while good assets in the
+    SAME Arrow batch resize normally."""
+    rng = np.random.default_rng(9)
+    good = multimodal.make_ppm(
+        rng.integers(0, 256, 19 * 9 * 3, dtype=np.uint8).tobytes()
+    )
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3],
+            "payload": [good, b"not a ppm at all", good],
+        }
+    )
+    out = (
+        multimodal.resize_images(spark.createDataFrame(pdf), box=3)
+        .toPandas()
+        .sort_values("asset_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["asset_id"]) == [1, 2, 3]
+    assert out.loc[1, "out_h"] == 0 and out.loc[1, "pixels"] is None
+    for i in (0, 2):
+        assert (out.loc[i, "out_h"], out.loc[i, "out_w"]) == (3, 6)
+        assert len(out.loc[i, "pixels"]) == 18
 
 
 def test_streaming_watermark_drops_late_data(spark, tmp_path):
