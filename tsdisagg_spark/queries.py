@@ -3242,6 +3242,58 @@ def indicator_corr_flags(spark, sf_dir):
 
 
 @query(
+    "spearman_corr_flags",
+    oracle="""
+    WITH m AS (SELECT l_returnflag AS series_id,
+                      date_trunc('month', l_shipdate) AS ts,
+                      SUM(l_extendedprice) AS y,
+                      SUM(l_quantity) AS x_qty
+               FROM lineitem GROUP BY 1, 2),
+    r AS (SELECT series_id,
+                 ROW_NUMBER() OVER (PARTITION BY series_id
+                                    ORDER BY y ASC, ts ASC) AS ry,
+                 ROW_NUMBER() OVER (PARTITION BY series_id
+                                    ORDER BY x_qty ASC, ts ASC) AS rx
+          FROM m)
+    SELECT series_id,
+           COUNT(*) AS n_obs,
+           ROUND(CORR(ry, rx), 6) AS spearman_x_qty
+    FROM r GROUP BY 1
+    """,
+)
+def spearman_corr_flags(spark, sf_dir):
+    """Rank (Spearman) correlation of monthly revenue vs shipped quantity
+    per series — the robust twin of `indicator_corr_flags` for screening
+    indicators with outliers or nonlinear-but-monotone relationships.
+    Ranks come from one window pass per variable (deterministic ts
+    tie-break so both engines rank identically); the correlation itself is
+    then the same algebraic aggregate as Pearson, over integer ranks.
+    Scale shape: the windows partition by series — one exchange on the
+    (tiny) monthly aggregate, never on the fact table."""
+    li = t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("series_id"),
+        F.date_trunc("month", "l_shipdate").alias("ts"),
+    ).agg(
+        F.sum("l_extendedprice").alias("y"),
+        F.sum("l_quantity").alias("x_qty"),
+    )
+    w_y = Window.partitionBy("series_id").orderBy(F.asc("y"), F.asc("ts"))
+    w_x = Window.partitionBy("series_id").orderBy(
+        F.asc("x_qty"), F.asc("ts")
+    )
+    ranked = monthly.select(
+        "series_id",
+        F.row_number().over(w_y).alias("ry"),
+        F.row_number().over(w_x).alias("rx"),
+    )
+    return ranked.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.corr("ry", "rx"), 6).alias("spearman_x_qty"),
+    )
+
+
+@query(
     "tfidf_top_terms",
     oracle="""
     WITH toks AS (
