@@ -3384,6 +3384,66 @@ def order_value_percentiles(spark, sf_dir):
 
 
 @query(
+    "order_value_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT o_orderpriority,
+                        ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med
+                 FROM orders GROUP BY 1),
+    resid AS (SELECT o.o_orderpriority, o.o_totalprice, med.med,
+                     abs(o.o_totalprice - med.med) AS r
+              FROM orders o JOIN med USING (o_orderpriority)),
+    mad AS (SELECT o_orderpriority,
+                   ROUND(quantile_cont(r, 0.5), 6) AS mad
+            FROM resid GROUP BY 1)
+    SELECT r.o_orderpriority, ANY_VALUE(r.med) AS med,
+           ANY_VALUE(mad.mad) AS mad,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN r.r > 3 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM resid r JOIN mad USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def order_value_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    anomaly filter that survives the heavy tails that break z-scores: per
+    priority class, median -> absolute residuals -> median of residuals
+    (MAD) -> count of values beyond 3 robust sigmas (1.4826*MAD).  A
+    NESTED aggregation dependency: the second median runs over a column
+    derived from the first's result.  Both medians are rounded to 6
+    decimals BEFORE the residual/threshold math so the two engines
+    compare bit-identical doubles (the exact-percentile machinery itself
+    is the `order_value_percentiles` precedent).  Scale shape: each
+    median is one exact-percentile aggregate; the per-group scalars
+    broadcast back; the fact table is scanned twice but never
+    shuffled."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("med")
+    )
+    resid = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "r", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = resid.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(r, 0.5)"), 6).alias("mad")
+    )
+    return (
+        resid.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.col("r") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
     "click_purchase_conversions",
     oracle="""
     SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
