@@ -74,6 +74,8 @@ HEADLINE = [
     "boilerplate_chunks",      # repeated-paragraph digests across documents
     "daily_weekly_active",     # DAU/WAU contribution fan-out
     "ppm_resize_quanta",       # REAL box-average image resize
+    "spearman_corr_flags",     # rank windows feeding an algebraic corr
+    "order_value_mad_outliers",  # nested median-of-residuals robust stats
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins
 ]
