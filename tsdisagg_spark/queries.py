@@ -3242,6 +3242,61 @@ def indicator_corr_flags(spark, sf_dir):
 
 
 @query(
+    "nation_revenue_share",
+    oracle="""
+    WITH n AS (SELECT n.n_name AS nation, r.r_name AS region,
+                      ROUND(SUM(o.o_totalprice), 2) AS revenue
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+               GROUP BY 1, 2)
+    SELECT nation, region, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+               AS region_share,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS global_share
+    FROM n
+    """,
+)
+def nation_revenue_share(spark, sf_dir):
+    """Percent-of-total (ratio-to-report): each nation's revenue as a share
+    of its region and of the world — the UNORDERED-frame window shape
+    (``sum over (partition by ...)`` with no ordering, full-partition
+    frame), distinct from every ordered/rolling window in the registry.
+    Revenue is rounded to cents before the shares (mirrored in the oracle)
+    so both engines divide identical doubles.  Scale shape: the windows
+    run over the 25-row nation aggregate — the single-partition global
+    window is safe ONLY because it follows the aggregation; at fleet width
+    the equivalent over raw facts would be a broadcast scalar instead."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return agg.select(
+        "nation",
+        "region",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w_region), 6
+        ).alias("region_share"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "global_share"
+        ),
+    )
+
+
+@query(
     "spearman_corr_flags",
     oracle="""
     WITH m AS (SELECT l_returnflag AS series_id,
