@@ -3242,6 +3242,53 @@ def indicator_corr_flags(spark, sf_dir):
 
 
 @query(
+    "similar_part_names",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+               AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def similar_part_names(spark, sf_dir):
+    """Fuzzy entity resolution: near-identical part names found by edit
+    distance within blocking keys — the classic record-linkage pattern
+    (same as catalog/product dedup in a training-data pipeline).  Blocking
+    on (brand, type) turns the O(N^2) all-pairs scan into per-block
+    quadratics on a partitioned equi-join, the same discipline as the
+    df-capped shingle join; Levenshtein is the unit-cost DP in both
+    engines, so the oracle is a direct recompute."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long"),
+        )
+        .filter(F.col("distance") <= 3)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "distance",
+        )
+    )
+
+
+@query(
     "nation_revenue_share",
     oracle="""
     WITH n AS (SELECT n.n_name AS nation, r.r_name AS region,
