@@ -76,6 +76,8 @@ HEADLINE = [
     "ppm_resize_quanta",       # REAL box-average image resize
     "spearman_corr_flags",     # rank windows feeding an algebraic corr
     "order_value_mad_outliers",  # nested median-of-residuals robust stats
+    "similar_part_names",      # blocked edit-distance record linkage
+    "nation_revenue_share",    # unordered full-partition window shares
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins
 ]
