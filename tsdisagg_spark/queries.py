@@ -3271,13 +3271,25 @@ def similar_part_names(spark, sf_dir):
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_type") == F.col("b.p_type"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            # cheap codegen pre-filter: |len diff| > k guarantees
+            # distance > k, skipping the DP for most cross pairs
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 3
+            ),
         )
         .withColumn(
             "distance",
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long"),
+            # bounded DP: with a threshold Spark early-exits and returns
+            # -1 past it — same kept rows/values as the unbounded form
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3).cast(
+                "long"
+            ),
         )
-        .filter(F.col("distance") <= 3)
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= 3))
         .select(
             F.col("a.p_partkey").alias("id_a"),
             F.col("b.p_partkey").alias("id_b"),
