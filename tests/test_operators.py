@@ -1204,3 +1204,55 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
         ("2024-01-01 00:00:00", 1),
         ("2024-01-01 03:00:00", 1),
     }, emitted
+
+
+def test_sample_fraction_deterministic_and_nested(spark):
+    """sample_fraction keeps a stable hash-bucket subset: deterministic
+    across calls, approximately the requested rate, and monotone — the
+    20% sample is a strict subset of the 50% sample (threshold buckets
+    nest by construction, the property that makes rate changes replayable
+    without reshuffling past decisions)."""
+    from tsdisagg_spark.operators import sampling
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    s20a = set(r.k for r in sampling.sample_fraction(df, 0.2, "k").collect())
+    s20b = set(r.k for r in sampling.sample_fraction(df, 0.2, "k").collect())
+    s50 = set(r.k for r in sampling.sample_fraction(df, 0.5, "k").collect())
+    assert s20a == s20b
+    assert s20a <= s50
+    assert 0.15 < len(s20a) / 4000 < 0.25
+    assert 0.45 < len(s50) / 4000 < 0.55
+    # different salt -> different (still deterministic) subset
+    s20c = set(
+        r.k for r in sampling.sample_fraction(df, 0.2, "k", salt="x").collect()
+    )
+    assert s20c != s20a
+
+
+def test_monthly_timeline_matches_date_range(spark):
+    """monthly_timeline == pd.date_range for start and end stamps across
+    month steps, including the month-end snap."""
+    from tsdisagg_spark.spark import periods
+
+    pdf = pd.DataFrame(
+        {
+            "s": pd.to_datetime(["2020-01-01", "2021-11-01"]),
+            "e": pd.to_datetime(["2020-07-01", "2023-05-01"]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for step, stamp in [(1, "start"), (3, "start"), (1, "end"), (6, "end")]:
+        got = (
+            df.select(
+                periods.monthly_timeline(df, "s", "e", step, stamp).alias("t")
+            )
+            .toPandas()["t"]
+            .tolist()
+        )
+        for (s, e), arr in zip(pdf[["s", "e"]].itertuples(index=False), got):
+            want = pd.date_range(s, e, freq=f"{step}MS")
+            if stamp == "end":
+                want = want + pd.offsets.MonthEnd(0)
+            assert [d.isoformat() for d in arr] == [
+                d.date().isoformat() for d in want
+            ], (step, stamp, arr, list(want))
