@@ -1256,3 +1256,34 @@ def test_monthly_timeline_matches_date_range(spark):
             assert [d.isoformat() for d in arr] == [
                 d.date().isoformat() for d in want
             ], (step, stamp, arr, list(want))
+
+
+def test_hll_sketches_merge_across_groups(spark):
+    """Mergeable-sketch workflow for distinct counts at fleet scale:
+    per-shard HLL sketches built independently, unioned, and estimated —
+    the pattern that replaces a global COUNT DISTINCT shuffle when shards
+    are processed on different days/executors.  The union estimate must
+    match the exact distinct count within HLL's error envelope, and
+    sketch merging must be associative (shard order irrelevant)."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select("user_id", (F.col("event_id") % 8).alias("shard"))
+    )
+    exact = df.select("user_id").distinct().count()
+
+    shards = df.groupBy("shard").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    est = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - exact) <= max(0.05 * exact, 4), (est, exact)
+
+    # associativity: merging a different shard split gives the same sketch
+    shards2 = (
+        df.withColumn("shard", (F.col("user_id") % 3))
+        .groupBy("shard")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    est2 = shards2.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    assert est == est2, (est, est2)
