@@ -57,29 +57,63 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     first task (verified in a clean env).  The zip is content-stable and
     added once per session."""
     marker = "tsdisagg.workers.bootstrapped"
+    digest = _pkg_digest()
     try:
-        if spark.conf.get(marker, "") == "1":
+        if spark.conf.get(marker, "") == digest:
             return
     except Exception:  # noqa: BLE001 — conf access must never break a query
         pass
-    zpath = os.path.join(tempfile.gettempdir(), "tsdisagg_spark_pkg.zip")
+    # CONTENT-ADDRESSED zip name: an existence-only cache once shipped a
+    # stale module to the workers after a code change (mapInPandas
+    # closures resolve module attributes on the worker, so a new function
+    # in a fresh driver + old zip = AttributeError on the first task)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"tsdisagg_spark_pkg_{digest}.zip"
+    )
     if not os.path.exists(zpath):
         tmp = f"{zpath}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as z:
-            pkgdir = os.path.join(_PKG_PARENT, "tsdisagg_spark")
-            for dirpath, _dirs, files in os.walk(pkgdir):
-                if "__pycache__" in dirpath:
-                    continue
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, _PKG_PARENT))
+            for full, rel in _pkg_sources():
+                z.write(full, rel)
         os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:  # noqa: BLE001 — re-adding the same file warns/raises
         pass
-    spark.conf.set(marker, "1")
+    spark.conf.set(marker, digest)
+
+
+def _pkg_sources() -> list[tuple[str, str]]:
+    """(absolute, zip-relative) paths of every package source file."""
+    out = []
+    pkgdir = os.path.join(_PKG_PARENT, "tsdisagg_spark")
+    for dirpath, _dirs, files in sorted(os.walk(pkgdir)):
+        if "__pycache__" in dirpath:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                out.append((full, os.path.relpath(full, _PKG_PARENT)))
+    return out
+
+
+_PKG_DIGEST: str | None = None
+
+
+def _pkg_digest() -> str:
+    """Content hash of the package source (cached per process — the code
+    cannot meaningfully change after import)."""
+    global _PKG_DIGEST
+    if _PKG_DIGEST is None:
+        import hashlib
+
+        h = hashlib.sha256()
+        for full, rel in _pkg_sources():
+            h.update(rel.encode())
+            with open(full, "rb") as fh:
+                h.update(fh.read())
+        _PKG_DIGEST = h.hexdigest()[:16]
+    return _PKG_DIGEST
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
