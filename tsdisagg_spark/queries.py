@@ -76,6 +76,19 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
             for full, rel in _pkg_sources():
                 z.write(full, rel)
         os.replace(tmp, zpath)
+        # keep the cache to one entry: drop zips for prior digests (and
+        # the legacy fixed-name zip) — each source edit would otherwise
+        # leave one full-package zip in the temp dir forever
+        import glob
+
+        for old in glob.glob(
+            os.path.join(tempfile.gettempdir(), "tsdisagg_spark_pkg*.zip")
+        ):
+            if old != zpath:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:  # noqa: BLE001 — re-adding the same file warns/raises
@@ -3394,7 +3407,7 @@ def nation_revenue_share(spark, sf_dir):
     oracle="""
     WITH m AS (SELECT l_returnflag AS series_id,
                       date_trunc('month', l_shipdate) AS ts,
-                      SUM(l_extendedprice) AS y,
+                      ROUND(SUM(l_extendedprice), 2) AS y,
                       SUM(l_quantity) AS x_qty
                FROM lineitem GROUP BY 1, 2),
     r AS (SELECT series_id,
@@ -3416,6 +3429,11 @@ def spearman_corr_flags(spark, sf_dir):
     Ranks come from one window pass per variable (deterministic ts
     tie-break so both engines rank identically); the correlation itself is
     then the same algebraic aggregate as Pearson, over integer ranks.
+    Revenue is rounded to cents BEFORE ranking (mirrored in the oracle):
+    the ts tie-break only engages on bit-equal sort keys, so both engines
+    must rank over identical doubles or a last-ulp partial-sum difference
+    could swap near-equal ranks (x_qty needs no guard — integer-valued
+    doubles sum exactly).
     Scale shape: the windows partition by series — one exchange on the
     (tiny) monthly aggregate, never on the fact table."""
     li = t(spark, sf_dir, "lineitem")
@@ -3423,7 +3441,7 @@ def spearman_corr_flags(spark, sf_dir):
         F.col("l_returnflag").alias("series_id"),
         F.date_trunc("month", "l_shipdate").alias("ts"),
     ).agg(
-        F.sum("l_extendedprice").alias("y"),
+        F.round(F.sum("l_extendedprice"), 2).alias("y"),
         F.sum("l_quantity").alias("x_qty"),
     )
     w_y = Window.partitionBy("series_id").orderBy(F.asc("y"), F.asc("ts"))
