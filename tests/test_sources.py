@@ -148,3 +148,31 @@ def test_pre_partitioned_rejects_indicator_path(spark):
     )
     with _pytest.raises(ValueError, match="pre_partitioned"):
         disaggregate(low, ind, pre_partitioned=True)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink parity: a table written as ORC reads back
+    row-identical, and both filter pushdown and column pruning reach the
+    ORC scan just as they do for parquet — the engine is not
+    format-married."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    src.write.orc(path)
+
+    back = spark.read.orc(path)
+    assert back.count() == src.count()
+    a = sorted(r.o_orderkey for r in src.select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in back.select("o_orderkey").collect())
+    assert a == b
+
+    q = back.filter(F.col("o_totalprice") > 200000.0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "FileScan orc" in plan, plan
+    assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice" in plan, plan
+    # column pruning: the 9-column orders schema narrows to the 2 selected
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "o_orderdate" not in m[0], m
