@@ -366,3 +366,76 @@ def test_duplicate_low_stamps_raise_engine_error():
     )
     with _pytest.raises(ValueError, match="valid time index with\\s+frequency"):
         disaggregate_full(low, hi, method="denton", verbose=False)
+
+
+def test_streaming_disaggregate_restart_upserts(spark, tmp_path, multi_series):
+    """Exactly-once resume + upsert semantics across a restart: after the
+    first run commits, a second run with the SAME checkpoint processes
+    only the newly-arrived file (a revised snapshot of one series), the
+    revised series' latest solve wins in the sink, and every untouched
+    series keeps its batch-1 output byte-for-byte (it is never
+    re-solved or re-written)."""
+    from tsdisagg_spark.streaming import latest_solutions, streaming_disaggregate
+
+    low_sdf, ind_sdf, _ = multi_series
+    src = str(tmp_path / "low_src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    low_sdf.write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(low_sdf.schema).parquet(src)
+        q = (
+            streaming_disaggregate(
+                stream, ind_sdf, sink_path=sink, checkpoint_path=ckpt,
+                method="chow-lin", agg_func="sum",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    first = latest_solutions(spark, sink).toPandas()
+
+    # revised snapshot for s0 only: +10% on every low observation
+    rev = low_sdf.filter(F.col("series_id") == "s0").withColumn(
+        "y", F.col("y") * 1.1
+    )
+    import glob
+    import shutil
+
+    rev_pdf = rev.toPandas()
+    # write the revision with Spark itself so the parquet timestamp
+    # physical type matches the original files, then drop the part file
+    # into the watched source directory
+    rev_dir = str(tmp_path / "rev_out")
+    rev.coalesce(1).write.parquet(rev_dir)
+    part = glob.glob(f"{rev_dir}/part-*.parquet")[0]
+    shutil.copy(part, f"{src}/revision-s0.parquet")
+    run_once()
+
+    latest = latest_solutions(spark, sink).toPandas()
+    assert set(latest["series_id"]) == set(first["series_id"])
+
+    # untouched series byte-identical to batch 1 (never re-solved)
+    for sid in ("s1", "s2", "s3", "s4"):
+        a = first[first.series_id == sid].sort_values("ts")["y_hat"].to_numpy()
+        b = latest[latest.series_id == sid].sort_values("ts")["y_hat"].to_numpy()
+        np.testing.assert_array_equal(a, b)
+
+    # the revised series re-solved against the new snapshot: re-aggregation
+    # reproduces the REVISED yearly totals (+10%), not the originals
+    s0 = latest[latest.series_id == "s0"].sort_values("ts")
+    reagg = s0.set_index("ts")["y_hat"].groupby(lambda t: t.year).sum()
+    rev_low = rev_pdf.set_index("ts")["y"].groupby(lambda t: t.year).sum()
+    common = reagg.index.intersection(rev_low.index)
+    # restrict to fully-covered years (same contract as the batch path)
+    np.testing.assert_allclose(
+        reagg.loc[common][1:-1].to_numpy(),
+        rev_low.loc[common][1:-1].to_numpy(),
+        rtol=1e-8,
+    )
+    # and it genuinely changed from batch 1
+    s0_first = first[first.series_id == "s0"].sort_values("ts")["y_hat"].to_numpy()
+    assert not np.allclose(s0_first, s0["y_hat"].to_numpy(), rtol=1e-6)
