@@ -1287,3 +1287,33 @@ def test_hll_sketches_merge_across_groups(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
     ).collect()[0]["e"]
     assert est == est2, (est, est2)
+
+
+def test_map_column_roundtrip(spark):
+    """Map-typed column plumbing: per-doc word->count maps built with
+    map_from_arrays survive a round trip through explode and reproduce
+    the flat word counts — nested types are first-class in the engine's
+    data model."""
+    rows = [(1, "a b a c b a"), (2, "x y x")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    words = F.split(F.col("text"), " ")
+    uniq = F.array_distinct(words)
+    counts = F.transform(
+        uniq, lambda w: F.size(F.filter(words, lambda t: t == w))
+    )
+    mapped = df.select(
+        "doc_id", F.map_from_arrays(uniq, counts).alias("wc")
+    )
+    flat = (
+        mapped.select("doc_id", F.explode("wc").alias("word", "n"))
+        .orderBy("doc_id", "word")
+        .collect()
+    )
+    got = [(r.doc_id, r.word, r.n) for r in flat]
+    assert got == [
+        (1, "a", 3), (1, "b", 2), (1, "c", 1), (2, "x", 2), (2, "y", 1)
+    ]
+    # map_keys/map_values stay aligned
+    k = mapped.select(F.size(F.map_keys("wc")).alias("n")).collect()
+    v = mapped.select(F.size(F.map_values("wc")).alias("n")).collect()
+    assert [r.n for r in k] == [r.n for r in v]

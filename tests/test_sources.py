@@ -176,3 +176,25 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # column pruning: the 9-column orders schema narrows to the 2 selected
     m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert m and "o_orderdate" not in m[0], m
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch gains a
+    column; mergeSchema reads the union schema with nulls backfilled —
+    the append-only ingestion contract a long-lived corpus store needs."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("source")).write.parquet(
+        path
+    )
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("source"), F.lit(0.5).alias("quality")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "source", "quality"}
+    rows = {r.id: (r.source, r.quality) for r in merged.collect()}
+    assert rows[0] == ("a", None)  # old rows: new column null-backfilled
+    assert rows[7] == ("b", 0.5)
+    assert len(rows) == 8
