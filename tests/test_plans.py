@@ -211,18 +211,18 @@ def test_aqe_splits_skewed_join_partitions():
     thresholds."""
     from tsdisagg_spark.spark.session import get_spark
 
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
     spark = get_spark(
         app_name="skew-test",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={
-            "spark.ui.enabled": "false",
-            "spark.sql.adaptive.skewJoin.enabled": "true",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-        },
+        extra_conf={"spark.ui.enabled": "false", **skew_confs},
     )
     big = spark.range(400_000).select(
         F.when(F.col("id") % 10 < 9, F.lit(7))
@@ -251,3 +251,9 @@ def test_aqe_splits_skewed_join_partitions():
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert (row["s"], row["n"]) == (ref["s"], ref["n"])
+    # getOrCreate may have handed back the suite's shared session with the
+    # toy skew thresholds applied as runtime confs — unset them so later
+    # plan tests see the engine defaults again (skewJoin.enabled is an
+    # engine default and survives; the threshold overrides must not)
+    for k in skew_confs:
+        spark.conf.unset(k)
