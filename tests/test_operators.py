@@ -1317,3 +1317,23 @@ def test_map_column_roundtrip(spark):
     k = mapped.select(F.size(F.map_keys("wc")).alias("n")).collect()
     v = mapped.select(F.size(F.map_values("wc")).alias("n")).collect()
     assert [r.n for r in k] == [r.n for r in v]
+
+
+def test_approx_percentile_error_is_bounded(spark):
+    """The README's percentile scale claim, executed: approx_percentile
+    (same call shape as the exact form) lands within its documented rank
+    error of the exact interpolated percentiles on real data — 1/accuracy
+    relative rank error, checked via the exact quantile of the
+    rank-shifted positions."""
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    acc = 1000
+    rows = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})").alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5 - 2.0/" + str(acc) + ")").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.5 + 2.0/" + str(acc) + ")").alias("hi"),
+    )
+    for r in rows.collect():
+        assert r["lo"] <= r["approx"] <= r["hi"], (
+            r["o_orderpriority"], r["lo"], r["approx"], r["hi"], r["exact"]
+        )
