@@ -1337,3 +1337,33 @@ def test_approx_percentile_error_is_bounded(spark):
         assert r["lo"] <= r["approx"] <= r["hi"], (
             r["o_orderpriority"], r["lo"], r["approx"], r["hi"], r["exact"]
         )
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty-corpus degenerate cases return empty results with the right
+    schema instead of crashing — the behavior a pipeline stage needs when
+    an upstream filter happens to eliminate everything."""
+    from tsdisagg_spark.operators import graph, packing, sampling
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.jaccard_pairs(empty_docs).count() == 0
+    assert dedup.exact_groups(empty_docs, key_cols=["text"]).count() == 0
+    assert dedup.minhash_pairs(empty_docs).count() == 0
+    assert dedup.simhash_pairs(empty_docs, max_hamming=5, token_hash="md5").count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    cc = graph.connected_components(empty_pairs)
+    assert cc.count() == 0
+    assert set(cc.columns) == {"node", "component"}
+
+    assert packing.pack_token_stream(empty_docs, budget=64).count() == 0
+
+    assert (
+        sampling.stratified_sample(
+            empty_docs.withColumn("src", F.lit("a")),
+            strata_col="src",
+            rates={"a": 1.0},
+            key_col="doc_id",
+        ).count()
+        == 0
+    )
