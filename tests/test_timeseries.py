@@ -425,3 +425,24 @@ def test_gap_fill_matches_pandas_interpolate(spark):
     assert len(out) == 40
     np.testing.assert_allclose(out["value"], expected.round(6), atol=1e-6)
     assert (~out["interpolated"]).sum() == len(sparse)
+
+
+def test_timeseries_ops_handle_empty_inputs(spark):
+    """Empty frames flow through the time-series relational operators
+    without crashing and preserve output schemas."""
+    from tsdisagg_spark.operators import timeseries
+
+    empty = spark.createDataFrame(
+        [], "series_id string, ts timestamp, y double"
+    )
+    right = spark.createDataFrame(
+        [], "series_id string, ts timestamp, v double"
+    )
+    out = timeseries.asof_join(empty, right, on=["series_id"])
+    assert out.count() == 0
+    assert timeseries.rolling_stats(
+        empty, ["series_id"], "ts", "y", n=3
+    ).count() == 0
+    assert timeseries.gap_fill(
+        empty, "series_id", "ts", "y"
+    ).count() == 0
