@@ -3348,6 +3348,47 @@ def similar_part_names(spark, sf_dir):
 
 
 @query(
+    "revenue_range_window",
+    oracle="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od,
+                      date_diff('day', DATE '1990-01-01',
+                                CAST(o_orderdate AS DATE)) AS day_no,
+                      ROUND(SUM(o_totalprice), 2) AS revenue
+               FROM orders GROUP BY 1, 2)
+    SELECT CAST(od AS TIMESTAMP) AS order_day, revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d,
+           COUNT(*) OVER (ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_present
+    FROM d
+    """,
+)
+def revenue_range_window(spark, sf_dir):
+    """Trailing-7-CALENDAR-DAY revenue via a RANGE window frame — the
+    value-based frame mechanic (`range between 6 preceding`), distinct
+    from every ROWS frame in the registry: on a gapped daily timeline a
+    ROWS frame would span a week of PRESENT rows, silently stretching
+    across holes, while the RANGE frame bounds by the day-number VALUE
+    (`days_present` exposes exactly where the two disagree).  Daily
+    revenue is rounded to cents before the window (both engines sum
+    identical doubles).  Scale note: a single global ordered window —
+    safe here only because it runs over the per-day aggregate (thousands
+    of rows per decade); the per-key variant partitions first."""
+    o = t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderdate").alias("od"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).alias("day_no"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return d.select(
+        F.col("od").cast("timestamp").alias("order_day"),
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("days_present"),
+    )
+
+
+@query(
     "nation_revenue_share",
     oracle="""
     WITH n AS (SELECT n.n_name AS nation, r.r_name AS region,
