@@ -3348,6 +3348,52 @@ def similar_part_names(spark, sf_dir):
 
 
 @query(
+    "user_activity_islands",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(date_trunc('day', ts) AS DATE)) AS day_no
+                FROM events),
+    runs AS (SELECT user_id, day_no,
+                    day_no - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY day_no) AS grp
+             FROM ud)
+    SELECT user_id,
+           MIN(day_no) AS run_start_day,
+           MAX(day_no) AS run_end_day,
+           COUNT(*) AS n_days
+    FROM runs GROUP BY user_id, grp
+    """,
+)
+def user_activity_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's CONTIGUOUS runs of active days, via
+    the classic ``day_no - row_number()`` group key (consecutive days
+    share a constant difference; any gap starts a new island) — the
+    streak/tenure shape behind retention and session-era analytics that
+    no window frame can express directly.  One window pass + one hash
+    aggregation over the distinct (user, day) pairs; the events table
+    reduces before anything else touches it."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+        ).alias("day_no"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    runs = ud.withColumn("grp", F.col("day_no") - F.row_number().over(w))
+    return (
+        runs.groupBy("user_id", "grp")
+        .agg(
+            F.min("day_no").alias("run_start_day"),
+            F.max("day_no").alias("run_end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("grp")
+    )
+
+
+@query(
     "revenue_range_window",
     oracle="""
     WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od,
