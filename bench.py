@@ -78,6 +78,8 @@ HEADLINE = [
     "order_value_mad_outliers",  # nested median-of-residuals robust stats
     "similar_part_names",      # blocked edit-distance record linkage
     "nation_revenue_share",    # unordered full-partition window shares
+    "revenue_range_window",    # value-based RANGE frame over gapped days
+    "user_activity_islands",   # gaps-and-islands run detection
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins
 ]
