@@ -224,36 +224,36 @@ def test_aqe_splits_skewed_join_partitions():
         shuffle_partitions=8,
         extra_conf={"spark.ui.enabled": "false", **skew_confs},
     )
-    big = spark.range(400_000).select(
-        F.when(F.col("id") % 10 < 9, F.lit(7))
-        .otherwise(F.col("id") % 1000)
-        .alias("k"),
-        F.col("id").alias("payload"),
-    )
-    dim = spark.range(1000).select(
-        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
-    )
-    j = big.join(dim, "k").select(
-        F.sum(F.col("payload") + F.col("attr")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    row = j.collect()[0]
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert "skew=true" in plan, plan
-    assert "coalesced and skewed" in plan, plan
-    # correctness: equals the reference sums computed without the join
-    # (dim.attr = 2k, so every fact row contributes payload + 2k)
-    import pandas as pd  # noqa: F401
-
-    ref = big.select(
-        F.sum(F.col("payload") + 2 * F.col("k")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    assert (row["s"], row["n"]) == (ref["s"], ref["n"])
-    # getOrCreate may have handed back the suite's shared session with the
-    # toy skew thresholds applied as runtime confs — unset them so later
-    # plan tests see the engine defaults again (skewJoin.enabled is an
-    # engine default and survives; the threshold overrides must not)
-    for k in skew_confs:
-        spark.conf.unset(k)
+    try:
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = big.join(dim, "k").select(
+            F.sum(F.col("payload") + F.col("attr")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "coalesced and skewed" in plan, plan
+        # correctness: equals the reference sums computed without the join
+        # (dim.attr = 2k, so every fact row contributes payload + 2k)
+        ref = big.select(
+            F.sum(F.col("payload") + 2 * F.col("k")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        assert (row["s"], row["n"]) == (ref["s"], ref["n"])
+    finally:
+        # getOrCreate may have handed back the suite's shared session with
+        # the toy skew thresholds applied as runtime confs — unset them
+        # (even on assertion failure) so later plan tests see the engine
+        # defaults again
+        for k in skew_confs:
+            spark.conf.unset(k)

@@ -155,8 +155,6 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     row-identical, and both filter pushdown and column pruning reach the
     ORC scan just as they do for parquet — the engine is not
     format-married."""
-    from pyspark.sql import functions as F
-
     src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     path = str(tmp_path / "orders_orc")
     src.write.orc(path)
@@ -182,8 +180,6 @@ def test_merge_schema_evolution(spark, tmp_path):
     """Schema evolution across parquet batches: a later batch gains a
     column; mergeSchema reads the union schema with nulls backfilled —
     the append-only ingestion contract a long-lived corpus store needs."""
-    from pyspark.sql import functions as F
-
     path = str(tmp_path / "evolving")
     spark.range(5).select(F.col("id"), F.lit("a").alias("source")).write.parquet(
         path

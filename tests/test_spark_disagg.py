@@ -393,7 +393,10 @@ def test_streaming_disaggregate_restart_upserts(spark, tmp_path, multi_series):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        finished = q.awaitTermination(180)
+        if not finished:  # timed out: stop and fail loudly, not downstream
+            q.stop()
+            raise AssertionError("streaming run did not finish in 180s")
 
     run_once()
     first = latest_solutions(spark, sink).toPandas()
