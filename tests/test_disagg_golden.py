@@ -319,3 +319,78 @@ def test_error_bad_method_and_args(fixtures):
         disaggregate_series(fixtures["sales_a"], method="denton", criterion="nope")
     with pytest.raises(ValueError, match="agg_func should be one of"):
         disaggregate_series(fixtures["sales_a"], method="denton", agg_func="median")
+
+
+def test_reagg_invariant_on_random_inputs():
+    """The defining constraint C @ y_hat = y, fuzzed: random positive
+    target series with random indicators, across every method x agg_func x
+    conversion — re-aggregating the output under the chosen agg function
+    must reproduce the input on complete periods.  Goldens pin exact
+    values on eight fixtures; this pins the invariant on arbitrary
+    shapes."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsdisagg_spark import disaggregate_series
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n_low=st.integers(4, 12),
+        method=st.sampled_from(
+            ["denton", "denton-cholette", "chow-lin", "litterman"]
+        ),
+        agg_func=st.sampled_from(["sum", "mean", "first", "last"]),
+        conv=st.sampled_from([("YS", "QS", 4), ("YS", "MS", 12), ("QS", "MS", 3)]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(n_low, method, agg_func, conv, seed):
+        low_code, high_code, factor = conv
+        rng = np.random.default_rng(seed)
+        low = pd.DataFrame(
+            {"y": rng.uniform(50, 150, n_low) * factor},
+            index=pd.date_range("2000-01-01", periods=n_low, freq=low_code),
+        )
+        high = None
+        if method in ("chow-lin", "litterman"):
+            high = pd.DataFrame(
+                {
+                    "x1": rng.uniform(1, 3, n_low * factor)
+                    + np.linspace(0, 1, n_low * factor),
+                    "intercept": 1.0,
+                },
+                index=pd.date_range(
+                    "2000-01-01", periods=n_low * factor, freq=high_code
+                ),
+            )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = disaggregate_series(
+                low,
+                high,
+                method=method,
+                agg_func=agg_func,
+                target_freq=high_code if high is None else None,
+                verbose=False,
+            )
+        lbl = out.index.year * (4 if low_code == "QS" else 1) + (
+            (out.index.quarter - 1) if low_code == "QS" else 0
+        )
+        g = out.groupby(lbl)
+        if agg_func == "sum":
+            re = g.sum()
+        elif agg_func == "mean":
+            re = g.mean()
+        elif agg_func == "first":
+            re = g.first()
+        else:
+            re = g.last()
+        np.testing.assert_allclose(
+            re.to_numpy(), low["y"].to_numpy(), rtol=1e-7,
+            err_msg=f"{method}/{agg_func}/{conv}",
+        )
+
+    check()
