@@ -353,6 +353,67 @@ def disagg_fit_reports(spark, sf_dir):
 
 
 @query(
+    "disagg_fit_report_checks",
+    oracle="""
+    SELECT o_orderpriority AS series_id, v.variable,
+           true AS t_consistent, true AS ci_centered, true AS ci_ordered,
+           true AS sd_pos, true AS rho_in_range, true AS p_in_range
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) s
+    CROSS JOIN (SELECT 'x1' AS variable UNION ALL SELECT 'intercept') v
+    """,
+)
+def disagg_fit_report_checks(spark, sf_dir):
+    """Oracle-backed contract for the regression-report ASSEMBLY — the
+    residual risk the raw `disagg_fit_reports` rows-only entry leaves
+    open: coefficients are not SQL-derivable, but the report's key set
+    (every eligible series x every indicator) and its internal
+    consistencies ARE.  Each row asserts t == coef/sd_err, the CI is
+    centered on coef and ordered, sd_err > 0, rho in (0,1), and p in
+    [0,1]; the oracle predicts the full grid with every flag true, so a
+    column misalignment, a dropped series, or a swapped CI bound breaks
+    the hash.  The coefficient VALUES stay golden-tested library-side
+    against the R fixtures."""
+    from tsdisagg_spark.spark.disagg import fit_reports
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    low = o.groupBy(
+        F.col("o_orderpriority").alias("series_id"),
+        F.date_trunc("year", "o_orderdate").cast("date").alias("ts"),
+    ).agg(F.sum("o_totalprice").alias("y"))
+    ind = (
+        li.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("series_id"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ts"),
+        )
+        .agg(F.sum("l_extendedprice").alias("x1"))
+        .withColumn("intercept", F.lit(1.0))
+    )
+    r = fit_reports(low, ind, method="chow-lin", agg_func="sum")
+    return r.select(
+        "series_id",
+        "variable",
+        (F.round(F.col("t") - F.col("coef") / F.col("sd_err"), 6) == 0).alias(
+            "t_consistent"
+        ),
+        (
+            F.abs((F.col("ci_low") + F.col("ci_high")) / 2 - F.col("coef"))
+            < F.lit(1e-6) * (F.lit(1.0) + F.abs(F.col("coef")))
+        ).alias("ci_centered"),
+        (F.col("ci_high") > F.col("ci_low")).alias("ci_ordered"),
+        (F.col("sd_err") > 0).alias("sd_pos"),
+        ((F.col("rho") > 0) & (F.col("rho") < 1)).alias("rho_in_range"),
+        ((F.col("p_value") >= 0) & (F.col("p_value") <= 1)).alias(
+            "p_in_range"
+        ),
+    )
+
+
+@query(
     "retained_customers",
     oracle="""
     SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
