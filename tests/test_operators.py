@@ -1367,3 +1367,32 @@ def test_operators_handle_empty_inputs(spark):
         ).count()
         == 0
     )
+
+
+def test_kmeans_fit_empty_cluster_keeps_centroid(spark):
+    """Duplicate seed vectors starve the higher-indexed cluster (argmin
+    ties go to the lowest index), exercising the empty-cluster policy:
+    the starved centroid must survive unchanged instead of going NaN or
+    collapsing the fit."""
+    import numpy as np
+
+    X = np.array(
+        [[0.0, 0.0], [0.0, 0.0], [5.0, 5.0], [5.1, 5.0], [4.9, 5.0]]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(X)), "embedding": [r.tolist() for r in X]}
+    )
+    fit = similarity.kmeans_fit(
+        spark.createDataFrame(pdf), k=2, max_iter=5, tol=0.0
+    )
+    cents = np.array(fit["centroids"])
+    # round 1: both seeds are [0,0], ties go to cluster 0, so cluster 1 is
+    # EMPTY — the keep-previous-centroid policy holds it at [0,0], which is
+    # exactly what lets it capture the zero points in round 2 once cluster
+    # 0's centroid has moved to the global mean.  Final state: cluster 1
+    # owns the zeros, cluster 0 converges onto the 5-ish blob.
+    np.testing.assert_allclose(cents[1], [0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(cents[0], X[2:].mean(axis=0), rtol=1e-12)
+    assert np.isfinite(cents).all()
+    # a collapsed policy (NaN or zeroed centroid) would also break inertia
+    assert fit["inertia"] < 0.05
