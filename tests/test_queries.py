@@ -106,6 +106,32 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_result_types_numpy_safe(name, ddb):
+    """No oracle may produce a HUGEINT/UHUGEINT/DECIMAL column.
+
+    The external driver fetches the DuckDB side with ``fetchnumpy()``,
+    which renders those types as float64 while Spark emits int64/double —
+    values compare equal but the hash canonicalization diverges
+    (CORRECTNESS_r03: wav/ppm/ppm_resize quanta failed exactly this way
+    from bare ``SUM(BIGINT)`` → HUGEINT).  Every integer aggregate must be
+    CAST(... AS BIGINT) and every decimal-producing expression cast to
+    DOUBLE.  DuckDB resolves result types without executing, but we LIMIT 0
+    anyway to keep this a metadata-speed test."""
+    sql = entry_mod.oracle_sql()[name]
+    res = ddb.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+    bad = [
+        f"{col}: {typ}"
+        for col, typ in zip(res.columns, res.types)
+        if str(typ).upper() in ("HUGEINT", "UHUGEINT")
+        or str(typ).upper().startswith("DECIMAL")
+    ]
+    assert not bad, (
+        f"{name}: oracle columns would be float64 under the driver's "
+        f"numpy fetch while Spark emits exact types — add explicit casts: {bad}"
+    )
+
+
 def test_readme_counts_match_registry():
     """README's query/oracle counts are DERIVED claims — this pins them to
     the registry so adding a query without updating the doc fails CI

@@ -26,6 +26,50 @@ TABLES = (
 ).split()
 
 
+# Driver-faithful dtype classes.  The external driver fetches the DuckDB
+# side with ``fetchnumpy()``, which renders HUGEINT/UHUGEINT/DECIMAL as
+# float64 — so a bare SUM(BIGINT) oracle (HUGEINT in DuckDB) hash-compares
+# as 3.0 against Spark's int64 3 and FAILS even though values are equal
+# (CORRECTNESS_r03: wav/ppm/ppm_resize quanta).  We simulate that layer:
+# classify each column as integer-like / float-like on both engines and
+# flag any i-vs-f divergence before the value compare.
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOATISH = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT"}
+
+
+def _duck_class(type_str: str) -> str:
+    t = type_str.upper()
+    if t in _DUCK_INT:
+        return "i"
+    if t in _DUCK_FLOATISH or t.startswith("DECIMAL"):
+        return "f"
+    return "o"
+
+
+def _spark_class(dt) -> str:
+    name = dt.simpleString()
+    if name in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if name in ("float", "double") or name.startswith("decimal"):
+        return "f"
+    return "o"
+
+
+def dtype_mismatches(sdf, duck_res) -> list[str]:
+    """Columns whose numpy-canonical dtype class diverges between Spark and
+    the DuckDB oracle (int-vs-float under the driver's fetchnumpy)."""
+    scls = {f.name: _spark_class(f.dataType) for f in sdf.schema.fields}
+    bad = []
+    for col, typ in zip(duck_res.columns, duck_res.types):
+        dc, sc = _duck_class(str(typ)), scls.get(col, "?")
+        if {dc, sc} == {"i", "f"}:
+            bad.append(f"{col}: spark={sc} duck={typ}")
+    return bad
+
+
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -86,10 +130,15 @@ def main() -> int:
                 print(f"{name}\tROWS_ONLY\t{len(srows)}\t{el}s")
                 continue
             res = con.sql(oracles[name])
+            bad_types = dtype_mismatches(sdf, res)
             dcols, drows = list(res.columns), res.fetchall()
             scols = list(sdf.columns)
             if sorted(scols) != sorted(dcols):
                 print(f"{name}\tSCHEMA_MISMATCH\t{sorted(scols)} vs {sorted(dcols)}")
+                problems += 1
+                continue
+            if bad_types:
+                print(f"{name}\tDTYPE_MISMATCH\t{bad_types}")
                 problems += 1
                 continue
             a, b = canon_rows(scols, srows), canon_rows(dcols, drows)

@@ -2031,9 +2031,9 @@ def frame_feature_quanta(spark, sf_dir):
     SELECT asset_id,
            CAST(556 AS BIGINT) AS n_bytes,
            CAST(i // 32 AS BIGINT) AS pos,
-           SUM(CASE WHEN i < n
+           CAST(SUM(CASE WHEN i < n
                     THEN ('0x' || substr(hx, i*2 + 1, 2))::BIGINT
-                    ELSE 0 END) AS q
+                    ELSE 0 END) AS BIGINT) AS q
     FROM b CROSS JOIN i
     GROUP BY 1, 2, 3
     """,
@@ -2084,9 +2084,9 @@ def wav_feature_quanta(spark, sf_dir):
     SELECT asset_id,
            CAST(525 AS BIGINT) AS n_bytes,
            CAST(i // 33 AS BIGINT) AS pos,
-           SUM(CASE WHEN i < 513 AND i < n
+           CAST(SUM(CASE WHEN i < 513 AND i < n
                     THEN ('0x' || substr(hx, i*2 + 1, 2))::BIGINT
-                    ELSE 0 END) AS q
+                    ELSE 0 END) AS BIGINT) AS q
     FROM b CROSS JOIN i
     GROUP BY 1, 2, 3
     """,
@@ -2144,7 +2144,7 @@ def ppm_feature_quanta(spark, sf_dir):
     SELECT asset_id,
            CAST(r // 3 AS BIGINT) AS cell_r,
            CAST(c // 3 AS BIGINT) AS cell_c,
-           SUM(byte) AS q
+           CAST(SUM(byte) AS BIGINT) AS q
     FROM px
     WHERE c < 18 AND r < 9
     GROUP BY 1, 2, 3
@@ -3712,8 +3712,8 @@ def order_value_percentiles(spark, sf_dir):
     SELECT r.o_orderpriority, ANY_VALUE(r.med) AS med,
            ANY_VALUE(mad.mad) AS mad,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN r.r > 3 * 1.4826 * mad.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN r.r > 3 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM resid r JOIN mad USING (o_orderpriority)
     GROUP BY 1
     """,
