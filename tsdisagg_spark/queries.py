@@ -3364,21 +3364,41 @@ def indicator_corr_flags(spark, sf_dir):
 def similar_part_names(spark, sf_dir):
     """Fuzzy entity resolution: near-identical part names found by edit
     distance within blocking keys — the classic record-linkage pattern
-    (same as catalog/product dedup in a training-data pipeline).  Blocking
-    on (brand, type) turns the O(N^2) all-pairs scan into per-block
-    quadratics on a partitioned equi-join, the same discipline as the
-    df-capped shingle join; Levenshtein is the unit-cost DP in both
-    engines, so the oracle is a direct recompute."""
+    (same as catalog/product dedup in a training-data pipeline).  The
+    equi-join block key is (brand, type, length-bucket): brand x type
+    alone has FIXED cardinality (~3,750), so at 100x data each block
+    would grow linearly and per-block candidate pairs quadratically.
+    The length bucket ``floor(len/4)`` restores bounded blocks and is
+    RECALL-LOSSLESS: distance <= 3 forces |len(a) - len(b)| <= 3 < 4, so
+    a true pair spans at most adjacent buckets; the b-side is replicated
+    into {B-1, B, B+1} (explode, 3x one side) and the join matches on
+    the a-side's exact bucket — the three replica keys are distinct, so
+    every true pair matches exactly once and no dedup step is needed.
+    The oracle deliberately does NOT mirror the blocking: DuckDB computes
+    the plain within-(brand,type) quadratic, so a hash MATCH proves the
+    bucketed plan drops no pair.  Levenshtein itself is the bounded
+    early-exit DP after a |len diff| codegen pre-filter."""
     p = t(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_type"
+        "p_partkey", "p_name", "p_brand", "p_type",
+        (F.floor(F.length("p_name") / 4)).cast("int").alias("len_bucket"),
     )
     a = p.alias("a")
-    b = p.alias("b")
+    b = p.select(
+        "p_partkey", "p_name", "p_brand", "p_type",
+        F.explode(
+            F.array(
+                F.col("len_bucket") - 1,
+                F.col("len_bucket"),
+                F.col("len_bucket") + 1,
+            )
+        ).alias("len_bucket"),
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey"))
             # cheap codegen pre-filter: |len diff| > k guarantees
             # distance > k, skipping the DP for most cross pairs
