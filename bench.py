@@ -146,6 +146,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # methodology stamp: round-over-round comparisons are only valid
+        # between runs with the same estimator (r2 was single-run, r3+ is
+        # min-of-REPS with clearCache between reps — conflating the two
+        # overstates speedups)
+        "reps": REPS,
+        "estimator": "min" if REPS > 1 else "single",
     }
 
     # regression radar vs the newest committed BENCH_r*.json at the same SF:

@@ -70,30 +70,45 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     zpath = os.path.join(
         tempfile.gettempdir(), f"tsdisagg_spark_pkg_{digest}.zip"
     )
-    if not os.path.exists(zpath):
+    def _write_zip() -> None:
         tmp = f"{zpath}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as z:
             for full, rel in _pkg_sources():
                 z.write(full, rel)
         os.replace(tmp, zpath)
-        # keep the cache to one entry: drop zips for prior digests (and
-        # the legacy fixed-name zip) — each source edit would otherwise
-        # leave one full-package zip in the temp dir forever
-        import glob
 
-        for old in glob.glob(
-            os.path.join(tempfile.gettempdir(), "tsdisagg_spark_pkg*.zip")
-        ):
-            if old != zpath:
-                try:
-                    os.remove(old)
-                except OSError:
-                    pass
+    if not os.path.exists(zpath):
+        _write_zip()
     try:
         spark.sparkContext.addPyFile(zpath)
-    except Exception:  # noqa: BLE001 — re-adding the same file warns/raises
-        pass
+    except Exception:  # noqa: BLE001
+        # Two distinct failure shapes land here.  (1) Benign: this
+        # session already added the same content-addressed path (Spark
+        # warns/raises on re-add) — the zip still exists, nothing to do.
+        # (2) A concurrently-starting driver of a DIFFERENT code version
+        # pruned our zip in the window between creation and addPyFile —
+        # swallowing that would set the bootstrapped marker with nothing
+        # shipped and silently revive the missing-module worker failure.
+        # Distinguish by existence and retry once, letting a second
+        # failure propagate: a loud error beats a stale-worker session.
+        if not os.path.exists(zpath):
+            _write_zip()
+            spark.sparkContext.addPyFile(zpath)
     spark.conf.set(marker, digest)
+    # Keep the cache to one entry: drop zips for prior digests (and the
+    # legacy fixed-name zip).  Pruning happens only AFTER addPyFile
+    # succeeded, so a concurrent victim of our prune (case 2 above)
+    # exists only for zips we did not just ship.
+    import glob
+
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), "tsdisagg_spark_pkg*.zip")
+    ):
+        if old != zpath:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
 
 
 def _pkg_sources() -> list[tuple[str, str]]:
@@ -1900,13 +1915,41 @@ def session_windows(spark, sf_dir):
     )
 
 
-@query("media_features")
+@query(
+    "media_features",
+    oracle="""
+    -- recompute the deterministic stub decoder (sha256 of media_type +
+    -- payload, little-endian uint16 lanes / 65535 in float32) and the
+    -- per-lane summary stats.  v mirrors numpy's float32 arithmetic:
+    -- FLOAT / FLOAT division, widened to DOUBLE only for the average.
+    WITH h AS (SELECT doc_id AS asset_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                      sha256('image' || text) AS hx
+               FROM documents),
+    pos AS (SELECT unnest(generate_series(0, 15)) AS pos),
+    v AS (SELECT asset_id, n_bytes, pos,
+                 CAST(CAST(('0x' || substr(hx, pos*4+1, 2))::BIGINT
+                           + 256 * ('0x' || substr(hx, pos*4+3, 2))::BIGINT
+                           AS FLOAT)
+                      / CAST(65535.0 AS FLOAT) AS DOUBLE) AS v
+          FROM h CROSS JOIN pos)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(v), 6) AS avg_feature,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM v GROUP BY 1
+    """,
+)
 def media_features(spark, sf_dir):
-    """Multimodal decode pipeline (no SQL oracle — the stubbed decoder is
-    engine-side): documents' payload bytes through the Arrow-batched
-    mapInPandas decode/featurize path, then feature summary stats via
-    posexplode.  The plumbing — binary column, batch sizing, per-asset
-    failure isolation — is the real 100 TB shape; only the codec is fake."""
+    """Multimodal decode pipeline with the stub codec, now oracle-backed:
+    the deterministic fake decoder (sha256 lanes) is recomputable in SQL,
+    so the Arrow-batched mapInPandas decode/featurize path plus the
+    summary-stats shape is hash-checked end-to-end rather than rows-only.
+    The plumbing — binary column, batch sizing, per-asset failure
+    isolation — is the real 100 TB shape; only the codec is fake.
+    ``total_bytes`` is an exact integer (an avg-of-bytes rounded at 2
+    decimals sits on a rounding tie with probability ~1/8 per dataset —
+    the gotcha class the verify notes document)."""
     from tsdisagg_spark.operators import multimodal
 
     d = t(spark, sf_dir, "documents").select(
@@ -1923,7 +1966,7 @@ def media_features(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("v"), 6).alias("avg_feature"),
-            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+            F.sum("n_bytes").alias("total_bytes"),
         )
     )
 
@@ -2176,11 +2219,34 @@ def ppm_resize_quanta(spark, sf_dir):
     )
 
 
-@query("frame_samples")
+@query(
+    "frame_samples",
+    oracle="""
+    -- recompute the frame-salted stub decoder: frame fi's features come
+    -- from sha256('video#frame<fi>' || payload) uint16 lanes / 65535
+    WITH fr AS (SELECT doc_id, fi,
+                       sha256('video#frame' || fi || text) AS hx
+                FROM documents
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fi)),
+    v AS (SELECT fi,
+                 CAST(CAST(('0x' || substr(hx, pos*4+1, 2))::BIGINT
+                           + 256 * ('0x' || substr(hx, pos*4+3, 2))::BIGINT
+                           AS FLOAT)
+                      / CAST(65535.0 AS FLOAT) AS DOUBLE) AS v
+          FROM fr
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS pos))
+    SELECT CAST(fi AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(AVG(v), 6) AS avg_feature
+    FROM v GROUP BY 1
+    """,
+)
 def frame_samples(spark, sf_dir):
-    """Video-style keyframe sampling (no SQL oracle — stub decoder is
-    engine-side): 1-to-N row expansion through mapInPandas, then per-frame
-    aggregate stats.  Each document payload stands in for a video asset."""
+    """Video-style keyframe sampling, oracle-backed: the per-frame stub
+    decoder salts the digest with the frame index ('video#frame<fi>'), so
+    DuckDB recomputes every lane and the 1-to-N mapInPandas row expansion
+    plus per-frame aggregate stats is hash-checked rather than rows-only.
+    Each document payload stands in for a video asset."""
     from tsdisagg_spark.operators import multimodal
 
     d = t(spark, sf_dir, "documents").select(
