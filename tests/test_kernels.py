@@ -391,7 +391,16 @@ def test_chow_lin_banded_96k_points():
     well under the dense path's build time, recovers the true AR
     coefficient, and satisfies the aggregation constraint to machine
     precision (C y_hat == y exactly is a Chow-Lin identity).  The constraint
-    matrix rides in block form (lo, hi, vals): dense C itself would be 6 GB."""
+    matrix rides in block form (lo, hi, vals): dense C itself would be 6 GB.
+
+    The WALL-TIME bound makes the scale thesis a measured number, not a
+    story: ~42 s on this box (the per-column python loop in the banded LU
+    dominates), asserted under a generous 4x allowance for co-tenant CPU
+    contention.  Any superlinear regression (an accidental dense
+    materialization is O(n^2) memory before it is O(n^3) time) blows the
+    bound by orders of magnitude, which is the failure this guards."""
+    import time
+
     rng = np.random.default_rng(5)
     n_low, factor = 8000, 12
     n = n_low * factor
@@ -406,8 +415,14 @@ def test_chow_lin_banded_96k_points():
         u[t] = 0.7 * u[t - 1] + eps[t]
     y = np.bincount(idx, weights=3.0 * x + u)
 
+    t0 = time.perf_counter()
     y_hat, result, info = kernels.chow_lin_banded_fit(
         y, x.reshape(-1, 1), (lo_b, hi_b, np.ones(n))
+    )
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 170, (
+        f"96k-point banded fit took {elapsed:.0f}s — the linear-in-n claim "
+        "is broken (dense-path leak?)"
     )
     reagg = np.bincount(idx, weights=y_hat)
     assert np.abs(reagg - y).max() < 1e-9 * np.abs(y).max()
