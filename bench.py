@@ -77,6 +77,8 @@ HEADLINE = [
     "spearman_corr_flags",     # rank windows feeding an algebraic corr
     "order_value_mad_outliers",  # nested median-of-residuals robust stats
     "similar_part_names",      # blocked edit-distance record linkage
+    "similar_part_names_segments",  # PassJoin content-addressed segment blocking
+    "bmp_feature_quanta",      # REAL BMP decode (third genuine container)
     "nation_revenue_share",    # unordered full-partition window shares
     "revenue_range_window",    # value-based RANGE frame over gapped days
     "user_activity_islands",   # gaps-and-islands run detection

@@ -1396,3 +1396,72 @@ def test_kmeans_fit_empty_cluster_keeps_centroid(spark):
     assert np.isfinite(cents).all()
     # a collapsed policy (NaN or zeroed centroid) would also break inertia
     assert fit["inertia"] < 0.05
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_segment_blocked_pairs_match_bruteforce(spark, k):
+    """PassJoin segment blocking finds EXACTLY the brute-force pair set:
+    a tiny alphabet plus planted near-duplicates makes true pairs dense
+    enough that any hole in the pigeonhole enumeration (segment partition
+    rule, shift windows, pair-order normalization, dedup) shows up."""
+    import random
+
+    from tsdisagg_spark.operators import linkage
+
+    rng = random.Random(11)
+    strs = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(4, 10)))
+        for _ in range(50)
+    ]
+    # planted mutations: substitution, insertion, deletion off existing rows
+    for base in strs[:10]:
+        pos = rng.randrange(len(base))
+        strs.append(base[:pos] + rng.choice("abc") + base[pos + 1 :])
+        strs.append(base[:pos] + rng.choice("abc") + base[pos:])
+        if len(base) > 4:
+            strs.append(base[:pos] + base[pos + 1 :])
+    rows = [(i, s) for i, s in enumerate(strs)]
+
+    expected = {
+        (i, j, _levenshtein(si, sj))
+        for (i, si) in rows
+        for (j, sj) in rows
+        if i < j and _levenshtein(si, sj) <= k
+    }
+
+    df = spark.createDataFrame(rows, ["rid", "txt"])
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in linkage.edit_distance_pairs(
+            df, id_col="rid", text_col="txt", k=k
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_bmp_roundtrip_decodes_exact_bytes():
+    """make_bmp -> auto_decode is a true container round-trip: the decoded
+    segment means are the exact per-segment byte sums of the input data
+    (the width-20 default keeps rows 4-byte aligned, so no padding bytes
+    pollute the pixel array)."""
+    data = bytes(range(256)) * 3  # 768 bytes -> truncated to 540
+    payload = multimodal.make_bmp(data)
+    assert payload[:2] == b"BM" and len(payload) == 54 + 540
+    feats = multimodal.auto_decode(payload, "image")
+    body = np.frombuffer(data[:540], dtype=np.uint8).astype(np.float64)
+    padded = np.zeros(544)
+    padded[:540] = body
+    expected = padded.reshape(16, 34).sum(axis=1) / (34 * 255.0)
+    np.testing.assert_allclose(feats, expected.astype(np.float32), rtol=1e-6)

@@ -269,6 +269,50 @@ def make_ppm(data: bytes, width: int = 19, height: int = 9) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + body
 
 
+def make_bmp(data: bytes, width: int = 20, height: int = 9) -> bytes:
+    """Wrap ``data`` as a genuine uncompressed 24-bpp BMP — 14-byte file
+    header + 40-byte BITMAPINFOHEADER + ``width*height*3`` raw pixel bytes
+    (truncated / zero-padded).  Default width 20 makes each row exactly 60
+    bytes — already a multiple of 4, so the BMP row padding is empty and
+    the pixel array is byte-for-byte the input data, which is what lets a
+    SQL oracle recompute segment sums from the raw text.  The image
+    synthesizer for exercising :func:`decode_bmp` on real containers."""
+    n_px = width * height * 3
+    if (width * 3) % 4:
+        raise ValueError("pick a width with 4-byte-aligned rows for oracle use")
+    body = (data or b"")[:n_px].ljust(n_px, b"\x00")
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
+
+
+def bmp_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 20,
+    height: int = 9,
+) -> DataFrame:
+    """Text table -> image assets whose payloads are REAL uncompressed BMP
+    containers (the text's UTF-8 bytes as the pixel array) — the third
+    genuine-decoder twin next to :func:`wav_assets` / :func:`ppm_assets`,
+    built distributed via an Arrow-batched pandas UDF."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_bmp(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: make_bmp((s or "").encode("utf-8"), width, height)
+        )
+
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        to_bmp(F.col(text_col)).alias("payload"),
+    )
+
+
 def ppm_assets(
     df: DataFrame,
     id_col: str = "doc_id",

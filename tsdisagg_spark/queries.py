@@ -2165,6 +2165,60 @@ def ppm_feature_quanta(spark, sf_dir):
 
 
 @query(
+    "bmp_feature_quanta",
+    oracle="""
+    -- predicts the REAL BMP decode: payload = 54-byte header + utf-8 text
+    -- bytes as a 20x9 24-bpp pixel array (540 bytes, zero-padded; width 20
+    -- keeps rows 4-byte-aligned so there is no padding to model); the
+    -- decoder zero-pads to 16 segments of ceil(540/16) = 34, so quanta
+    -- q = v * 34 * 255 = the exact integer sum of each 34-byte segment
+    WITH b AS (SELECT doc_id AS asset_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    i AS (SELECT unnest(generate_series(0, 543)) AS i)
+    SELECT asset_id,
+           CAST(594 AS BIGINT) AS n_bytes,
+           CAST(i // 34 AS BIGINT) AS pos,
+           CAST(SUM(CASE WHEN i < 540 AND i < n
+                    THEN ('0x' || substr(hx, i*2 + 1, 2))::BIGINT
+                    ELSE 0 END) AS BIGINT) AS q
+    FROM b CROSS JOIN i
+    GROUP BY 1, 2, 3
+    """,
+)
+def bmp_feature_quanta(spark, sf_dir):
+    """The THIRD real-decoder twin (after WAV and PPM): each document's
+    utf-8 bytes become the pixel array of a genuine uncompressed 24-bpp
+    BMP (operators/multimodal.py:make_bmp, struct-packed file + info
+    headers), decoded back through the real header-parsing path by
+    ``auto_decode`` (magic-sniffed on the 'BM' signature) and featurized
+    as 16 segment mean intensities.  DuckDB predicts every lane from the
+    raw text bytes, so all three container formats this environment can
+    genuinely parse are oracle-checked end-to-end.  Quanta contract:
+    v = seg_sum / (34*255) exactly; round(v * 8670) recovers the integer
+    segment sum through float32 (error <= 8670 * 2^-24 < 0.0006)."""
+    from tsdisagg_spark.operators import multimodal
+
+    assets = multimodal.bmp_assets(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    feats = multimodal.extract_features(
+        assets, decode_fn=multimodal.auto_decode, batch_size=256
+    )
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.posexplode("features").alias("pos0", "v"),
+    ).select(
+        "asset_id",
+        "n_bytes",
+        F.col("pos0").cast("long").alias("pos"),
+        F.round(F.col("v") * (34 * 255)).cast("long").alias("q"),
+    )
+
+
+@query(
     "ppm_resize_quanta",
     oracle="""
     -- predicts the REAL box-average image resize: the 19x9 PPM's RGB
@@ -3491,6 +3545,47 @@ def similar_part_names(spark, sf_dir):
             F.col("b.p_name").alias("name_b"),
             "distance",
         )
+    )
+
+
+@query(
+    "similar_part_names_segments",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+               AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+      AND length(a.p_name) >= 4 AND length(b.p_name) >= 4
+    """,
+)
+def similar_part_names_segments(spark, sf_dir):
+    """Same entity-resolution contract as `similar_part_names`, found by
+    PassJoin SEGMENT blocking (operators/linkage.py) instead of a length
+    bucket: every name is partitioned into k+1 = 4 contiguous segments,
+    and by pigeonhole any pair within edit distance 3 shares one segment
+    VERBATIM at a lemma-bounded shift — so candidates come from one
+    equi-join whose key contains the segment TEXT.  That key's
+    cardinality grows with the corpus (content-addressed), which is the
+    blocking that still bounds block sizes when every attribute key —
+    brand x type, even brand x type x length — has saturated at 100x
+    data.  The (brand, type) attribute key rides along only so the
+    UNBLOCKED DuckDB quadratic stays tractable as the recall oracle: a
+    hash MATCH proves segment blocking finds every pair the exhaustive
+    scan finds."""
+    from tsdisagg_spark.operators import linkage
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+    return linkage.edit_distance_pairs(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        k=3,
+        extra_block_cols=["p_brand", "p_type"],
     )
 
 
