@@ -82,6 +82,8 @@ HEADLINE = [
     "nation_revenue_share",    # unordered full-partition window shares
     "revenue_range_window",    # value-based RANGE frame over gapped days
     "user_activity_islands",   # gaps-and-islands run detection
+    "customer_spend_ranks",    # percent_rank/cume_dist/ntile ranking family
+    "bloom_membership_audit",  # broadcast Bloom sketch build + probe + grade
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins
 ]

@@ -1465,3 +1465,42 @@ def test_bmp_roundtrip_decodes_exact_bytes():
     padded[:540] = body
     expected = padded.reshape(16, 34).sum(axis=1) / (34 * 255.0)
     np.testing.assert_allclose(feats, expected.astype(np.float32), rtol=1e-6)
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Defining Bloom invariant: every inserted key is claimed present,
+    whatever the load factor — checked at a deliberately tiny m (189
+    bits, heavy collisions) so bit packing and word addressing are
+    stressed; false positives on non-members are allowed and counted."""
+    from tsdisagg_spark.operators import sketches
+
+    members = spark.range(0, 200).withColumnRenamed("id", "k")
+    others = spark.range(200, 400).withColumnRenamed("id", "k")
+    bloom = sketches.bloom_build(members, "k", m_bits=189, n_hashes=2)
+    # filter is word-packed: at most ceil(189/63)=3 rows
+    assert bloom.count() <= 3
+
+    probed_in = sketches.bloom_probe(members, bloom, "k", m_bits=189, n_hashes=2)
+    assert probed_in.filter(~F.col("claimed")).count() == 0
+
+    # at 400 keys in 189 bits the filter saturates: most non-members will
+    # false-positive, but the probe must still be deterministic
+    probed_out = sketches.bloom_probe(others, bloom, "k", m_bits=189, n_hashes=2)
+    again = sketches.bloom_probe(others, bloom, "k", m_bits=189, n_hashes=2)
+    assert (
+        probed_out.orderBy("k").collect() == again.orderBy("k").collect()
+    )
+
+
+def test_bloom_filter_sparse_rejects_non_members(spark):
+    """With a generously sized filter the FP rate is near zero: all 500
+    non-members must be rejected (expected FPs ~ 500 * (2*100/64512)^2
+    ~ 0.005), proving claimed=false actually happens and missing words
+    behave as all-zero."""
+    from tsdisagg_spark.operators import sketches
+
+    members = spark.range(0, 100).withColumnRenamed("id", "k")
+    others = spark.range(1000, 1500).withColumnRenamed("id", "k")
+    bloom = sketches.bloom_build(members, "k", m_bits=64512, n_hashes=2)
+    probed = sketches.bloom_probe(others, bloom, "k", m_bits=64512, n_hashes=2)
+    assert probed.filter(F.col("claimed")).count() == 0

@@ -1,0 +1,119 @@
+"""Distributed probabilistic sketches with deterministic, SQL-mirrorable
+hashing.
+
+The point of a sketch at 100 TB is that its STATE is tiny while its input
+is not: a Bloom filter over a billion join keys is a few MB — small enough
+to broadcast — so it can pre-prune the probe side of a join before any
+shuffle moves full rows (the classic "Bloom-pruned join" / semi-join
+reduction).  Spark's own runtime row-group filters do this opportunistically;
+this module exposes the building blocks as first-class operators whose
+behavior is exactly reproducible in any SQL engine, which is what makes
+them oracle-checkable: hashing is md5-prefix arithmetic (available and
+bit-identical in Spark and DuckDB), not engine-private xxhash.
+
+Bloom filter layout: ``m_bits`` positions packed into 63-bit words
+(bit 63 is never used — a portable choice: engines differ on whether
+``1 << 63`` overflows a signed 64-bit integer).  Build is a hash-explode +
+``bit_or`` group-by: map-side partial aggregation means each executor
+contributes one k-word partial, and only filter-sized state crosses the
+shuffle — never key rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per packed word; bit 63 stays clear so `1 << bit` is portable
+WORD_BITS = 63
+
+
+def hash_position(key: Column, salt: int, m_bits: int) -> Column:
+    """Deterministic position in ``[0, m_bits)``: the first 8 hex chars of
+    ``md5(key || ':salt')`` as an integer, mod ``m_bits``.  Bit-identical in Spark
+    (``conv(substring(md5(..), 1, 8), 16, 10)``) and DuckDB
+    (``('0x' || substr(md5(..), 1, 8))::BIGINT``)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":{salt}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 64512,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Build a Bloom filter over the distinct values of ``key_col`` as a
+    ``(word_idx, word)`` table of ``ceil(m_bits / 63)`` packed rows.
+
+    The result is data-size-independent (filter-sized), so downstream
+    probes broadcast it.  Words with no set bits are absent — probes must
+    treat a missing word as all-zeros (the inner-join + hit-count pattern
+    in :func:`bloom_probe` does this for free)."""
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    hash_position(F.col("k"), i, m_bits)
+                    for i in range(1, n_hashes + 1)
+                ]
+            )
+        ).alias("pos")
+    )
+    return pos.select(
+        F.expr(f"pos DIV {WORD_BITS}").alias("word_idx"),
+        F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS} as int))").alias("bit"),
+    ).groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 64512,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Membership claim per input row: ``df`` plus a boolean ``claimed``
+    that is true iff every hash position's bit is set (no false negatives;
+    false positives at the classic Bloom rate).
+
+    Plan shape: explode each key into its ``n_hashes`` positions, inner-
+    join the (broadcast) filter table on ``word_idx`` with the bit-test in
+    the join condition, and count hits — a key is claimed present iff all
+    ``n_hashes`` probes hit.  Missing words and clear bits both simply
+    fail to join, so no outer-join null handling is needed until the final
+    left join that restores non-hitting rows."""
+    probes = df.select(F.col(key_col).alias("k")).distinct()
+    pos = probes.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    hash_position(F.col("k"), i, m_bits)
+                    for i in range(1, n_hashes + 1)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        "k",
+        F.expr(f"pos DIV {WORD_BITS}").alias("word_idx"),
+        F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS} as int))").alias("bit"),
+    )
+    hits = (
+        pos.join(
+            F.broadcast(bloom),
+            (pos.word_idx == bloom.word_idx)
+            & (F.expr("word & bit") != 0),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return df.join(
+        hits.select(
+            F.col("k").alias(key_col),
+            (F.col("n_hits") == n_hashes).alias("claimed"),
+        ),
+        key_col,
+        "left",
+    ).fillna({"claimed": False})

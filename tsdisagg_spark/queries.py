@@ -4329,6 +4329,205 @@ def order_value_histogram(spark, sf_dir):
     )
 
 
+@query(
+    "flag_status_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+)
+def flag_status_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (neither rollup nor cube): per (flag,
+    status), per flag, and per status — but NO grand total, a set shape
+    only explicit grouping sets can express.  The ``grouping()`` flags
+    disambiguate real nulls from subtotal rows — the contract every BI
+    layer depends on.  Same single-pass expand-inside-the-hash-aggregate
+    plan as `revenue_rollup`: the fact table is scanned once however many
+    sets are requested."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "customer_spend_ranks",
+    oracle="""
+    WITH spend AS (SELECT c.c_custkey, c.c_mktsegment,
+                          ROUND(SUM(o.o_totalprice), 2) AS spend
+                   FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                   GROUP BY 1, 2)
+    SELECT c_custkey, c_mktsegment, spend,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)
+    """,
+)
+def customer_spend_ranks(spark, sf_dir):
+    """The full ranking-function family over customer spend within market
+    segment: percent_rank, cume_dist, ntile(4).  Determinism contract:
+    the window orders by (ROUNDED spend, custkey) — spend is a sum of
+    cents-scale doubles, so engines can disagree in the last ulp; rounding
+    to cents first makes the sort keys identical (cents multiples have an
+    empty round-tie class), and the custkey tiebreak pins ntile's
+    row-position-dependent assignment.  pct_rank/cume are emitted
+    UNROUNDED: both engines compute the same exact integer division
+    (rank-1)/(n-1), yielding bit-identical doubles."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "customer_reorder_gaps",
+    oracle="""
+    WITH g AS (SELECT o_custkey,
+                      date_diff('day', o_orderdate,
+                                LEAD(o_orderdate) OVER (
+                                    PARTITION BY o_custkey
+                                    ORDER BY o_orderdate)) AS gap
+               FROM orders)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(g.gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(g.gap) AS BIGINT) AS total_gap_days,
+           CAST(MIN(g.gap) AS BIGINT) AS min_gap,
+           CAST(MAX(g.gap) AS BIGINT) AS max_gap
+    FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+    WHERE g.gap IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def customer_reorder_gaps(spark, sf_dir):
+    """Reorder latency: days between each customer's consecutive orders
+    (LEAD over the per-customer date order), aggregated per market
+    segment.  Equal-date ties need no tiebreak: consecutive differences
+    of a sorted multiset are invariant under tie order, so both engines
+    agree ordering by date alone.  All aggregates are exact integers —
+    an avg-of-gaps is deliberately absent (arbitrary-denominator
+    rationals sit in the round-tie class; sum+count carry the same
+    information exactly).  Scale shape: one window over the orders table
+    partitioned by customer, then a broadcast dim join; the fact table
+    shuffles once on the window key."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = o.withColumn(
+        "gap", F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("total_gap_days"),
+            F.min("gap").cast("long").alias("min_gap"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+    )
+
+
+@query(
+    "bloom_membership_audit",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders
+                  WHERE o_orderpriority = '1-URGENT'),
+    pos AS (SELECT ('0x' || substr(md5(k::VARCHAR || ':1'), 1, 8))::BIGINT
+                   % 16380 AS pos FROM keys
+            UNION ALL
+            SELECT ('0x' || substr(md5(k::VARCHAR || ':2'), 1, 8))::BIGINT
+                   % 16380 FROM keys),
+    words AS (SELECT pos // 63 AS word_idx,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+              FROM pos GROUP BY 1),
+    probe AS (SELECT c_custkey,
+                     ('0x' || substr(md5(c_custkey::VARCHAR || ':1'), 1, 8))
+                     ::BIGINT % 16380 AS pos
+              FROM customer
+              UNION ALL
+              SELECT c_custkey,
+                     ('0x' || substr(md5(c_custkey::VARCHAR || ':2'), 1, 8))
+                     ::BIGINT % 16380
+              FROM customer),
+    hits AS (SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM probe JOIN words ON probe.pos // 63 = words.word_idx
+                  AND (words.word & (1::BIGINT << CAST(probe.pos % 63 AS INT)))
+                      != 0
+             GROUP BY 1),
+    flags AS (SELECT c.c_custkey,
+                     COALESCE(h.n_hits, 0) = 2 AS claimed,
+                     c.c_custkey IN (SELECT k FROM keys) AS actual
+              FROM customer c LEFT JOIN hits h USING (c_custkey))
+    SELECT claimed, actual, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM flags GROUP BY 1, 2
+    """,
+)
+def bloom_membership_audit(spark, sf_dir):
+    """Bloom-filter sketch, built and audited distributed: a 16380-bit /
+    2-hash filter over the customers who ever placed an URGENT-priority
+    order (a strict subset of customers, so true negatives exist — every
+    customer in this dataset has SOME order), probed by every customer,
+    and graded against ground truth (packed 63-bit words,
+    operators/sketches.py).  The output is the confusion matrix — and the
+    defining sketch invariant is structural in it: a (claimed=false,
+    actual=true) row can NEVER appear (no false negatives), while the
+    false-positive row measures the actual FP rate at this load factor.
+    Hashing is md5-prefix arithmetic, bit-identical in DuckDB, so the
+    whole sketch — build, packing, probe — is hash-checked, not just
+    row-counted.  Scale shape: the filter is data-size-INDEPENDENT
+    (1024 words) and broadcast to probes; building it moves only per-
+    executor partial words through the shuffle — this is the semi-join
+    reduction that prunes a 100 TB probe side before it shuffles."""
+    from tsdisagg_spark.operators import sketches
+
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = t(spark, sf_dir, "customer")
+    bloom = sketches.bloom_build(urgent, "o_custkey", m_bits=16380, n_hashes=2)
+    probed = sketches.bloom_probe(
+        c.select("c_custkey"), bloom, "c_custkey", m_bits=16380, n_hashes=2
+    )
+    actual = probed.join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey", F.lit(True).alias("actual"))
+    return (
+        probed.join(actual, "c_custkey", "left")
+        .fillna({"actual": False})
+        .groupBy("claimed", "actual")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
