@@ -446,3 +446,51 @@ def test_timeseries_ops_handle_empty_inputs(spark):
     assert timeseries.gap_fill(
         empty, "series_id", "ts", "y"
     ).count() == 0
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment produces exactly the batch
+    twin's rows after the availableNow trigger drains the source, keeps
+    dimensionless events alive (left join contract), and needs no
+    watermark because the join is stateless."""
+    from tsdisagg_spark.streaming.joins import enrich
+
+    src = str(tmp_path / "enrich_src")
+    rng = np.random.default_rng(9)
+    events = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 3600, 200), unit="s"),
+            "user_id": rng.integers(0, 12, 200),  # ids 10,11 miss the dim
+            "value": rng.uniform(0, 10, 200).round(6),
+        }
+    )
+    spark.createDataFrame(events).write.parquet(src)
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {"user_id": range(10), "tier": [f"t{i % 3}" for i in range(10)]}
+        )
+    )
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    q = (
+        enrich(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming query did not drain in 120s"
+    got = spark.sql("select * from enriched").toPandas()
+
+    expected = enrich(static, dim, on="user_id").toPandas()
+    key = ["user_id", "ts", "value"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[expected.columns],
+        expected.sort_values(key).reset_index(drop=True),
+    )
+    # dimensionless events survive with null tier
+    assert got[got.user_id >= 10].tier.isna().all()
+    assert len(got[got.user_id >= 10]) > 0

@@ -16,6 +16,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    event as it flows (user profile on a clickstream, part metadata on an
+    order stream).
+
+    This is the STATELESS streaming join — unlike stream-stream, no join
+    state accumulates and no watermark is required: every micro-batch
+    joins against the static side as of that batch's execution (Spark
+    re-resolves the static relation per micro-batch, so a dim refreshed
+    in place is picked up on the next trigger — the cheap slowly-changing-
+    dimension pattern).  The same call serves batch frames, which is what
+    makes the stream-equals-batch contract testable.
+
+    Scale shape: with ``broadcast_dim`` the static side ships to executors
+    once per batch and the stream NEVER shuffles — enrichment rides the
+    source partitioning end-to-end.  Leave it off only when the dim is too
+    large to broadcast; the join then shuffles both sides on the key.
+    ``how`` defaults to ``left`` so events without a dim row survive with
+    nulls (an inner join silently dropping unmatched events is the classic
+    enrichment data-loss bug).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
