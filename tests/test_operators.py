@@ -1504,3 +1504,24 @@ def test_bloom_filter_sparse_rejects_non_members(spark):
     bloom = sketches.bloom_build(members, "k", m_bits=64512, n_hashes=2)
     probed = sketches.bloom_probe(others, bloom, "k", m_bits=64512, n_hashes=2)
     assert probed.filter(F.col("claimed")).count() == 0
+
+
+def test_cms_never_undercounts(spark):
+    """Count-min invariant at a deliberately tiny width (16 columns, heavy
+    collisions): every estimate >= the true count, and keys the sketch
+    never saw estimate to a plain collision load, never negative."""
+    from tsdisagg_spark.operators import sketches
+
+    events = spark.range(0, 1000).select(
+        (F.col("id") % 37).alias("k")  # zipf-free but collision-rich
+    )
+    cms = sketches.cms_build(events, "k", width=16, depth=3)
+    truth = events.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    est = sketches.cms_estimate(truth, cms, "k", width=16, depth=3)
+    rows = est.collect()
+    assert all(r.est >= r.true_n for r in rows)
+    assert len(rows) == 37
+
+    unseen = spark.range(1000, 1020).withColumnRenamed("id", "k")
+    est0 = sketches.cms_estimate(unseen, cms, "k", width=16, depth=3)
+    assert all(r.est >= 0 for r in est0.collect())

@@ -67,6 +67,84 @@ def bloom_build(
     ).groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
 
 
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch over ``key_col`` occurrences: a ``(row, col, c)``
+    table of at most ``depth * width`` cells.
+
+    Each input row increments one counter per hash row; a point query
+    reads ``depth`` cells and takes the MIN, so estimates NEVER
+    undercount and overcount by at most ``2n/width`` with probability
+    ``1 - 2^-depth`` (Cormode & Muthukrishnan 2005).  Like the Bloom
+    filter, the state is data-size-independent — build is one group-by
+    whose map-side partials are already sketch-sized, and probes
+    broadcast the finished sketch.  ``weight_col`` switches from counts
+    to weighted sums (e.g. revenue per key)."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        hash_position(F.col(key_col), 100 + r, width).alias(
+                            "col"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+        w.cast("long").alias("w"),
+    )
+    return cells.groupBy("cell.row", "cell.col").agg(
+        F.sum("w").alias("c")
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query estimates: ``df`` plus ``est`` = min over the sketch's
+    ``depth`` cells for each key.  Deterministic: same keys + same sketch
+    → same estimate, on any engine that can compute the md5 positions.
+    Missing cells cannot occur for keys that were counted (every key
+    increments all ``depth`` rows); for never-seen keys an absent cell
+    means estimate 0, handled by the left join + coalesce."""
+    probes = df.select(F.col(key_col).alias("k")).distinct()
+    pos = probes.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        hash_position(F.col("k"), 100 + r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("k", "cell.row", "cell.col")
+    est = (
+        pos.join(F.broadcast(cms), ["row", "col"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    return df.join(
+        est.select(F.col("k").alias(key_col), "est"), key_col, "left"
+    )
+
+
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,

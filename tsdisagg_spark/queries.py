@@ -4528,6 +4528,101 @@ def bloom_membership_audit(spark, sf_dir):
     )
 
 
+@query(
+    "cms_order_counts",
+    oracle="""
+    WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+    cells AS (SELECT r.r,
+                     ('0x' || substr(md5(o.o_custkey::VARCHAR || ':'
+                          || CAST(100 + r.r AS VARCHAR)), 1, 8))::BIGINT
+                     % 256 AS col,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders o CROSS JOIN rows_ r GROUP BY 1, 2),
+    truth AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS true_n
+              FROM orders GROUP BY 1),
+    est AS (SELECT t.o_custkey, CAST(MIN(c.c) AS BIGINT) AS est_n
+            FROM truth t CROSS JOIN rows_ r
+            JOIN cells c ON c.r = r.r
+                 AND c.col = ('0x' || substr(md5(t.o_custkey::VARCHAR || ':'
+                          || CAST(100 + r.r AS VARCHAR)), 1, 8))::BIGINT % 256
+            GROUP BY 1)
+    SELECT t.o_custkey AS custkey, t.true_n, e.est_n
+    FROM truth t JOIN est e USING (o_custkey)
+    """,
+)
+def cms_order_counts(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over per-customer
+    order counts: a 4x256 counter grid (operators/sketches.py) point-
+    queried for every counted key, next to the true count.  The sketch
+    guarantee is structural in the output: est_n >= true_n on EVERY row
+    (counters only ever overcount), with overshoot bounded by collisions
+    at this load (1500 keys / 256 columns at sf0.01 forces real ones).
+    md5-position hashing makes the whole grid recomputable in DuckDB, so
+    build, packing, and min-of-rows probe are hash-checked.  Scale shape:
+    the sketch is data-size-independent; the build's map-side partials
+    are already sketch-sized, and probes broadcast the finished grid —
+    the streaming-friendly frequency summary for a 100 TB key stream."""
+    from tsdisagg_spark.operators import sketches
+
+    o = t(spark, sf_dir, "orders")
+    cms = sketches.cms_build(o, "o_custkey", width=256, depth=4)
+    truth = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_n"))
+    est = sketches.cms_estimate(truth, cms, "o_custkey", width=256, depth=4)
+    return est.select(
+        F.col("o_custkey").alias("custkey"),
+        "true_n",
+        F.col("est").cast("long").alias("est_n"),
+    )
+
+
+@query(
+    "status_revenue_unpivot",
+    oracle="""
+    WITH wide AS (SELECT l_linestatus,
+        ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+                           THEN l_extendedprice END), 0), 2) AS rev_A,
+        ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
+                           THEN l_extendedprice END), 0), 2) AS rev_N,
+        ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN l_extendedprice END), 0), 2) AS rev_R
+        FROM lineitem GROUP BY 1)
+    SELECT l_linestatus, 'rev_A' AS flag, rev_A AS revenue FROM wide
+    UNION ALL
+    SELECT l_linestatus, 'rev_N', rev_N FROM wide
+    UNION ALL
+    SELECT l_linestatus, 'rev_R', rev_R FROM wide
+    """,
+)
+def status_revenue_unpivot(spark, sf_dir):
+    """Wide-to-long reshaping via the native UNPIVOT (melt) operator — the
+    inverse of `returnflag_pivot` and the missing half of the reshape
+    family.  Cells are coalesced to 0 before unpivoting because engines
+    disagree on whether unpivot keeps null cells (Spark keeps, DuckDB
+    drops); the oracle is the engine-agnostic UNION ALL expansion.  Scale
+    shape: unpivot is a zero-shuffle projection (each input row fans out
+    to 3), so the whole query costs one aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_linestatus").agg(
+        *[
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("l_returnflag") == flag, F.col("l_extendedprice")
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias(f"rev_{flag}")
+            for flag in ("A", "N", "R")
+        ]
+    )
+    return wide.unpivot(
+        ["l_linestatus"], ["rev_A", "rev_N", "rev_R"], "flag", "revenue"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
