@@ -1525,3 +1525,37 @@ def test_cms_never_undercounts(spark):
     unseen = spark.range(1000, 1020).withColumnRenamed("id", "k")
     est0 = sketches.cms_estimate(unseen, cms, "k", width=16, depth=3)
     assert all(r.est >= 0 for r in est0.collect())
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank() equals the dense power iteration on a small graph with
+    a dangling node (node 3 has no out-edges), weighted edges, and an
+    asymmetric cycle — damping, out-weight normalization, and dangling
+    redistribution all in play."""
+    from tsdisagg_spark.operators import graph
+
+    edges = [(0, 1, 1.0), (0, 2, 3.0), (1, 2, 1.0), (2, 0, 1.0), (1, 3, 2.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(df, "src", "dst", "w", iterations=5).collect()
+    }
+
+    N, d = 4, 0.85
+    P = np.zeros((N, N))
+    for s, t_, w in edges:
+        P[s, t_] = w
+    out = P.sum(axis=1)
+    r = np.full(N, 1.0 / N)
+    for _ in range(5):
+        contrib = np.zeros(N)
+        dang = 0.0
+        for u in range(N):
+            if out[u] > 0:
+                contrib += r[u] * P[u] / out[u]
+            else:
+                dang += r[u]
+        r = (1 - d) / N + d * (contrib + dang / N)
+    for node in range(N):
+        np.testing.assert_allclose(got[node], r[node], rtol=1e-12)
+    np.testing.assert_allclose(sum(got.values()), 1.0, rtol=1e-12)

@@ -139,3 +139,93 @@ def connected_components(
         .agg(F.min("v").alias("mv"))
         .select("node", F.least("node", "mv").alias("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution, as a
+    fixed number of chained DataFrame iterations (Page, Brin, Motwani &
+    Winograd 1999 — the power-iteration formulation).
+
+    ``r_{t+1}(v) = (1-d)/N + d * (sum_u r_t(u) * w(u,v)/W(u) + dang_t/N)``
+    where ``W(u)`` is u's total out-weight and ``dang_t`` the rank mass
+    sitting on nodes with no out-edges.  Node set = every id appearing as
+    source or destination.
+
+    Returns ``(node, rank)``.  A FIXED iteration count (not a convergence
+    loop) keeps the result a pure function of the input — which is what
+    makes it oracle-checkable by unrolling the same iterations in SQL —
+    and is standard practice at scale anyway (convergence tests cost a
+    full pass each).
+
+    Scale shape: each iteration is one equi-join of the edge list against
+    the current rank vector plus a groupBy on dst — the rank vector and
+    the two per-iteration scalars (N, dangling mass) ride along as
+    broadcast one-row frames, so NOTHING is collected to the driver and
+    the edge list is the only big operand.  ``localCheckpoint`` every
+    other iteration truncates the growing lineage the same way the
+    connected-components rounds do.
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    # Spark resolves identifiers case-insensitively, so the total must not
+    # be named `W` next to `w`
+    outw = e.groupBy("e_src").agg(F.sum("w").alias("out_total"))
+    norm = e.join(outw, "e_src").select(
+        "e_src", "e_dst", (F.col("w") / F.col("out_total")).alias("p")
+    )
+    # iteration-invariant frames are consumed once per iteration — without
+    # a persist every iteration re-derives the (possibly fact-table-sized)
+    # edge aggregation from scratch, turning 5 iterations into 5 rescans
+    norm = norm.persist()
+    nodes = nodes.persist()
+
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    has_out = outw.select(F.col("e_src").alias("node")).persist()
+    for it in range(iterations):
+        dang = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            norm.join(ranks, norm.e_src == ranks.node)
+            .groupBy("e_dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("cin"))
+            .select(F.col("e_dst").alias("node"), "cin")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping
+                    * (
+                        F.coalesce(F.col("cin"), F.lit(0.0))
+                        + F.col("dang") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if it % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -4623,6 +4623,88 @@ def status_revenue_unpivot(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unroll the fixed power iterations as chained CTEs — SQL has no
+    loop, but a FIXED iteration count is just repeated algebra, which is
+    exactly what makes the operator oracle-checkable."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""
+    c{i} AS (SELECT e.dst AS nk, SUM({prev}.r * e.p) AS cin
+             FROM ne e JOIN {prev} ON {prev}.nk = e.src GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(r.r), 0) AS dang
+             FROM {prev} r LEFT JOIN outs o ON r.nk = o.src
+             WHERE o.src IS NULL),
+    r{i} AS (SELECT n.nk,
+                    0.15 / nn.n
+                    + 0.85 * (COALESCE(c{i}.cin, 0) + d{i}.dang / nn.n) AS r
+             FROM nodes n CROSS JOIN nn CROSS JOIN d{i}
+             LEFT JOIN c{i} ON n.nk = c{i}.nk)"""
+        )
+        prev = f"r{i}"
+    return (
+        """
+    WITH edges AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                          CAST(COUNT(*) AS DOUBLE) AS w
+                   FROM lineitem l
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+                   GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT src AS nk FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outs AS (SELECT src, SUM(w) AS W FROM edges GROUP BY 1),
+    ne AS (SELECT e.src, e.dst, e.w / o.W AS p
+           FROM edges e JOIN outs o ON e.src = o.src),
+    r0 AS (SELECT nk, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),"""
+        + ",".join(steps)
+        + f"""
+    SELECT na.n_name AS nation, ROUND({prev}.r, 6) AS pagerank
+    FROM {prev} JOIN nation na ON {prev}.nk = na.n_nationkey
+    """
+    )
+
+
+@query("nation_trade_pagerank", oracle=_pagerank_oracle(5))
+def nation_trade_pagerank(spark, sf_dir):
+    """Weighted PageRank over the nation-level trade graph (supplier
+    nation -> customer nation, edge weight = shipped line items): the
+    iterative-graph-algorithm family beyond connected components
+    (operators/graph.py:pagerank).  Five fixed power iterations with
+    uniform dangling-mass redistribution; the oracle unrolls the same
+    five iterations as chained CTEs, so every join, normalization, and
+    damping term is hash-checked — not just "some centrality came out".
+    Scale shape: building the edge list is the big work (fact-table joins
+    that aggregate 100 TB of line items down to a |nations|^2 graph);
+    each iteration is then one equi-join + groupBy with the two scalars
+    (N, dangling mass) riding as broadcast one-row frames — the driver
+    never sees a row."""
+    from tsdisagg_spark.operators import graph
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = graph.pagerank(edges, "src", "dst", "w", iterations=5)
+    return pr.join(F.broadcast(n), pr.node == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.round("rank", 6).alias("pagerank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
