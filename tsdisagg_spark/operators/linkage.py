@@ -90,7 +90,6 @@ def edit_distance_pairs(
     segs = _partition_segments(F.col("len"), k)
     index = base.select(
         F.col("rid").alias("id_i"),
-        F.col("txt").alias("txt_i"),
         F.col("len").alias("len_i"),
         *blk,
         F.explode(
@@ -104,10 +103,15 @@ def edit_distance_pairs(
                 ]
             )
         ).alias("s"),
-    ).select("id_i", "txt_i", "len_i", *blk, "s.seg_id", "s.seg_txt")
+    ).select("id_i", "len_i", *blk, "s.seg_id", "s.seg_txt")
 
     # ---- probe side: candidate substrings at the lemma-bounded shifts,
-    # for every candidate partner length within +-k
+    # for every candidate partner length within +-k.  The shift window is
+    # the multi-match-aware bound from PassJoin: a match at shift delta
+    # implies >= |delta| net indels before the segment and >= |Delta -
+    # delta| after it (Delta = len_p - len_i), so |delta| + |Delta -
+    # delta| <= k — roughly HALVING the enumerated substrings vs the
+    # naive |delta| <= k window (for Delta = 0, |delta| <= k/2).
     probe = base.select(
         F.col("rid").alias("id_p"),
         F.col("txt").alias("txt_p"),
@@ -137,6 +141,7 @@ def edit_distance_pairs(
                 d_hi.cast("int").alias("d_hi"),
             )
         )
+    delta = (F.col("len_p") - F.col("len_i")).cast("int")
     probe = (
         probe.select(
             "id_p", "txt_p", "len_p", "len_i", *blk,
@@ -150,34 +155,38 @@ def edit_distance_pairs(
         .filter(
             (F.col("p") + F.col("d") >= 0)
             & (F.col("p") + F.col("d") + F.col("l") <= F.col("len_p"))
+            & (F.abs(F.col("d")) + F.abs(delta - F.col("d")) <= k)
         )
         .select(
-            "id_p", "txt_p", *blk, "len_i", "seg_id",
+            "id_p", *blk, "len_i", "seg_id",
             F.expr("substring(txt_p, p + d + 1, l)").alias("seg_txt"),
         )
     )
 
-    # ---- ONE content-keyed equi-join; normalize pair order; dedup before
-    # the DP so each candidate pair pays for Levenshtein exactly once
+    # ---- ONE content-keyed equi-join producing ID pairs only (the name
+    # strings stay OUT of the candidate shuffle — the dedup moves two ints
+    # per row, not two ~40-byte names); normalize pair order, dedup, then
+    # re-attach names by id so each surviving pair pays for Levenshtein
+    # exactly once
     pairs = (
         probe.join(index, ["len_i", "seg_id", "seg_txt", *blk])
         .filter(F.col("id_p") != F.col("id_i"))
         .select(
             F.least("id_p", "id_i").alias("id_a"),
             F.greatest("id_p", "id_i").alias("id_b"),
-            F.when(F.col("id_p") < F.col("id_i"), F.col("txt_p"))
-            .otherwise(F.col("txt_i"))
-            .alias("name_a"),
-            F.when(F.col("id_p") < F.col("id_i"), F.col("txt_i"))
-            .otherwise(F.col("txt_p"))
-            .alias("name_b"),
         )
         .distinct()
     )
+    names = base.select("rid", "txt")
     return (
-        pairs.withColumn(
+        pairs.join(names.select(F.col("rid").alias("id_a"),
+                                F.col("txt").alias("name_a")), "id_a")
+        .join(names.select(F.col("rid").alias("id_b"),
+                           F.col("txt").alias("name_b")), "id_b")
+        .withColumn(
             "distance",
             F.levenshtein(F.col("name_a"), F.col("name_b"), k).cast("long"),
         )
         .filter((F.col("distance") >= 0) & (F.col("distance") <= k))
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
