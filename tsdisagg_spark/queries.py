@@ -4705,6 +4705,102 @@ def nation_trade_pagerank(spark, sf_dir):
     )
 
 
+@query(
+    "leakage_free_split",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    rare AS (SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) <= 20),
+    sh AS (SELECT doc_id, shingle FROM sh_all JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+             FROM reach GROUP BY u),
+    groups AS (SELECT d.doc_id,
+                      COALESCE(c.component_id, d.doc_id) AS group_id
+               FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, group_id,
+           CASE WHEN ('0x' || substr(md5(group_id::VARCHAR || ':split'),
+                                     1, 8))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM groups
+    """,
+)
+def leakage_free_split(spark, sf_dir):
+    """Leakage-free train/test split: the assignment unit is the NEAR-DUP
+    COMPONENT, not the document — a 90/10 split drawn per document would
+    put one member of a duplicate cluster in train and its twin in test,
+    silently contaminating every held-out metric.  Composition of three
+    proven operators: shingle-Jaccard pairs (df-capped), large-star/
+    small-star connected components, and the md5-bucket decision rule the
+    stratified sampler uses (deterministic, no RNG state to coordinate
+    across 1000 executors).  Docs in no component split on their own id.
+    The invariant is structural in the output: every doc in a component
+    carries the component's group_id, so equal group_id ==> equal split.
+    Scale shape: the component table is near-dup members only (tiny vs
+    the corpus) and broadcasts; the full documents table is scanned once
+    and never shuffles."""
+    from tsdisagg_spark.operators import graph
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=20)
+    comps = graph.connected_components(pairs)  # (node, component)
+    groups = (
+        docs.select("doc_id")
+        .join(
+            F.broadcast(comps.select(F.col("node").alias("doc_id"), "component")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_id"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("group_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return groups.select(
+        "doc_id",
+        "group_id",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
