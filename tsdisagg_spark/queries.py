@@ -4801,6 +4801,94 @@ def leakage_free_split(spark, sf_dir):
     )
 
 
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-06-01'
+      AND l.l_shipdate > TIMESTAMP '1999-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: unshipped BUILDING-segment orders ranked by
+    discounted revenue — the classic filter-pushdown + star-join + top-k
+    probe.  Both date filters reach the parquet scans (PushedFilters), the
+    customer dim broadcasts, and the top-10 runs as per-partition partial
+    TakeOrdered before one tiny merge — no global sort of the aggregate.
+    The revenue tiebreak is pinned by orderkey so LIMIT is deterministic
+    cross-engine."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-06-01")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-06-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS month,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+           AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: monthly share of revenue from PROMO-type parts —
+    conditional aggregation over a fact-to-dim join, per period.  The part
+    dim broadcasts (the fact table never shuffles for the join; only the
+    month aggregation exchanges), and the CASE folds into the same
+    single-pass hash aggregate as the denominator — one scan, one shuffle.
+    The ratio is a division of two same-engine sums rounded at 6, the same
+    determinism discipline as the share-of-total family."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
