@@ -1559,3 +1559,44 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for node in range(N):
         np.testing.assert_allclose(got[node], r[node], rtol=1e-12)
     np.testing.assert_allclose(sum(got.values()), 1.0, rtol=1e-12)
+
+
+def test_new_operator_empty_and_degenerate_inputs(spark):
+    """Edge battery for the round's operators: empty inputs yield empty
+    (not errors), degenerate graphs and exact-duplicate strings behave."""
+    from tsdisagg_spark.operators import graph, linkage, sketches
+
+    empty_keys = spark.range(0).withColumnRenamed("id", "k")
+    probe = spark.range(5).withColumnRenamed("id", "k")
+
+    # Bloom over nothing: empty filter, every probe rejected
+    bloom = sketches.bloom_build(empty_keys, "k", m_bits=189, n_hashes=2)
+    assert bloom.count() == 0
+    probed = sketches.bloom_probe(probe, bloom, "k", m_bits=189, n_hashes=2)
+    assert probed.filter(F.col("claimed")).count() == 0
+
+    # CMS over nothing: every estimate 0
+    cms = sketches.cms_build(empty_keys, "k", width=16, depth=2)
+    est = sketches.cms_estimate(probe, cms, "k", width=16, depth=2)
+    assert [r.est for r in est.collect()] == [0] * 5
+
+    # linkage: empty corpus and all-too-short corpus both yield no pairs;
+    # exact duplicates surface at distance 0
+    empty_docs = spark.createDataFrame([], "rid long, txt string")
+    assert linkage.edit_distance_pairs(empty_docs, "rid", "txt", k=2).count() == 0
+    tiny = spark.createDataFrame([(1, "ab"), (2, "ab")], ["rid", "txt"])
+    assert linkage.edit_distance_pairs(tiny, "rid", "txt", k=2).count() == 0
+    dups = spark.createDataFrame(
+        [(1, "hello"), (2, "hello"), (3, "goodbye")], ["rid", "txt"]
+    )
+    got = linkage.edit_distance_pairs(dups, "rid", "txt", k=1).collect()
+    assert [(r.id_a, r.id_b, r.distance) for r in got] == [(1, 2, 0)]
+
+    # pagerank: a single self-loop node holds all the rank; an isolated
+    # two-node edge pair still sums to 1
+    loop = spark.createDataFrame([(7, 7, 1.0)], ["src", "dst", "w"])
+    r = graph.pagerank(loop, iterations=3).collect()
+    assert len(r) == 1 and abs(r[0].rank - 1.0) < 1e-12
+    two = spark.createDataFrame([(1, 2, 1.0)], ["src", "dst", "w"])
+    rs = {x.node: x.rank for x in graph.pagerank(two, iterations=4).collect()}
+    assert abs(sum(rs.values()) - 1.0) < 1e-12 and rs[2] > rs[1]
