@@ -21,7 +21,7 @@ shuffle — never key rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bits per packed word; bit 63 stays clear so `1 << bit` is portable
@@ -142,6 +142,60 @@ def cms_estimate(
     )
     return df.join(
         est.select(F.col("k").alias(key_col), "est"), key_col, "left"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group (Bar-Yossef et
+    al. 2002): hash every key to a uniform fraction in [0, 1), keep each
+    group's ``k`` smallest, and estimate ``distinct ~= (k-1) / h_k`` where
+    ``h_k`` is the k-th smallest hash.  Groups with fewer than ``k``
+    distinct keys are EXACT (the sketch saw every key and reports the
+    count).
+
+    Unlike HLL this is deterministic arithmetic over md5 fractions — any
+    engine with md5 reproduces the estimate bit-for-bit, which is what
+    makes a cross-engine oracle possible at all.  State per group is k
+    doubles; the top-k runs as the usual window rank, whose partial
+    ordering is map-side combinable.
+
+    Returns ``group_cols + (n_seen, est_distinct)`` where ``n_seen`` is
+    the number of sketch slots filled (== distinct count when < k)."""
+    gcols = list(group_cols or [])
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":kmv"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    hashed = df.select(*gcols, F.col(key_col)).distinct().select(
+        *gcols, frac.alias("h")
+    )
+    w = Window.partitionBy(*gcols).orderBy("h") if gcols else (
+        Window.partitionBy(F.lit(1)).orderBy("h")
+    )
+    topk = hashed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    return topk.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise((F.lit(float(k - 1))) / F.max("h")),
+            6,
+        ).alias("est_distinct"),
     )
 
 

@@ -4889,6 +4889,58 @@ def promo_revenue_share(spark, sf_dir):
     )
 
 
+@query(
+    "kmv_distinct_customers",
+    oracle="""
+    WITH d AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
+    h AS (SELECT o_orderpriority,
+                 ('0x' || substr(md5(o_custkey::VARCHAR || ':kmv'), 1, 8))
+                 ::BIGINT / 4294967296.0 AS h
+          FROM d),
+    rk AS (SELECT o_orderpriority, h,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY h) AS rk
+           FROM h),
+    kmv AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_seen,
+                   ROUND(CASE WHEN COUNT(*) < 256
+                              THEN CAST(COUNT(*) AS DOUBLE)
+                              ELSE 255.0 / MAX(h) END, 6) AS est_distinct
+            FROM rk WHERE rk <= 256 GROUP BY 1),
+    truth AS (SELECT o_orderpriority,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                     AS true_distinct
+              FROM orders GROUP BY 1)
+    SELECT t.o_orderpriority, t.true_distinct, kmv.n_seen, kmv.est_distinct
+    FROM truth t JOIN kmv USING (o_orderpriority)
+    """,
+)
+def kmv_distinct_customers(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    next to the exact answer: per order priority, estimate the distinct
+    customer count from the 256 smallest md5 hash fractions.  The third
+    sketch family member, and the one COUNT DISTINCT needs at 100 TB:
+    exact distinct shuffles every key; KMV state is 64 doubles per group,
+    map-side combinable, mergeable across partitions/days.  Unlike HLL
+    the estimate is deterministic md5 arithmetic, so DuckDB reproduces it
+    bit-for-bit — sketch accuracy itself becomes a hash-checked,
+    per-dataset FACT (sd ~ 1/sqrt(k-2) ~ 6% at k=256; group subsets of
+    one key domain share the hash draw, so their errors correlate)
+    rather than a claim.  At sf0.001 the per-group distinct count drops
+    under k, exercising the exact branch of the same query."""
+    from tsdisagg_spark.operators import sketches
+
+    o = t(spark, sf_dir, "orders")
+    est = sketches.kmv_distinct(
+        o, "o_custkey", group_cols=["o_orderpriority"], k=256
+    )
+    truth = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("true_distinct")
+    )
+    return truth.join(est, "o_orderpriority").select(
+        "o_orderpriority", "true_distinct", "n_seen", "est_distinct"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
