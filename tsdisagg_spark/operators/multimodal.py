@@ -161,6 +161,65 @@ def resize_ppm_gray(payload: bytes, box: int = 3) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def decimate_wav(payload: bytes, factor: int = 4) -> np.ndarray:
+    """REAL audio downsampling: decode the WAV container and box-average
+    every ``factor`` consecutive PCM samples (the anti-aliasing-free
+    decimation used for cheap feature pyramids) — the audio twin of
+    :func:`resize_ppm_gray`.  The trailing partial block is dropped
+    (floor semantics, mirroring the image crop), so every output sample
+    is the exact mean of ``factor`` input samples: ``out * factor *
+    scale`` is an integer sum a SQL engine can recompute from the raw
+    payload bytes.  Returns float32 samples in [0, 1]."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, samp_w = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if samp_w != 1 or n_ch != 1:
+        raise ValueError("decimate_wav supports mono 8-bit PCM")
+    x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+    n_out = x.size // factor
+    if n_out == 0:
+        raise ValueError(f"{x.size} samples shorter than factor {factor}")
+    blocks = x[: n_out * factor].reshape(n_out, factor)
+    return (blocks.sum(axis=1) / (factor * 255.0)).astype(np.float32)
+
+
+def decimate_audio(
+    assets: DataFrame,
+    factor: int = 4,
+    decimate_fn: Callable[[bytes, int], np.ndarray] = decimate_wav,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed audio downsampling: ``(asset_id, n_out, samples)`` with
+    ``samples`` the decimated float32 stream — same Arrow-batch shape and
+    per-asset failure isolation as :func:`resize_images`."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_out", T.IntegerType()),
+            T.StructField("samples", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def decimate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, out = [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(aid)
+                try:
+                    y = decimate_fn(payload, factor)
+                    ns.append(y.size)
+                    out.append([float(v) for v in y])
+                except Exception:  # noqa: BLE001 — per-asset isolation
+                    ns.append(0)
+                    out.append(None)
+            yield pd.DataFrame({id_col: ids, "n_out": ns, "samples": out})
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        decimate_batches, schema=out_schema
+    )
+
+
 def resize_images(
     assets: DataFrame,
     box: int = 3,

@@ -2320,6 +2320,57 @@ def frame_samples(spark, sf_dir):
 
 
 @query(
+    "wav_decimate_quanta",
+    oracle="""
+    -- predicts the REAL audio decimation: the 512-sample PCM stream is
+    -- the utf-8 text zero-padded; factor-4 box decimation collapses each
+    -- 4-sample block to one output, so quanta q = v * 4 * 255 = the
+    -- exact integer sum of the block's bytes
+    WITH b AS (SELECT doc_id AS asset_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    i AS (SELECT unnest(generate_series(0, 511)) AS i)
+    SELECT asset_id,
+           CAST(128 AS BIGINT) AS n_out,
+           CAST(i // 4 AS BIGINT) AS pos,
+           CAST(SUM(CASE WHEN i < n
+                    THEN ('0x' || substr(hx, i*2 + 1, 2))::BIGINT
+                    ELSE 0 END) AS BIGINT) AS q
+    FROM b CROSS JOIN i
+    GROUP BY 1, 2, 3
+    """,
+)
+def wav_decimate_quanta(spark, sf_dir):
+    """The audio-RESAMPLING twin of `ppm_resize_quanta`, completing the
+    multimodal transform family (decode, featurize, image resize, audio
+    decimate): each document's 512-sample PCM WAV is box-decimated 4x
+    through the genuine container round-trip
+    (operators/multimodal.py:decimate_wav) and DuckDB recomputes every
+    output sample's exact 4-byte block sum from the raw text — block
+    geometry, floor-crop semantics, and mean normalization all
+    hash-checked.  Quanta contract: v = block_sum / (4*255) exactly;
+    round(v * 1020) recovers the integer sum through float32
+    (error <= 1020 * 2^-24 < 1e-4)."""
+    from tsdisagg_spark.operators import multimodal
+
+    assets = multimodal.wav_assets(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    dec = multimodal.decimate_audio(assets, factor=4)
+    return dec.select(
+        "asset_id",
+        F.col("n_out").cast("long").alias("n_out"),
+        F.posexplode("samples").alias("pos0", "v"),
+    ).select(
+        "asset_id",
+        "n_out",
+        F.col("pos0").cast("long").alias("pos"),
+        F.round(F.col("v") * (4 * 255)).cast("long").alias("q"),
+    )
+
+
+@query(
     "dedup_exact_groups",
     oracle="""
     SELECT md5(text) AS group_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
