@@ -1600,3 +1600,23 @@ def test_new_operator_empty_and_degenerate_inputs(spark):
     two = spark.createDataFrame([(1, 2, 1.0)], ["src", "dst", "w"])
     rs = {x.node: x.rank for x in graph.pagerank(two, iterations=4).collect()}
     assert abs(sum(rs.values()) - 1.0) < 1e-12 and rs[2] > rs[1]
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Efraimidis-Spirakis sanity: with weights spanning 1..1000 the
+    sampled mean weight must exceed the population mean (heavy rows are
+    overrepresented), the sample is exactly n without replacement, and
+    re-running returns the identical set."""
+    from tsdisagg_spark.operators import sampling
+
+    rows = [(i, float(1 + (i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    s1 = sampling.weighted_sample(df, "k", "w", n=100)
+    got = s1.collect()
+    assert len(got) == 100
+    assert len({r.k for r in got}) == 100
+    pop_mean = sum(w for _, w in rows) / len(rows)
+    samp_mean = sum(r.w for r in got) / len(got)
+    assert samp_mean > 1.15 * pop_mean, (samp_mean, pop_mean)
+    s2 = sampling.weighted_sample(df, "k", "w", n=100)
+    assert {r.k for r in s2.collect()} == {r.k for r in got}

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bucket space for rate arithmetic — rates are exact multiples of 1/10000
@@ -70,3 +70,56 @@ def stratified_sample(
         F.when(F.lit(False), 0),
     ).otherwise(int(default_rate * BUCKETS))
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    group_cols: list[str] | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the top ``n``
+    rows (per group) by the Efraimidis-Spirakis priority ``u^(1/w)``
+    (Inf. Proc. Letters 97(5), 2006), with ``u`` a uniform md5 hash
+    fraction of the key instead of RNG state.
+
+    This is the distributed answer to weighted reservoir sampling: every
+    executor computes priorities independently from the key bytes — no
+    RNG seeds to coordinate, no sequential reservoir — and the global
+    top-n is an ordinary rank.  Re-running on the same data returns the
+    same sample (auditable lineage for training-corpus curation), and
+    the priority is plain float arithmetic, so a SQL engine reproduces
+    the exact same sample.
+
+    Ranking uses ``log(u)/w`` (monotone in ``u^(1/w)``) for numerical
+    sanity; ties on priority are broken by the key for cross-engine
+    determinism.  Rows with non-positive weight are excluded.
+    """
+    gcols = list(group_cols or [])
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0  # avoid u == 0 -> log(0)
+    ) / F.lit(float(2**32))
+    pri = F.log(u) / F.col(weight_col)
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ).orderBy(F.desc("pri"), F.col(key_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("pri", pri)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .drop("pri", "rk")
+    )

@@ -4992,6 +4992,47 @@ def kmv_distinct_customers(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_sample_orders",
+    oracle="""
+    WITH pri AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                        ln((('0x' || substr(md5(o_orderkey::VARCHAR
+                             || ':ws'), 1, 8))::BIGINT + 1.0)
+                           / 4294967296.0) / o_totalprice AS pri
+                 FROM orders WHERE o_totalprice > 0),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY pri DESC, o_orderkey) AS rk
+           FROM pri)
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM rk WHERE rk <= 50
+    """,
+)
+def weighted_sample_orders(spark, sf_dir):
+    """Deterministic weighted sampling without replacement: 50 orders per
+    priority class, selection probability proportional to order value,
+    via the Efraimidis-Spirakis priority u^(1/w) with u an md5 hash
+    fraction instead of RNG state (operators/sampling.py:weighted_sample).
+    The distributed story: no seeds to coordinate across 1000 executors,
+    no sequential reservoir — priorities are a pure function of the key
+    bytes, the sample is an ordinary per-group rank, and re-running on
+    the same data reproduces the identical sample (auditable corpus
+    curation).  The oracle recomputes the exact same float arithmetic,
+    so the selected SET — not just its size — is hash-checked."""
+    from tsdisagg_spark.operators import sampling
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return sampling.weighted_sample(
+        o,
+        key_col="o_orderkey",
+        weight_col="o_totalprice",
+        n=50,
+        group_cols=["o_orderpriority"],
+        salt="ws",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
