@@ -84,6 +84,13 @@ HEADLINE = [
     "user_activity_islands",   # gaps-and-islands run detection
     "customer_spend_ranks",    # percent_rank/cume_dist/ntile ranking family
     "bloom_membership_audit",  # broadcast Bloom sketch build + probe + grade
+    "cms_order_counts",        # count-min sketch build + point queries
+    "kmv_distinct_customers",  # KMV distinct-count sketch vs exact
+    "nation_trade_pagerank",   # iterative graph: 5 power-iteration joins
+    "wav_decimate_quanta",     # REAL audio decimation through mapInPandas
+    "weighted_sample_orders",  # deterministic weighted sampling (ES priorities)
+    "shipping_priority",       # TPC-H Q3: pushdown star join + top-k
+    "promo_revenue_share",     # TPC-H Q14: conditional-aggregate share
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins
 ]

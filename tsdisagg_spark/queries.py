@@ -5033,6 +5033,123 @@ def weighted_sample_orders(spark, sf_dir):
     )
 
 
+@query(
+    "peak_concurrency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(ts) AS ss,
+               MAX(ts) + INTERVAL 30 MINUTE AS se
+        FROM (SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM (SELECT user_id, ts,
+                           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                        ORDER BY ts)
+                                     > INTERVAL 30 MINUTE
+                                  OR LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts) IS NULL
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events) t) g
+        GROUP BY user_id, sid
+    ),
+    clipped AS (
+        SELECT d.day,
+               GREATEST(s.ss, d.day) AS cs,
+               LEAST(s.se, d.day + INTERVAL 1 DAY) AS ce
+        FROM s, LATERAL (
+            SELECT unnest(generate_series(date_trunc('day', s.ss),
+                          date_trunc('day', s.se - INTERVAL 1 MICROSECOND),
+                          INTERVAL 1 DAY)) AS day) d
+    ),
+    pts AS (SELECT day, cs AS t, 1 AS delta FROM clipped
+            UNION ALL
+            SELECT day, ce, -1 FROM clipped),
+    run AS (SELECT day,
+                   SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                                    ROWS UNBOUNDED PRECEDING) AS running
+            FROM pts)
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+def peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day — the classic interval sweep-line
+    (+1 at session start, -1 at end, running sum, max), with the twist
+    that makes it survive 100x data: a NAIVE sweep is one globally
+    ordered window = a single-partition bottleneck, so sessions are
+    CLIPPED at midnight first and the sweep partitions BY DAY (clipping
+    preserves coverage, so per-day concurrency is exact).  Endpoint ties
+    order (-1 before +1), so a session ending exactly when another
+    starts never double-counts — half-open [start, end) semantics,
+    pinned identically in the oracle.  Sessions are the same 30-minute
+    gap rule as `sessionization`; end = last event + gap, mirroring
+    Spark's session_window contract."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sessions = (
+        ev.withColumn("lag_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("lag_ts").isNull()
+                # microsecond-exact gap (the event stamps carry sub-second
+                # parts; a seconds-cast would flip boundaries vs the oracle)
+                | (
+                    F.expr("timestampdiff(MICROSECOND, lag_ts, ts)")
+                    > 1_800_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("ss"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("se"),
+        )
+    )
+    clipped = sessions.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "ss"),
+                F.date_trunc(
+                    "day", F.col("se") - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "ss",
+        "se",
+    ).select(
+        "day",
+        F.greatest("ss", F.col("day")).alias("cs"),
+        F.least("se", F.col("day") + F.expr("INTERVAL 1 DAY")).alias("ce"),
+    )
+    pts = clipped.select(
+        "day", F.col("cs").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        clipped.select("day", F.col("ce").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run = pts.withColumn(
+        "running",
+        F.sum("delta").over(
+            Window.partitionBy("day")
+            .orderBy("t", "delta")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return run.groupBy("day").agg(
+        F.max("running").cast("long").alias("peak_concurrent")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
