@@ -1620,3 +1620,38 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     assert samp_mean > 1.15 * pop_mean, (samp_mean, pop_mean)
     s2 = sampling.weighted_sample(df, "k", "w", n=100)
     assert {r.k for r in s2.collect()} == {r.k for r in got}
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    """KMV contract: groups under k report exactly; groups over k report
+    (k-1)/h_k with bounded relative error for this fixed hash draw."""
+    from tsdisagg_spark.operators import sketches
+
+    rows = (
+        [("small", i) for i in range(20)]
+        + [("big", i) for i in range(10_000)]
+    )
+    df = spark.createDataFrame(rows, ["g", "k"])
+    out = {
+        r.g: (r.n_seen, r.est_distinct)
+        for r in sketches.kmv_distinct(
+            df, "k", group_cols=["g"], k=64
+        ).collect()
+    }
+    assert out["small"] == (20, 20.0)          # exact branch
+    n_seen, est = out["big"]
+    assert n_seen == 64
+    assert abs(est - 10_000) / 10_000 < 0.5    # ~12% sd; 4-sigma guard
+
+
+def test_kmv_is_mergeable_across_partitions(spark):
+    """The sketch is a pure function of the key SET: estimates are
+    identical however the input is partitioned or duplicated — the
+    mergeability that lets daily sketches combine into monthly ones."""
+    from tsdisagg_spark.operators import sketches
+
+    keys = spark.range(0, 5000).withColumnRenamed("id", "k")
+    dup = keys.union(keys).union(keys).repartition(13)
+    a = sketches.kmv_distinct(keys, "k", k=32).collect()[0]
+    b = sketches.kmv_distinct(dup, "k", k=32).collect()[0]
+    assert (a.n_seen, a.est_distinct) == (b.n_seen, b.est_distinct)
