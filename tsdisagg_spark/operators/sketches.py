@@ -199,6 +199,82 @@ def kmv_distinct(
     )
 
 
+def _kmv_kept(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """The (key, h) pairs a k-minimum-values sketch retains: the ``k``
+    smallest hash fractions over the distinct keys."""
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("kk").cast("string"), F.lit(":kmv"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    hashed = df.select(F.col(key_col).alias("kk")).distinct().select(
+        "kk", frac.alias("h")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("h")
+    return hashed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def kmv_intersect(
+    df_a: DataFrame, df_b: DataFrame, key_col: str, k: int = 256
+) -> DataFrame:
+    """Set-INTERSECTION cardinality from two KMV sketches (the theta-
+    sketch estimator): ``theta = min`` of the two k-th-smallest hashes
+    (1.0 for a side with fewer than k keys, which makes it exact), and
+    ``|A n B| ~ |{key kept by BOTH sketches with h < theta}| / theta``.
+
+    This is the sketch algebra that answers audience-overlap questions at
+    100 TB: each side's state is k (key, hash) pairs built independently
+    (different days, different clusters, different months), and the
+    overlap estimate needs only the two sketches — never the key streams.
+    Deterministic md5 arithmetic end to end, so a SQL engine reproduces
+    the exact estimate.
+
+    Returns one row: ``(n_kept_a, n_kept_b, theta, est_intersection)``.
+    """
+    ka = _kmv_kept(df_a, key_col, k)
+    kb = _kmv_kept(df_b, key_col, k)
+
+    def _theta(kept: DataFrame) -> DataFrame:
+        return kept.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.when(F.count(F.lit(1)) < k, F.lit(1.0))
+            .otherwise(F.max("h"))
+            .alias("th"),
+        )
+    ta = _theta(ka).select(
+        F.col("n").alias("n_kept_a"), F.col("th").alias("th_a")
+    )
+    tb = _theta(kb).select(
+        F.col("n").alias("n_kept_b"), F.col("th").alias("th_b")
+    )
+    both = ka.select("kk", "h").join(kb.select("kk"), "kk")
+    # scalars first (one row however the data looks), THEN the count —
+    # an empty intersection must yield est 0, not zero output rows
+    scalars = ta.crossJoin(tb).withColumn("theta", F.least("th_a", "th_b"))
+    cnt = (
+        both.crossJoin(F.broadcast(scalars.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return scalars.crossJoin(F.broadcast(cnt)).select(
+        "n_kept_a",
+        "n_kept_b",
+        "theta",
+        F.round(F.col("n_inter") / F.col("theta"), 6).alias(
+            "est_intersection"
+        ),
+    )
+
+
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,

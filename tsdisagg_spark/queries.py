@@ -5150,6 +5150,66 @@ def peak_concurrency(spark, sf_dir):
     )
 
 
+@query(
+    "kmv_buyer_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS kk FROM orders
+               WHERE year(o_orderdate) = 1996),
+    b AS (SELECT DISTINCT o_custkey AS kk FROM orders
+          WHERE year(o_orderdate) = 2000),
+    ha AS (SELECT kk, ('0x' || substr(md5(kk::VARCHAR || ':kmv'), 1, 8))
+                      ::BIGINT / 4294967296.0 AS h FROM a),
+    hb AS (SELECT kk, ('0x' || substr(md5(kk::VARCHAR || ':kmv'), 1, 8))
+                      ::BIGINT / 4294967296.0 AS h FROM b),
+    ka AS (SELECT kk, h FROM (SELECT kk, h,
+                   ROW_NUMBER() OVER (ORDER BY h) AS rk FROM ha)
+           WHERE rk <= 256),
+    kb AS (SELECT kk, h FROM (SELECT kk, h,
+                   ROW_NUMBER() OVER (ORDER BY h) AS rk FROM hb)
+           WHERE rk <= 256),
+    ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_a,
+                  CASE WHEN COUNT(*) < 256 THEN CAST(1.0 AS DOUBLE)
+                       ELSE MAX(h) END AS th_a FROM ka),
+    tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_b,
+                  CASE WHEN COUNT(*) < 256 THEN CAST(1.0 AS DOUBLE)
+                       ELSE MAX(h) END AS th_b FROM kb),
+    sc AS (SELECT n_kept_a, n_kept_b, LEAST(th_a, th_b) AS theta
+           FROM ta CROSS JOIN tb),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM ka JOIN kb USING (kk) CROSS JOIN sc
+            WHERE ka.h < sc.theta),
+    truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_intersection
+              FROM a JOIN b USING (kk))
+    SELECT sc.n_kept_a, sc.n_kept_b, sc.theta,
+           ROUND(cnt.n_inter / sc.theta, 6) AS est_intersection,
+           truth.true_intersection
+    FROM sc CROSS JOIN cnt CROSS JOIN truth
+    """,
+)
+def kmv_buyer_overlap(spark, sf_dir):
+    """Sketch SET ALGEBRA: estimate the overlap between 1996 and 2000
+    buyer populations from two independently built KMV sketches via the
+    theta-sketch intersection estimator (theta = min of the two k-th
+    minima; count kept-by-both keys below theta; divide by theta) — the
+    audience-overlap question answered from two k-row summaries instead
+    of two full key streams (operators/sketches.py:kmv_intersect).  The
+    true intersection rides alongside so accuracy is a visible fact, and
+    every hash, theta, and division is deterministic md5 arithmetic the
+    oracle reproduces bit-for-bit."""
+    from tsdisagg_spark.operators import sketches
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    est = sketches.kmv_intersect(a, b, "o_custkey", k=256)
+    truth = (
+        a.distinct()
+        .join(b.distinct(), "o_custkey")
+        .agg(F.count(F.lit(1)).alias("true_intersection"))
+    )
+    return est.crossJoin(F.broadcast(truth))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
