@@ -91,6 +91,8 @@ HEADLINE = [
     "weighted_sample_orders",  # deterministic weighted sampling (ES priorities)
     "shipping_priority",       # TPC-H Q3: pushdown star join + top-k
     "promo_revenue_share",     # TPC-H Q14: conditional-aggregate share
+    "peak_concurrency",        # day-partitioned interval sweep line
+    "kmv_buyer_overlap",       # theta-sketch set intersection
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins
 ]
