@@ -194,3 +194,35 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert rows[0] == ("a", None)  # old rows: new column null-backfilled
     assert rows[7] == ("b", 0.5)
     assert len(rows) == 8
+
+
+def test_jsonl_roundtrip_with_schema_and_pruning(spark, tmp_path):
+    """JSON-lines interchange (the training-data staging format): write a
+    table as JSONL, read it back with an EXPLICIT schema (no inference
+    pass over 100 TB), project two columns, and confirm the values
+    round-trip and the scan's ReadSchema prunes to the projection."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": [f"document number {i}" for i in range(50)],
+            "lang": ["en", "de", "fr", "es", "it"] * 10,
+            "n_chars": [float(17 + i % 5) for i in range(50)],
+        }
+    )
+    src = str(tmp_path / "docs_jsonl")
+    spark.createDataFrame(pdf).write.json(src)
+
+    schema = "doc_id long, text string, lang string, n_chars double"
+    back = spark.read.schema(schema).json(src)
+    got = back.select("doc_id", "lang").orderBy("doc_id").collect()
+    assert [r.lang for r in got] == list(pdf["lang"])
+
+    plan = back.select("doc_id", "lang")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:200], (
+        "projection did not prune the text column from the JSON scan"
+    )
+    # count respects all rows
+    assert back.count() == 50
