@@ -93,8 +93,14 @@ HEADLINE = [
     "promo_revenue_share",     # TPC-H Q14: conditional-aggregate share
     "peak_concurrency",        # day-partitioned interval sweep line
     "kmv_buyer_overlap",       # theta-sketch set intersection
+    "cohort_retention",        # window-min cohorts + distinct-active cells
+    "part_basket_lift",        # basket-array pair generation + lift
+    "seasonal_decomposition",  # integer-cents 2x12 MA decomposition
+    "bigram_lm_scores",        # corpus-fit bigram LM scoring joins
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
-    # dedup_components (both timed above) plus two broadcast joins
+    # dedup_components (both timed above) plus two broadcast joins;
+    # dup_graph_triangles likewise rides jaccard_near_dups plus two
+    # edge-list joins
 ]
 
 REPS = max(1, int(os.environ.get("BENCH_REPS", "2")))

@@ -5210,6 +5210,447 @@ def kmv_buyer_overlap(spark, sf_dir):
     return est.crossJoin(F.broadcast(truth))
 
 
+# ---------------------------------------------------------------------------
+# behavioral / time-series / corpus analytics, round 4 additions
+# ---------------------------------------------------------------------------
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH o AS (SELECT o_custkey,
+                      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m
+               FROM orders),
+    f AS (SELECT o_custkey, m,
+                 MIN(m) OVER (PARTITION BY o_custkey) AS cohort
+          FROM o),
+    cell AS (SELECT cohort, datediff('month', cohort, m) AS months_since,
+                    COUNT(DISTINCT o_custkey) AS active_customers
+             FROM f GROUP BY 1, 2),
+    base AS (SELECT cohort, active_customers AS cohort_size
+             FROM cell WHERE months_since = 0)
+    SELECT cell.cohort,
+           CAST(cell.months_since AS BIGINT) AS months_since,
+           CAST(cell.active_customers AS BIGINT) AS active_customers,
+           ROUND(cell.active_customers * 1.0 / base.cohort_size, 6) AS retention
+    FROM cell JOIN base USING (cohort)
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: customers grouped by first-order month, then
+    distinct-active counts per (cohort, months-since-acquisition) cell with
+    the rate normalized by cohort size.
+
+    Scale shape: the acquisition month comes from a window MIN over the
+    per-customer partition — ONE hash exchange on ``o_custkey`` instead of a
+    groupBy-min + self-join (the naive two-exchange plan).  The cell
+    aggregation reuses no per-customer state (two-phase countDistinct), and
+    the cohort-size denominator is a months × 1 frame joined back by
+    broadcast — the only full-data shuffles are the customer partition and
+    the cell aggregation, both on keys whose cardinality grows with the
+    data."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    )
+    f = o.withColumn(
+        "cohort", F.min("m").over(Window.partitionBy("o_custkey"))
+    )
+    cell = (
+        f.groupBy(
+            "cohort",
+            F.months_between("m", "cohort").cast("long").alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+    base = cell.filter(F.col("months_since") == 0).select(
+        "cohort", F.col("active_customers").alias("cohort_size")
+    )
+    return cell.join(F.broadcast(base), "cohort").select(
+        "cohort",
+        "months_since",
+        "active_customers",
+        F.round(
+            F.col("active_customers") * 1.0 / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
+@query(
+    "part_basket_lift",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    nb AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY 1),
+    co AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                  COUNT(*) AS co_orders
+           FROM ob a JOIN ob b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2)
+    SELECT co.brand_a, co.brand_b,
+           CAST(co.co_orders AS BIGINT) AS co_orders,
+           ROUND(co.co_orders * 1.0 / tot.n_orders, 6) AS support,
+           ROUND(co.co_orders * 1.0 * tot.n_orders / (na.n * nb2.n), 6)
+               AS lift
+    FROM co
+    CROSS JOIN tot
+    JOIN nb na ON co.brand_a = na.p_brand
+    JOIN nb nb2 ON co.brand_b = nb2.p_brand
+    """,
+)
+def part_basket_lift(spark, sf_dir):
+    """Market-basket co-occurrence: support and lift for every brand pair
+    appearing in the same order.
+
+    Scale shape: brand pairs are generated WITHOUT a fact-table self-join —
+    per-order brand sets are collected once (one exchange on ``l_orderkey``)
+    and pairs come from an array comprehension over each (tiny, ≤7-element)
+    basket, so the pair fan-out is bounded by basket size squared, never by
+    corpus size.  (The oracle states the same semantics as the classic
+    self-join.)  Brand marginals and the order total are sketch-sized frames
+    broadcast back onto the ~B² pair grid.  The interpreted-HOF cost noted
+    for MinHash doesn't bite here: the lambda runs once per ORDER, not once
+    per token."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    nb = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> "
+                "transform(slice(bs, i + 2, size(bs)), "
+                "y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.*")
+    co = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("co_orders")
+    )
+    na = nb.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
+    nb2 = nb.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("nb"))
+    return (
+        co.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb2), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "co_orders",
+            F.round(F.col("co_orders") * 1.0 / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("co_orders") * 1.0 * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "seasonal_decomposition",
+    oracle="""
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                          AS month,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+               FROM orders GROUP BY 1),
+    b AS (SELECT MIN(month) AS lo, MAX(month) AS hi FROM m),
+    tl AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+           FROM b),
+    g AS (SELECT tl.month, COALESCE(m.rev_c, 0) AS rev_c
+          FROM tl LEFT JOIN m USING (month)),
+    tr AS (SELECT month, rev_c,
+                  CASE WHEN COUNT(*) OVER w13 = 13 THEN
+                      LAG(rev_c, 6) OVER wo
+                      + 2 * SUM(rev_c) OVER w11
+                      + LEAD(rev_c, 6) OVER wo
+                  END AS trend_c24,
+                  month(month) AS moy
+           FROM g
+           WINDOW wo AS (ORDER BY month),
+                  w11 AS (ORDER BY month
+                          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+                  w13 AS (ORDER BY month
+                          ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+    d AS (SELECT month, rev_c, trend_c24, moy,
+                 24 * rev_c - trend_c24 AS det_c24
+          FROM tr WHERE trend_c24 IS NOT NULL),
+    sr AS (SELECT moy, SUM(det_c24) AS num, COUNT(*) AS cnt FROM d
+           GROUP BY 1),
+    s AS (SELECT moy,
+                 (num * 1.0 / cnt
+                  - (SUM(num) OVER ()) * 1.0 / (SUM(cnt) OVER ())) / 2400.0
+                     AS seasonal
+          FROM sr)
+    SELECT d.month,
+           ROUND(d.rev_c / 100.0, 2) AS revenue,
+           ROUND(d.trend_c24 / 2400.0, 6) AS trend,
+           ROUND(s.seasonal, 6) AS seasonal,
+           ROUND(d.rev_c / 100.0 - d.trend_c24 / 2400.0 - s.seasonal, 6)
+               AS residual
+    FROM d JOIN s USING (moy)
+    """,
+)
+def seasonal_decomposition(spark, sf_dir):
+    """Classic additive seasonal decomposition of monthly revenue: trend via
+    the 2x12 centered moving average, seasonal factors as mean-centered
+    monthly means of the detrended series (grand-mean centering), residual
+    as the remainder — the textbook `decompose()` procedure expressed
+    relationally.
+
+    The timeline is completed first (sequence + left join, zero-filled) so
+    the moving average is over calendar months, not observed months.  The
+    unpartitioned window ORDER BY runs over the POST-AGGREGATION monthly
+    frame — its width is the calendar span in months (~10² rows even for a
+    century of data), not the fact-table size; the only full-data exchange
+    is the month aggregation.  Partial windows at the series edges are
+    excluded by the 13-row completeness count rather than emitted as nulls.
+
+    Numeric determinism: the whole pipeline runs in exact integer CENTS
+    until the final projection.  The first float formulation failed the
+    oracle hash on a REAL boundary — the 2x12 MA divides 0.005-grid values
+    by 12, so exact half-cent rationals (x.xx5) are COMMON and the two
+    engines' summation orders broke the ties differently.  With bigint
+    window sums (order-free), every division below happens on identical
+    integers, and outputs round at 6 decimals where k/2400 rationals
+    provably have no decimal-tie digits (k/2400 terminates within 5
+    decimals when 3|k, else carries a repeating-6 tail)."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("rev_c")
+    )
+    bounds = m.agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
+    tl = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    g = tl.join(m, "month", "left").select(
+        "month", F.coalesce("rev_c", F.lit(0)).alias("rev_c")
+    )
+    wo = Window.orderBy("month")
+    trend_c24 = F.when(
+        F.count("rev_c").over(wo.rowsBetween(-6, 6)) == 13,
+        F.lag("rev_c", 6).over(wo)
+        + 2 * F.sum("rev_c").over(wo.rowsBetween(-5, 5))
+        + F.lead("rev_c", 6).over(wo),
+    )
+    d = (
+        g.select(
+            "month",
+            "rev_c",
+            trend_c24.alias("trend_c24"),
+            F.month("month").alias("moy"),
+        )
+        .filter(F.col("trend_c24").isNotNull())
+        .withColumn("det_c24", 24 * F.col("rev_c") - F.col("trend_c24"))
+    )
+    sr = d.groupBy("moy").agg(
+        F.sum("det_c24").alias("num"), F.count(F.lit(1)).alias("cnt")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    s = sr.select(
+        "moy",
+        (
+            (
+                F.col("num") * 1.0 / F.col("cnt")
+                - F.sum("num").over(wall) * 1.0 / F.sum("cnt").over(wall)
+            )
+            / 2400.0
+        ).alias("seasonal"),
+    )
+    return d.join(F.broadcast(s), "moy").select(
+        "month",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(F.col("trend_c24") / 2400.0, 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("rev_c") / 100.0
+            - F.col("trend_c24") / 2400.0
+            - F.col("seasonal"),
+            6,
+        ).alias("residual"),
+    )
+
+
+@query(
+    "dup_graph_triangles",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    rare AS (SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) <= 20),
+    sh AS (SELECT doc_id, shingle FROM sh_all JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT id_a AS a, id_b AS b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+    ),
+    tri AS (SELECT COUNT(*) AS n
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    nodes AS (SELECT COUNT(DISTINCT x) AS n
+              FROM (SELECT a AS x FROM e UNION ALL SELECT b FROM e))
+    SELECT CAST(nodes.n AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.n AS BIGINT) AS n_triangles
+    FROM nodes CROSS JOIN tri
+    """,
+)
+def dup_graph_triangles(spark, sf_dir):
+    """Triangle census of the near-duplicate pair graph — the standard
+    clustering-coefficient ingredient, here quantifying how clique-like the
+    duplicate neighborhoods are (true duplicate groups close their
+    triangles; chains of borderline pairs don't).
+
+    The edge list is the SAME df-capped exact-Jaccard graph as
+    `jaccard_near_dups` (id_a < id_b canonical orientation).  Triangle
+    counting is the two-join wedge-closure formulation: because every edge
+    is stored low-id -> high-id, each triangle a<b<c is generated exactly
+    once as wedge (a-b, b-c) closed by edge (a,c) — no per-triangle dedup
+    pass.  At scale the standard refinement is to orient edges by DEGREE
+    rather than id so wedge fan-out concentrates on low-degree vertices;
+    with near-dup graphs (degree bounded by duplicate-group size) id
+    orientation is already safe, and the edge list is persisted so the
+    shingle self-join runs once, not three times."""
+    pairs = dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_doc_freq=20
+    )
+    e = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).persist()
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+        .alias("w")
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    nodes = (
+        e.select(F.col("a").alias("x"))
+        .unionByName(e.select(F.col("b").alias("x")))
+        .agg(F.countDistinct("x").alias("n_nodes"))
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(edges).crossJoin(tri)
+
+
+@query(
+    "bigram_lm_scores",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) t
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM bi)
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN((c12.c12 + 1.0) / (c1.c1 + v.v))), 6) AS avg_logp
+    FROM bi
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY bi.doc_id
+    """,
+)
+def bigram_lm_scores(spark, sf_dir):
+    """Corpus-trained bigram language-model scoring: every document scored
+    by its average log-probability under an add-one-smoothed bigram model
+    fitted on the corpus itself — the classic statistical quality signal
+    (low scores = unnatural token sequences) that needs no external model
+    artifact.  P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V); both counts and
+    the vocabulary V are derived from the bigram stream itself so the
+    conditional normalizes exactly.
+
+    Scale shape: the model IS two aggregations of the bigram stream
+    (map-side combinable), and scoring is two equi-joins of that stream
+    against its own count tables — the count tables are vocabulary-sized,
+    not corpus-sized, and stop-word bigram keys ("of the") are exactly the
+    skewed-join case AQE's skew split handles.  Everything is codegen
+    (split/slice/zip) — no Python in the path."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bi = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "arrays_zip("
+                    "slice(split(lower(trim(text)), '\\\\s+'), 1, "
+                    "greatest(size(split(lower(trim(text)), '\\\\s+')) - 1, 0)), "
+                    "slice(split(lower(trim(text)), '\\\\s+'), 2, "
+                    "greatest(size(split(lower(trim(text)), '\\\\s+')) - 1, 0)))"
+                )
+            ).alias("pr"),
+        )
+        .select(
+            "doc_id",
+            F.col("pr").getField("0").alias("w1"),
+            F.col("pr").getField("1").alias("w2"),
+        )
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bi.agg(F.countDistinct("w2").alias("v"))
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
