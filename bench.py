@@ -97,6 +97,8 @@ HEADLINE = [
     "part_basket_lift",        # basket-array pair generation + lift
     "seasonal_decomposition",  # integer-cents 2x12 MA decomposition
     "bigram_lm_scores",        # corpus-fit bigram LM scoring joins
+    "min_cost_supplier",       # Q2 shape: correlated MIN as window
+    "sole_late_supplier",      # Q21 shape: fact-fact join + shared-key agg
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

@@ -257,3 +257,71 @@ def test_aqe_splits_skewed_join_partitions():
         # defaults again
         for k in skew_confs:
             spark.conf.unset(k)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: behavioral/TPC-H-shape queries
+# ---------------------------------------------------------------------------
+
+
+def test_part_basket_lift_has_no_fact_self_join(spark):
+    """Brand pairs must come from per-order basket arrays, never from a
+    lineitem self-join: no SortMergeJoin may appear — every join in the
+    plan is a broadcast of a sketch-sized frame (marginals, totals,
+    part dim)."""
+    plan = _plan(Q.QUERIES["part_basket_lift"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sole_late_supplier_reuses_join_partitioning(spark):
+    """The fact-fact join and the per-order aggregate share l_orderkey:
+    exactly one exchange per fact input and NONE between the join and the
+    aggregation (Catalyst reuses the join's hash partitioning)."""
+    import re
+
+    plan = _plan(Q.QUERIES["sole_late_supplier"](spark, SF))
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys.count("l_orderkey") == 2, keys
+
+
+def test_min_cost_supplier_pushes_type_filter(spark):
+    """The part-type predicate must reach the part parquet scan, and the
+    filtered dim must broadcast into the lineitem join."""
+    plan = _plan(Q.QUERIES["min_cost_supplier"](spark, SF))
+    scan = "\n".join(
+        line for line in plan.splitlines() if "PushedFilters" in line
+    )
+    assert "EqualTo(p_type,ECONOMY)" in scan, scan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_seasonal_decomposition_prunes_orders_scan(spark):
+    """The decomposition touches only (o_orderdate, o_totalprice); the
+    orders scan must not read the other four columns."""
+    plan = _plan(Q.QUERIES["seasonal_decomposition"](spark, SF))
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "orders.parquet" in line
+    ]
+    assert scans, plan
+    for line in scans:
+        assert "o_custkey" not in line and "o_orderpriority" not in line, line
+
+
+def test_bigram_lm_scores_stays_jvm_side(spark):
+    """Tokenization, bigramming, and scoring are codegen expressions — no
+    Python evaluation node anywhere in the plan."""
+    plan = _plan(Q.QUERIES["bigram_lm_scores"](spark, SF))
+    assert "EvalPython" not in plan, plan
+
+
+def test_idle_customers_pushes_date_filter(spark):
+    """The recent-order date predicate must reach the orders scan feeding
+    the anti-join."""
+    plan = _plan(Q.QUERIES["idle_customers"](spark, SF))
+    scan = "\n".join(
+        line for line in plan.splitlines() if "PushedFilters" in line
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in scan, scan

@@ -5254,12 +5254,16 @@ def cohort_retention(spark, sf_dir):
     f = o.withColumn(
         "cohort", F.min("m").over(Window.partitionBy("o_custkey"))
     )
+    # cell is months x months tiny but its INPUT is the fact-table window;
+    # persisting stops the per-consumer plan duplication from running the
+    # o_custkey exchange + window twice (once for base, once for the join)
     cell = (
         f.groupBy(
             "cohort",
             F.months_between("m", "cohort").cast("long").alias("months_since"),
         )
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
+        .persist()
     )
     base = cell.filter(F.col("months_since") == 0).select(
         "cohort", F.col("active_customers").alias("cohort_size")
@@ -5317,11 +5321,22 @@ def part_basket_lift(spark, sf_dir):
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    baskets = ob.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    # ONE pass over the fact table: baskets is persisted and every
+    # downstream frame (pair counts, brand marginals, order total) derives
+    # from it — without this, Spark's per-consumer plan duplication
+    # recomputes the lineitem join+distinct three times (measured 3.2s →
+    # ~1s at sf0.1)
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .persist()
     )
     tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    nb = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    nb = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = baskets.select(
         F.explode(
             F.expr(
@@ -5425,12 +5440,18 @@ def seasonal_decomposition(spark, sf_dir):
     provably have no decimal-tie digits (k/2400 terminates within 5
     decimals when 3|k, else carries a repeating-6 tail)."""
     o = t(spark, sf_dir, "orders")
-    m = o.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).alias("month")
-    ).agg(
-        F.sum(
-            F.round(F.col("o_totalprice") * 100).cast("long")
-        ).alias("rev_c")
+    # persisted: m feeds both the timeline bounds and the left join —
+    # unpersisted, the orders scan + month aggregation would run twice
+    m = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_c")
+        )
+        .persist()
     )
     bounds = m.agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
     tl = bounds.select(
@@ -5648,6 +5669,204 @@ def bigram_lm_scores(spark, sf_dir):
                 6,
             ).alias("avg_logp"),
         )
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT p.p_partkey, l.l_suppkey,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cost_c,
+               COUNT(*) AS n
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type = 'ECONOMY'
+        GROUP BY 1, 2),
+    r AS (SELECT p_partkey, l_suppkey, cost_c, n,
+                 ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                    ORDER BY cost_c * 1.0 / n, l_suppkey)
+                     AS rk
+          FROM costs)
+    SELECT r.p_partkey, CAST(r.l_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+           ROUND(r.cost_c * 1.0 / r.n / 100.0, 6) AS avg_cost
+    FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rk = 1
+    """,
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for every part of one type, the supplier selling it
+    at the lowest average price.  The reference query's correlated MIN
+    subquery (re-scan per part) is re-expressed as a window ROW_NUMBER over
+    the per-(part, supplier) aggregate — one pass, no re-scan, and the
+    window key equals the aggregation key so the rank adds no exchange.
+
+    Determinism across engines: average price is compared as
+    ``exact_cents * 1.0 / count`` — both engines derive the SAME double
+    from identical integers, so the min and its tie-break (supplier key)
+    can't flip on float summation order, unlike ranking on a float AVG().
+    The part-type filter is pushed into the scan and the filtered part
+    dim broadcasts; supplier names broadcast onto the winners only."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    costs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("price_c").alias("cost_c"), F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("p_partkey").orderBy(
+            F.col("cost_c") * 1.0 / F.col("n"), "l_suppkey"
+        )
+    )
+    winners = costs.withColumn("rk", rk).filter(F.col("rk") == 1)
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return winners.join(
+        F.broadcast(s), winners.l_suppkey == s.s_suppkey
+    ).select(
+        "p_partkey",
+        F.col("l_suppkey").alias("s_suppkey"),
+        "s_name",
+        F.round(F.col("cost_c") * 1.0 / F.col("n") / 100.0, 6).alias(
+            "avg_cost"
+        ),
+    )
+
+
+@query(
+    "idle_customers",
+    oracle="""
+    WITH pos AS (SELECT c_custkey, c_name,
+                        CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+                 FROM customer WHERE c_acctbal > 0.0),
+    thr AS (SELECT SUM(bal_c) AS s, COUNT(*) AS n FROM pos),
+    idle AS (SELECT p.c_custkey, right(p.c_name, 2) AS code, p.bal_c
+             FROM pos p CROSS JOIN thr
+             WHERE p.bal_c * 1.0 > thr.s * 1.0 / thr.n
+               AND NOT EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = p.c_custkey
+                     AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+    SELECT code, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(bal_c) / 100.0, 2) AS total_acctbal
+    FROM idle GROUP BY 1
+    """,
+)
+def idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers (balance above the positive-
+    balance average) with no recent orders, grouped by a name-derived code —
+    the scalar-subquery-threshold + NOT EXISTS anti-join pattern.
+
+    The average-balance threshold is a one-row frame cross-joined in
+    (broadcast), computed as exact cents so both engines compare against
+    the IDENTICAL double — a float AVG() threshold can flip membership for
+    a customer sitting exactly on it.  The NOT EXISTS becomes a left_anti
+    join against the DISTINCT recent-order customer keys: distinct first
+    shrinks the right side to dimension scale so AQE converts the anti-join
+    to broadcast; the date predicate pushes into the orders scan."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select(
+            "c_custkey",
+            F.expr("right(c_name, 2)").alias("code"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+    )
+    thr = cust.agg(
+        F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    idle = (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(
+            F.col("bal_c") * 1.0 > F.col("s") * 1.0 / F.col("n")
+        )
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return idle.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("bal_c") / 100.0, 2).alias("total_acctbal"),
+    )
+
+
+@query(
+    "sole_late_supplier",
+    oracle="""
+    WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,
+                       CASE WHEN l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    per_o AS (SELECT l_orderkey,
+                     COUNT(DISTINCT l_suppkey) AS n_supp,
+                     COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                         AS n_late,
+                     MAX(CASE WHEN late = 1 THEN l_suppkey END) AS the_supp
+              FROM lo GROUP BY 1)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_o JOIN supplier s ON per_o.the_supp = s.s_suppkey
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY 1
+    """,
+)
+def sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier orders ("late" = shipped more than 60 days after the
+    order date).  The reference formulation is a fact self-join with one
+    EXISTS and one NOT EXISTS correlation; here both correlations collapse
+    into ONE aggregation over the lineitem-orders join — n_supp ≥ 2 plays
+    the EXISTS (another supplier on the order), n_late = 1 plays the NOT
+    EXISTS (no OTHER late supplier), and MAX(CASE) recovers the culprit
+    key, well-defined exactly because n_late = 1.
+
+    Plan shape: the fact-fact equi-join and the per-order aggregation share
+    the ``l_orderkey`` key, so the groupBy reuses the join's hash
+    partitioning — one exchange per fact input, none between join and
+    aggregate (and with the bucketed layout in sources.py the nightly rerun
+    pays zero).  Supplier names broadcast onto the order-count frame."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    late_supp = F.when(F.col("late") == 1, F.col("l_suppkey"))
+    per_o = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("the_supp"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_o.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), per_o.the_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
 
