@@ -5316,18 +5316,16 @@ def part_basket_lift(spark, sf_dir):
     per token."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    # ONE pass over the fact table: baskets is persisted and every
-    # downstream frame (pair counts, brand marginals, order total) derives
-    # from it — without this, Spark's per-consumer plan duplication
-    # recomputes the lineitem join+distinct three times (measured 3.2s →
-    # ~1s at sf0.1)
+    # ONE shuffle over the fact table: collect_set dedups (orderkey, brand)
+    # inside the aggregate (with map-side partials), so no separate
+    # distinct() exchange; and baskets is persisted so every downstream
+    # frame (pair counts, brand marginals, order total) derives from it —
+    # without the persist, Spark's per-consumer plan duplication recomputes
+    # the lineitem join three times (distinct+groupBy unpersisted measured
+    # 3.2s at sf0.1; this shape ~1s)
     baskets = (
-        ob.groupBy("l_orderkey")
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
         .persist()
     )
