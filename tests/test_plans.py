@@ -325,3 +325,13 @@ def test_idle_customers_pushes_date_filter(spark):
         line for line in plan.splitlines() if "PushedFilters" in line
     )
     assert "GreaterThanOrEqual(o_orderdate" in scan, scan
+
+
+def test_bloom_pruned_join_probes_stream_through_broadcasts(spark):
+    """The two Bloom word-table probes must be inner BROADCAST joins (fact
+    rows stream through them, no shuffle before the final join), and the
+    packed-word join keys must actually appear in the plan."""
+    plan = _plan(Q.QUERIES["bloom_pruned_urgent_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "wi_1" in plan and "wi_2" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -5868,6 +5868,83 @@ def sole_late_supplier(spark, sf_dir):
     )
 
 
+@query(
+    "bloom_pruned_urgent_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def bloom_pruned_urgent_revenue(spark, sf_dir):
+    """Sketch-accelerated join: monthly revenue of line items belonging to
+    URGENT orders, with the fact side PRE-FILTERED by a Bloom filter built
+    over the selective dimension keys before the join — the shuffle-volume
+    reduction pattern engines push into scans (Spark's own runtime bloom
+    join does the same with BloomFilterMightContain).
+
+    The semantics are EXACTLY the plain join (the oracle): Bloom false
+    positives merely travel to the final equi-join and are dropped there,
+    and the filter has no false negatives, so the sketch affects bytes
+    moved, never the answer.  The probe is two INNER broadcast hash joins
+    against the packed word table with the bit test in the join condition
+    — fact rows stream through them with no shuffle, no distinct, no
+    Python; a clear bit or absent word simply fails to join.  At bench
+    scale AQE broadcasts the filtered orders side anyway (belt and
+    suspenders); at fleet scale, where both join inputs shuffle, the
+    prune cuts the fact exchange by ~the dimension selectivity plus the
+    Bloom false-positive rate (~4% at 0.23 bits/key load here).
+    Sizing: m is FIXED (4096 packed words, broadcast-sized); at 100x keys
+    the load factor rises and the filter degrades gracefully toward
+    pass-through — correctness never depends on it."""
+    from tsdisagg_spark.operators import sketches
+
+    M_BITS = 4096 * sketches.WORD_BITS
+    sel = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    bloom = sketches.bloom_build(sel, "o_orderkey", m_bits=M_BITS, n_hashes=2)
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    for salt in (1, 2):
+        pos = sketches.hash_position(F.col("l_orderkey"), salt, M_BITS)
+        b = bloom.select(
+            F.col("word_idx").alias(f"wi_{salt}"),
+            F.col("word").alias(f"wd_{salt}"),
+        )
+        li = (
+            li.withColumn(f"p_{salt}", pos)
+            .join(
+                F.broadcast(b),
+                (
+                    F.expr(f"p_{salt} DIV {sketches.WORD_BITS}")
+                    == F.col(f"wi_{salt}")
+                )
+                & (
+                    F.expr(
+                        f"(wd_{salt} & shiftleft(1L, "
+                        f"cast(p_{salt} % {sketches.WORD_BITS} as int))) != 0"
+                    )
+                ),
+            )
+            .drop(f"p_{salt}", f"wi_{salt}", f"wd_{salt}")
+        )
+    return (
+        li.join(sel, li.l_orderkey == sel.o_orderkey)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
