@@ -1,0 +1,153 @@
+"""Generate a key-offset-scaled copy of a testdata dir and measure how the
+bench headline scales with it.
+
+Usage::
+
+    python tools/scale_stress.py gen   [--mult 10] [--src /root/testdata/sf0.1]
+    # then:  SPARK_GRAFT_SF_DIR=/root/repo/.scale_stress/x10 python bench.py
+
+The point is the 100 TB question made measurable: every plan claim in
+PLANS.md is structural; this produces the RATIO evidence — per-query wall
+time at N x the fact rows over the sf0.1 baseline.  A scale-correct query
+family ratios at ~N (fact-bound), ~1 (dimension/output-bound), or in
+between (partially amortized); anything well above N is a superlinear
+red flag (see SCALING.md for the recorded run).
+
+Scaling rules (facts scale, dimensions don't — the TPC-H-ish dims here are
+domain tables whose cardinality a real fleet also holds fixed):
+
+* ``orders``/``lineitem``: replica i offsets every orderkey by
+  ``i * 10^9``; custkeys/partkeys/suppkeys are untouched so foreign keys
+  into the fixed dims stay valid (each customer simply has N x orders —
+  deeper per-key windows, the realistic direction).
+* ``events``: event_id and user_id offset per replica (user base grows,
+  per-user session shape preserved).
+* ``documents``: doc_id offset; each replica's word list is ROTATED by
+  ``7 * i`` positions, so replicas of one document share almost no
+  3-shingles (Jaccard ~ 0 across replicas).  Without this, every document
+  gains N - 1 exact near-dups and all pair-output families explode
+  QUADRATICALLY in N — a different (adversarial-corpus) experiment, not a
+  throughput one.  ``n_chars`` is recomputed from the rotated text.
+* ``embeddings``: vec_id offset; dimensions cyclically shifted by replica
+  index (cosine between a vector and its shifted replica ~ random), same
+  rationale as the rotation.
+* dims (``region nation customer supplier part``): byte-copied.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+OFF = 10**9
+
+
+def gen(src: str, mult: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from tsdisagg_spark.spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-stress-gen",
+        master="local[16]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+    for d in DIMS:
+        shutil.copyfile(f"{src}/{d}.parquet", f"{out}/{d}.parquet")
+
+    def replicas(df, build):
+        parts = [build(df, i) for i in range(mult)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    replicas(
+        orders,
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * OFF)
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    replicas(
+        li,
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * OFF)
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    replicas(
+        ev,
+        lambda df, i: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * OFF)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * OFF)),
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+
+    def doc_replica(df, i):
+        if i == 0:
+            return df
+        rot = F.expr(
+            f"array_join(concat(slice(split(text, ' '), {7 * i} + 1, "
+            f"greatest(size(split(text, ' ')) - {7 * i}, 0)), "
+            f"slice(split(text, ' '), 1, "
+            f"least({7 * i}, size(split(text, ' '))))), ' ')"
+        )
+        return (
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFF))
+            .withColumn("text", rot)
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+
+    replicas(docs, doc_replica).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+
+    def emb_replica(df, i):
+        if i == 0:
+            return df
+        shift = F.expr(
+            f"concat(slice(embedding, {i} + 1, "
+            f"size(embedding) - {i}), slice(embedding, 1, {i}))"
+        )
+        return df.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * OFF)
+        ).withColumn("embedding", shift)
+
+    replicas(emb, emb_replica).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    for tn in ["orders", "lineitem", "events", "documents", "embeddings"]:
+        n = spark.read.parquet(f"{out}/{tn}.parquet").count()
+        print(f"{tn}: {n} rows")
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["gen"])
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    out = os.path.join(ROOT, ".scale_stress", f"x{args.mult}")
+    gen(args.src, args.mult, out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
