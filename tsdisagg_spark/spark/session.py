@@ -55,6 +55,18 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # Local mode = the driver JVM is the only executor, and its
+        # default heap is 1g — 32 task slots sharing ~550MB of unified
+        # memory. That starves window sorts into spills and fails
+        # broadcast builds on data that is nowhere near big (a 10x
+        # scale-stress run died broadcasting a dimension-sized frame).
+        # Size the single JVM for the machine; on a real cluster this
+        # branch never fires and executor sizing is the deployment's job.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     builder = builder.config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     for key, value in ENGINE_DEFAULTS.items():
         builder = builder.config(key, value)
