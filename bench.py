@@ -108,6 +108,24 @@ HEADLINE = [
 
 REPS = max(1, int(os.environ.get("BENCH_REPS", "2")))
 
+#: comma-separated query names to skip (scale-stress runs exclude the
+#: explicitly-labeled quadratic oracle baselines, e.g. embedding_dup_exact
+#: at 100x the corpus)
+SKIP = {
+    s.strip()
+    for s in os.environ.get("BENCH_SKIP", "").split(",")
+    if s.strip()
+}
+
+#: comma-separated allowlist — when set, ONLY these headline queries run
+#: (e.g. the relational core at a 100x stress where per-query wall times
+#: make the full set impractical)
+ONLY = {
+    s.strip()
+    for s in os.environ.get("BENCH_ONLY", "").split(",")
+    if s.strip()
+}
+
 
 def main() -> None:
     from tsdisagg_spark import queries as registry
@@ -142,6 +160,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in SKIP or (ONLY and name not in ONLY):
+            print(f"  {name}: skipped (BENCH_SKIP/BENCH_ONLY)", file=sys.stderr)
+            continue
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(REPS):

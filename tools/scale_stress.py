@@ -98,17 +98,27 @@ def gen(src: str, mult: int, out: str) -> None:
     docs = spark.read.parquet(f"{src}/documents.parquet")
 
     def doc_replica(df, i):
+        # STRIDE permutation, not rotation: a cyclic shift preserves every
+        # consecutive word triple except the wrap seam, so rotated replicas
+        # share ~all 3-shingles and ARE near-dups of each other (caught
+        # reviewing the first x10 run: the dedup families were measuring
+        # duplicate saturation through the df-cap, not throughput).  Taking
+        # every (2i+3)-rd word cyclically scrambles all consecutive triples;
+        # where the stride shares a factor with the length some words
+        # repeat, which is fine — the goal is decorrelated shingles, not a
+        # bijection.
         if i == 0:
             return df
-        rot = F.expr(
-            f"array_join(concat(slice(split(text, ' '), {7 * i} + 1, "
-            f"greatest(size(split(text, ' ')) - {7 * i}, 0)), "
-            f"slice(split(text, ' '), 1, "
-            f"least({7 * i}, size(split(text, ' '))))), ' ')"
+        stride = 2 * i + 3
+        perm = F.expr(
+            "array_join(transform(sequence(0, size(split(text, ' ')) - 1), "
+            f"j -> element_at(split(text, ' '), "
+            f"cast((j * {stride}) % size(split(text, ' ')) as int) + 1)), "
+            "' ')"
         )
         return (
             df.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFF))
-            .withColumn("text", rot)
+            .withColumn("text", perm)
             .withColumn("n_chars", F.length("text").cast("long"))
         )
 
