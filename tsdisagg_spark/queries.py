@@ -2741,36 +2741,51 @@ def sequence_packing(spark, sf_dir):
         FROM documents
     ),
     h AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tl,
+               ('0x' || substr(md5(tok), 17, 15))::BIGINT AS th
+        FROM toks
     ),
     bits AS (
-        SELECT doc_id, i, SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        SELECT doc_id, i,
+               SUM(CASE WHEN (tl >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sl,
+               SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sh
         FROM h, (SELECT unnest(generate_series(0, 59)) AS i) g
         GROUP BY 1, 2
     ),
     codes AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
-                   AS simhash
+               CAST(SUM(CASE WHEN sl > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS sim_lo,
+               CAST(SUM(CASE WHEN sh > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS sim_hi
         FROM bits GROUP BY 1
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
     FROM codes a JOIN codes b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+          + bit_count(xor(a.sim_hi, b.sim_hi)) <= 5
     """,
 )
 def simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs at Hamming <= 5, banded 6 x 10 bits over a
-    60-bit md5-derived simhash — oracle-backed by the BRUTE-FORCE all-pairs
-    Hamming scan in DuckDB.  The pigeonhole band guarantee (n_bands=6 >
-    max_hamming=5) makes the banded plan's output provably identical to the
-    quadratic scan, so the hash match certifies both zero false positives
-    AND 100%% recall while the engine never materializes the N^2 join.
-    md5 token hashing (vs the xxhash64 production default) is what lets the
-    oracle recompute the codes bit-for-bit outside Spark."""
-    return dedup.simhash_pairs(
-        t(spark, sf_dir, "documents"), max_hamming=5, token_hash="md5"
+    """SimHash near-dup pairs at Hamming <= 5 over a 120-bit code (two
+    independent 60-bit md5-derived halves), banded 6 x 20 bits —
+    oracle-backed by the BRUTE-FORCE all-pairs Hamming scan in DuckDB.
+    The pigeonhole band guarantee (n_bands=6 > max_hamming=5) makes the
+    banded plan's output provably identical to the quadratic scan, so the
+    hash match certifies both zero false positives AND 100%% recall while
+    the engine never materializes the N^2 join.  md5 token hashing is what
+    lets the oracle recompute the codes bit-for-bit outside Spark.
+
+    The 120-bit width is a scale fix the 10x stress run forced: exactness
+    pins the band count, so a 60-bit code caps bands at 10 bits (1,024
+    buckets) and bucket occupancy — hence the candidate self-join — grows
+    quadratically with the corpus (measured 33x wall at 10x docs).  20-bit
+    bands push that knee out by 2^10 (dedup.py:simhash_md5_120)."""
+    return dedup.simhash_pairs_wide(
+        t(spark, sf_dir, "documents"), max_hamming=5
     )
 
 
