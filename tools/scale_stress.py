@@ -98,22 +98,27 @@ def gen(src: str, mult: int, out: str) -> None:
     docs = spark.read.parquet(f"{src}/documents.parquet")
 
     def doc_replica(df, i):
-        # STRIDE permutation, not rotation: a cyclic shift preserves every
-        # consecutive word triple except the wrap seam, so rotated replicas
-        # share ~all 3-shingles and ARE near-dups of each other (caught
-        # reviewing the first x10 run: the dedup families were measuring
-        # duplicate saturation through the df-cap, not throughput).  Taking
-        # every (2i+3)-rd word cyclically scrambles all consecutive triples;
-        # where the stride shares a factor with the length some words
-        # repeat, which is fine — the goal is decorrelated shingles, not a
-        # bijection.
+        # Replicas must differ at EVERY granularity dedup operators look
+        # at, or the stress measures duplicate explosion instead of
+        # throughput.  Two earlier attempts each missed one: a cyclic
+        # ROTATION preserves all consecutive triples (replicas were
+        # shingle-level near-dups), and a stride PERMUTATION preserves the
+        # word MULTISET (SimHash is bag-of-words, so replicas had
+        # IDENTICAL codes — the x100 run surfaced 25M "true" pairs).  So:
+        # permute with stride 2i+3 (kills shingles) AND salt half the
+        # positions with a replica-unique suffix (kills the bag — ~50%
+        # token overlap puts replicas far outside both the Jaccard and
+        # Hamming near-dup radii, while a base corpus's planted dup PAIRS
+        # stay dups within each replica because both docs get the same
+        # transform).
         if i == 0:
             return df
         stride = 2 * i + 3
         perm = F.expr(
             "array_join(transform(sequence(0, size(split(text, ' ')) - 1), "
             f"j -> element_at(split(text, ' '), "
-            f"cast((j * {stride}) % size(split(text, ' ')) as int) + 1)), "
+            f"cast((j * {stride}) % size(split(text, ' ')) as int) + 1) || "
+            f"(CASE WHEN (j + {i}) % 2 = 0 THEN '' ELSE '~{i}' END)), "
             "' ')"
         )
         return (
@@ -129,11 +134,18 @@ def gen(src: str, mult: int, out: str) -> None:
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
 
     def emb_replica(df, i):
+        # modular shift: replica index can exceed the dimension count (a
+        # x100 run with 32-dim vectors), so shift by i mod d — replicas a
+        # full cycle apart repeat vectors under new ids, which is harmless
+        # for throughput runs (the all-pairs dup family is BENCH_SKIPped at
+        # those multipliers precisely because it is the labeled quadratic
+        # baseline)
         if i == 0:
             return df
         shift = F.expr(
-            f"concat(slice(embedding, {i} + 1, "
-            f"size(embedding) - {i}), slice(embedding, 1, {i}))"
+            f"concat(slice(embedding, ({i} % size(embedding)) + 1, "
+            f"size(embedding) - ({i} % size(embedding))), "
+            f"slice(embedding, 1, {i} % size(embedding)))"
         )
         return df.withColumn(
             "vec_id", F.col("vec_id") + F.lit(i * OFF)
