@@ -168,9 +168,10 @@ def pagerank(
     the current rank vector plus a groupBy on dst — the rank vector and
     the two per-iteration scalars (N, dangling mass) ride along as
     broadcast one-row frames, so NOTHING is collected to the driver and
-    the edge list is the only big operand.  ``localCheckpoint`` every
-    other iteration truncates the growing lineage the same way the
-    connected-components rounds do.
+    the edge list is the only big operand.  The node-sized contribution
+    vector is eagerly checkpointed once per iteration (see the loop
+    comment for why the lazy alternative compounds into a 3^k stage
+    forest).
     """
     e = edges.select(
         F.col(src).alias("e_src"),
