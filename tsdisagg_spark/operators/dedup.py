@@ -17,7 +17,12 @@ Scale design notes (the reason each operator looks the way it does):
   ids (semi-join pushdown) so false LSH positives never reach the output.
 * **SimHash** — 64 sign-sums per document (columnar aggregates, codegen),
   band-blocked for candidate generation, exact Hamming distance via
-  ``bit_count(xor)`` to verify.
+  ``bit_count(xor)`` to verify.  Banding exactness pins the band COUNT at
+  ``max_hamming + 1``, so code WIDTH is the only lever that keeps bucket
+  occupancy bounded as the corpus grows — :func:`simhash_md5_120` /
+  :func:`simhash_pairs_wide` provide the 120-bit (20-bit-band) variant a
+  10x scale-stress run forced, and the construction extends to 240/480
+  bits with more salted md5 words.
 
 Cache lifetime: the pair functions ``persist()`` an intermediate
 (signatures / posting lists) that feeds both sides of a self-join, and
