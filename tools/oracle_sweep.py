@@ -89,7 +89,6 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
 
 def main() -> int:
     import duckdb
-    from pyspark.sql import SparkSession
 
     argv = sys.argv[1:]
     only = None
@@ -98,23 +97,37 @@ def main() -> int:
         only = argv[i + 1]
         del argv[i : i + 2]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    # the engine's session factory, not a bare builder: a raw local session
+    # runs on Spark's 1 GB default heap, which survives the driver-gate SFs
+    # but throws executor OOMs when this sweep is pointed at a scale-stress
+    # directory (the same failure class session.py sizes against)
+    from tsdisagg_spark.spark.session import get_spark
+
+    spark = get_spark(
+        app_name="oracle-sweep",
+        master="local[8]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    import os
+
     con = duckdb.connect()
     for tn in TABLES:
+        # testdata tables are single files; scale-stress dirs are
+        # Spark-written DIRECTORIES named <table>.parquet — glob those
+        path = f"{sf}/{tn}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {tn} AS SELECT * FROM read_parquet('{sf}/{tn}.parquet')"
+            f"CREATE VIEW {tn} AS SELECT * FROM read_parquet('{path}')"
         )
 
     problems = 0
