@@ -5970,6 +5970,86 @@ def bloom_pruned_urgent_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "pricing_summary_exact",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS d_pc,
+               CAST(ROUND(l_tax * 100) AS BIGINT) AS t_pc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(qty_c) / 100.0, 2) AS sum_qty,
+           ROUND(SUM(price_c) / 100.0, 2) AS sum_base_price,
+           ROUND(SUM(price_c * (100 - d_pc)) / 10000.0, 2) AS sum_disc_price,
+           ROUND(SUM(price_c * (100 - d_pc) * (100 + t_pc)) / 1000000.0, 2)
+               AS sum_charge,
+           ROUND(SUM(qty_c) * 1.0 / COUNT(*) / 100.0, 6) AS avg_qty,
+           ROUND(SUM(price_c) * 1.0 / COUNT(*) / 100.0, 6) AS avg_price,
+           ROUND(SUM(d_pc) * 1.0 / COUNT(*) / 100.0, 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM c GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary_exact(spark, sf_dir):
+    """TPC-H Q1 with every aggregate carried in EXACT integer units: cents
+    for quantities/prices, basis-point integer products for the discount
+    and tax factors (prices and rates live on 2-decimal grids, so the
+    per-row cent/percent extraction has no rounding ties), divisions only
+    in the final projection on integers both engines hold bit-identically.
+
+    This is the scale-stable twin of `pricing_summary`: the float
+    formulation's ROUND(SUM(double), 2) is hash-stable at the driver's
+    scale factors but NOT at 100x, where ~1e10-magnitude float sums meet
+    the double ulp and the engines' summation orders legitimately disagree
+    in the rounded cent (SCALING.md).  Integer sums are order-free, so
+    this variant hash-matches at any multiplier.  Headroom: the 1e-6-unit
+    charge product is ~1e11 per row, so a BIGINT sum holds to ~10^7-row
+    groups per flag/status cell x100 (~6e18 of 9.2e18); beyond that a
+    fleet promotes the accumulator to DECIMAL(38,0) — exact in both
+    engines — and casts once for display."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d_pc = F.round(F.col("l_discount") * 100).cast("long")
+    t_pc = F.round(F.col("l_tax") * 100).cast("long")
+    c = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_c.alias("qty_c"),
+        price_c.alias("price_c"),
+        d_pc.alias("d_pc"),
+        t_pc.alias("t_pc"),
+    )
+    n = F.count(F.lit(1))
+    return c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("qty_c") / 100.0, 2).alias("sum_qty"),
+        F.round(F.sum("price_c") / 100.0, 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("price_c") * (100 - F.col("d_pc"))) / 10000.0, 2
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(
+                F.col("price_c")
+                * (100 - F.col("d_pc"))
+                * (100 + F.col("t_pc"))
+            )
+            / 1000000.0,
+            2,
+        ).alias("sum_charge"),
+        F.round(F.sum("qty_c") * 1.0 / n / 100.0, 6).alias("avg_qty"),
+        F.round(F.sum("price_c") * 1.0 / n / 100.0, 6).alias("avg_price"),
+        F.round(F.sum("d_pc") * 1.0 / n / 100.0, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
