@@ -101,6 +101,7 @@ HEADLINE = [
     "sole_late_supplier",      # Q21 shape: fact-fact join + shared-key agg
     "bloom_pruned_urgent_revenue",  # bloom pre-filtered selective join
     "idle_customers",          # Q22 shape: scalar threshold + anti-join
+    "pricing_summary_exact",   # Q1 in exact integer units (scale-stable)
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two
