@@ -113,21 +113,48 @@ def test_simhash_wide_banding_is_exact(docs):
 
 
 def test_simhash_wide_buckets_are_selective(docs):
-    """The point of the width: 20-bit bands.  Every band value must fit in
-    20 bits and the band layout must produce n_bands * n_docs band rows
-    (one per (doc, band)) — i.e. bucket keys draw from a 2^20 space, not
-    the 60-bit layout's 2^10."""
+    """The point of the width: 20-bit bands.  The band explosion the join
+    actually uses (dedup.wide_bands, the same frame simhash_pairs_wide
+    joins on) must produce exactly n_bands * n_docs (doc, band) rows, band
+    ids 0..5, and every band key in [0, 2^20) — i.e. bucket keys draw
+    from a 2^20 space, not the 60-bit layout's 2^10 — and the band slices
+    must reassemble the codes bit-for-bit (a wrong mask/shift cannot
+    pass)."""
     from pyspark.sql import functions as F
 
     sims = dedup.simhash_md5_120(docs)
     n_docs = sims.count()
-    # reconstruct the band explosion the join uses
-    pairs_df = dedup.simhash_pairs_wide(docs, max_hamming=5)
-    pairs_df.count()  # force execution; exactness asserted in the twin test
-    lo_max = sims.agg(F.max(F.abs(F.col("sim_lo")))).collect()[0][0]
-    hi_max = sims.agg(F.max(F.abs(F.col("sim_hi")))).collect()[0][0]
-    assert lo_max < 2**60 and hi_max < 2**60
     assert n_docs > 0
+    bands = dedup.wide_bands(sims, "doc_id", n_bands=6).toPandas()
+    assert len(bands) == 6 * n_docs
+    assert sorted(bands["band"].unique()) == [0, 1, 2, 3, 4, 5]
+    assert bands["band_bits"].min() >= 0
+    assert bands["band_bits"].max() < 2**20
+    # a correct 6 x 20 layout uses the full key space, not 2^10 of it
+    assert bands["band_bits"].max() >= 2**10
+    # reassembly: OR-ing each band's bits back at its offset reproduces
+    # (sim_lo, sim_hi) exactly for every doc
+    for _, grp in bands.groupby("doc_id"):
+        lo = hi = 0
+        for _, row in grp.iterrows():
+            start = int(row["band"]) * 20
+            bits = int(row["band_bits"])
+            if start < 60:
+                lo |= bits << start
+            else:
+                hi |= bits << (start - 60)
+        assert lo == int(grp["sim_lo"].iloc[0])
+        assert hi == int(grp["sim_hi"].iloc[0])
+
+
+def test_simhash_wide_rejects_unbandable_hamming(docs):
+    """max_hamming=0 would need a single 120-bit band (LongType overflow)
+    and must raise, pointing at exact_dups instead; a non-divisor band
+    count raises too."""
+    with pytest.raises(ValueError, match="exact_dups"):
+        dedup.simhash_pairs_wide(docs, max_hamming=0)
+    with pytest.raises(ValueError, match="divide 120"):
+        dedup.simhash_pairs_wide(docs, max_hamming=6)  # 7 bands
 
 
 def test_lsh_topk_recall_vs_bruteforce(spark):
@@ -1695,3 +1722,49 @@ def test_kmv_is_mergeable_across_partitions(spark):
     a = sketches.kmv_distinct(keys, "k", k=32).collect()[0]
     b = sketches.kmv_distinct(dup, "k", k=32).collect()[0]
     assert (a.n_seen, a.est_distinct) == (b.n_seen, b.est_distinct)
+
+
+def test_pagerank_large_graph_branch_identical_and_partitioned(spark):
+    """broadcast_threshold=0 forces the large-graph physical strategy
+    (hash-partitioned contribution vector, no coalesce(1)) on the same
+    input; ranks must be identical to the small-graph branch to float
+    dust, and the per-iteration checkpoint must not be single-partition."""
+    from tsdisagg_spark.operators import graph
+
+    edges = [(0, 1, 1.0), (0, 2, 3.0), (1, 2, 1.0), (2, 0, 1.0), (1, 3, 2.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    small = {
+        r.node: r.rank
+        for r in graph.pagerank(df, "src", "dst", "w", iterations=4).collect()
+    }
+    large = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            df, "src", "dst", "w", iterations=4, broadcast_threshold=0
+        ).collect()
+    }
+    assert small.keys() == large.keys()
+    for k in small:
+        np.testing.assert_allclose(small[k], large[k], rtol=1e-12)
+
+
+def test_pagerank_checkpoint_blocks_do_not_accumulate(spark):
+    """Iterative checkpointing must release the previous iteration's
+    storage blocks: after a many-iteration run the number of NEW
+    persistent RDDs is O(1) (the final checkpoint + the two persisted
+    invariant frames), not O(iterations)."""
+    from tsdisagg_spark.operators import graph
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.createDataFrame(
+        [(i, (i + 1) % 10, 1.0) for i in range(10)], ["src", "dst", "w"]
+    )
+    ranks = graph.pagerank(df, "src", "dst", "w", iterations=8)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    new = after - before
+    # norm + nodes persists and at most the last checkpoint survive; 8
+    # iterations MUST NOT leave ~8 checkpointed RDDs behind
+    assert len(new) <= 4, f"leaked {len(new)} persistent RDDs: {sorted(new)}"

@@ -433,36 +433,23 @@ def simhash_md5_120(
     )
 
 
-def simhash_pairs_wide(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 5,
+def wide_bands(
+    sims: DataFrame, id_col: str, n_bands: int
 ) -> DataFrame:
-    """Near-duplicate pairs at Hamming <= ``max_hamming`` over the 120-bit
-    code of :func:`simhash_md5_120`, banded ``max_hamming + 1`` x
-    ``120 // (max_hamming + 1)`` bits (pigeonhole-exact, same argument as
-    :func:`simhash_pairs`).  Returns ``(id_a, id_b, hamming)`` where
-    ``hamming`` is summed over both 60-bit halves.
-
-    ``max_hamming + 1`` must divide 120 (1, 2, 3, 4, 5, 6, 8, 10, ... all
-    work); bands are carved from the concatenated (lo, hi) bit string, so
-    a band never straddles the half boundary for the default 6 x 20
-    layout."""
-    n_bands = max_hamming + 1
-    if 120 % n_bands:
-        raise ValueError(
-            f"max_hamming+1={n_bands} must divide 120 for equal exact bands"
-        )
+    """Explode a ``(id, sim_lo, sim_hi)`` 120-bit code frame into its
+    ``n_bands`` equal band keys: one ``(id, sim_lo, sim_hi, band,
+    band_bits)`` row per (doc, band), with ``band_bits`` the band's
+    ``120 / n_bands``-bit slice of the concatenated (lo, hi) bit string
+    (sim_lo = bits 0..59, sim_hi = bits 60..119).  Exposed separately so
+    the banding layout — the scale lever of the wide SimHash — is
+    directly testable; requires ``2 <= n_bands`` and ``n_bands | 120``
+    (enforced by the caller's guard)."""
     width = 120 // n_bands
     mask = (1 << width) - 1
 
-    sims = simhash_md5_120(df, id_col, text_col).persist()
-
     def band_bits(bi: int):
-        # band bi covers concatenated bits [bi*width, (bi+1)*width) with
-        # sim_lo as bits 0..59 and sim_hi as bits 60..119; for layouts
-        # whose bands straddle bit 60, stitch the two halves
+        # band bi covers concatenated bits [bi*width, (bi+1)*width); for
+        # layouts whose bands straddle bit 60, stitch the two halves
         start, end = bi * width, (bi + 1) * width
         if end <= 60:
             return F.shiftright(F.col("sim_lo"), start).bitwiseAND(F.lit(mask))
@@ -477,7 +464,7 @@ def simhash_pairs_wide(
         )
         return lo_part.bitwiseOR(hi_part).bitwiseAND(F.lit(mask))
 
-    bands = sims.select(
+    return sims.select(
         F.col(id_col),
         "sim_lo",
         "sim_hi",
@@ -493,6 +480,36 @@ def simhash_pairs_wide(
             )
         ).alias("bk"),
     ).select(id_col, "sim_lo", "sim_hi", "bk.band", "bk.band_bits")
+
+
+def simhash_pairs_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming <= ``max_hamming`` over the 120-bit
+    code of :func:`simhash_md5_120`, banded ``max_hamming + 1`` x
+    ``120 // (max_hamming + 1)`` bits (pigeonhole-exact, same argument as
+    :func:`simhash_pairs`).  Returns ``(id_a, id_b, hamming)`` where
+    ``hamming`` is summed over both 60-bit halves.
+
+    ``max_hamming + 1`` must divide 120 AND be >= 2 (2, 3, 4, 5, 6, 8,
+    10, ... work): a single 120-bit band (max_hamming=0) cannot be
+    expressed — its mask exceeds LongType and the half-stitching shift
+    overflows 64 bits — so exact-duplicate detection belongs to
+    :func:`exact_dups`' digest group-by, not a 1-band SimHash.  Bands are
+    carved from the concatenated (lo, hi) bit string; the default 6 x 20
+    layout never straddles the half boundary."""
+    n_bands = max_hamming + 1
+    if 120 % n_bands or n_bands < 2:
+        raise ValueError(
+            f"max_hamming+1={n_bands} must divide 120 and be >= 2 (bands "
+            "wider than 60 bits overflow the LongType band keys; use "
+            "exact_dups for hamming=0)"
+        )
+    sims = simhash_md5_120(df, id_col, text_col).persist()
+    bands = wide_bands(sims, id_col, n_bands)
 
     a, b = bands.alias("a"), bands.alias("b")
     return (

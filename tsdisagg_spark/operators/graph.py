@@ -141,6 +141,35 @@ def connected_components(
     )
 
 
+def _release_checkpoint_blocks(sc, rdd_ids) -> None:
+    """Unpersist the storage blocks behind a ``localCheckpoint``.
+
+    ``DataFrame.unpersist()`` does NOT free them (verified empirically:
+    the checkpointed Dataset wraps a LogicalRDD whose backing RDD was
+    persisted internally, and the Dataset-level unpersist only touches the
+    cache manager), so without this every iteration of an iterative
+    operator leaks one node-sized RDD into executor storage for the life
+    of the session.  Best-effort by design: failure to release costs
+    memory, never correctness."""
+    if not rdd_ids:
+        return
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in rdd_ids:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+    except Exception:  # noqa: BLE001 — storage cleanup must never fail a query
+        pass
+
+
+def _persistent_rdd_ids(sc) -> set:
+    try:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:  # noqa: BLE001
+        return set()
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -148,6 +177,7 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 5,
     damping: float = 0.85,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """Weighted PageRank with uniform dangling-mass redistribution, as a
     fixed number of chained DataFrame iterations (Page, Brin, Motwani &
@@ -165,13 +195,25 @@ def pagerank(
     full pass each).
 
     Scale shape: each iteration is one equi-join of the edge list against
-    the current rank vector plus a groupBy on dst — the rank vector and
-    the two per-iteration scalars (N, dangling mass) ride along as
-    broadcast one-row frames, so NOTHING is collected to the driver and
-    the edge list is the only big operand.  The node-sized contribution
-    vector is eagerly checkpointed once per iteration (see the loop
-    comment for why the lazy alternative compounds into a 3^k stage
-    forest).
+    the current rank vector plus a groupBy on dst — the per-iteration
+    dangling-mass scalar rides along as a broadcast one-row frame and the
+    only driver-side value is the node COUNT (one int, data-size
+    independent, same discipline as kmeans_fit's k x d state).  The
+    node-sized contribution vector is eagerly checkpointed once per
+    iteration (see the loop comment for why the lazy alternative
+    compounds into a 3^k stage forest); the PREVIOUS iteration's
+    checkpoint blocks are released as soon as the next eager checkpoint
+    has consumed them, so executor storage stays O(1) in the iteration
+    count instead of growing linearly.
+
+    The contribution vector is squeezed to one partition ONLY when the
+    graph has at most ``broadcast_threshold`` nodes (then the single tiny
+    partition lets AQE broadcast the next join and the per-iteration jobs
+    are pure fixed overhead).  Above the threshold it keeps the groupBy's
+    hash partitioning on node id — on a billion-node graph a coalesce(1)
+    contribution vector would funnel every iteration through a single
+    task, so the gate is what makes this the same operator at both
+    scales.
     """
     e = edges.select(
         F.col(src).alias("e_src"),
@@ -183,7 +225,6 @@ def pagerank(
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
     )
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     # Spark resolves identifiers case-insensitively, so the total must not
     # be named `W` next to `w`
     outw = e.groupBy("e_src").agg(F.sum("w").alias("out_total"))
@@ -196,9 +237,15 @@ def pagerank(
     norm = norm.persist()
     nodes = nodes.persist()
 
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
-    )
+    # One scalar to the driver: the node count both seeds the uniform
+    # rank vector and gates the physical strategy below.  (nodes is
+    # persisted, so this count doubles as its materialization.)
+    n_nodes = float(nodes.count())
+    small_graph = n_nodes <= broadcast_threshold
+    sc = edges.sparkSession.sparkContext
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    prev_ckpt_ids: set = set()
     for _it in range(iterations):
         # ONE real pass per iteration: the edge-vs-rank join.  The
         # node-sized contribution vector is eagerly checkpointed
@@ -218,24 +265,34 @@ def pagerank(
             .groupBy("e_dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("cin"))
             .select(F.col("e_dst").alias("node"), "cin")
-            .coalesce(1)
-            .localCheckpoint(eager=True)
         )
+        if small_graph:
+            # single tiny partition -> AQE broadcasts the next join and
+            # the eager-checkpoint job is one task of fixed overhead
+            contrib = contrib.coalesce(1)
+        before = _persistent_rdd_ids(sc)
+        contrib = contrib.localCheckpoint(eager=True)
+        # The eager checkpoint just MATERIALIZED this iteration from the
+        # previous one, so the previous blocks are dead — release them.
+        # (The id diff can only over-collect if another thread checkpoints
+        # concurrently in the same session; unpersisting a foreign cached
+        # RDD costs recompute, never correctness.)
+        _release_checkpoint_blocks(sc, prev_ckpt_ids)
+        prev_ckpt_ids = _persistent_rdd_ids(sc) - before
         dang = contrib.agg(
             (1.0 - F.coalesce(F.sum("cin"), F.lit(0.0))).alias("dang")
         )
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
-            .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
                 (
-                    (1.0 - damping) / F.col("n_nodes")
+                    (1.0 - damping) / n_nodes
                     + damping
                     * (
                         F.coalesce(F.col("cin"), F.lit(0.0))
-                        + F.col("dang") / F.col("n_nodes")
+                        + F.col("dang") / n_nodes
                     )
                 ).alias("rank"),
             )

@@ -5620,7 +5620,7 @@ def dup_graph_triangles(spark, sf_dir):
     v AS (SELECT COUNT(DISTINCT w2) AS v FROM bi)
     SELECT bi.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(LN((c12.c12 + 1.0) / (c1.c1 + v.v))), 6) AS avg_logp
+           ROUND(AVG(LN((c12.c12 + 1.0) / (c1.c1 + v.v))), 4) AS avg_logp
     FROM bi
     JOIN c12 USING (w1, w2)
     JOIN c1 USING (w1)
@@ -5642,7 +5642,19 @@ def bigram_lm_scores(spark, sf_dir):
     against its own count tables — the count tables are vocabulary-sized,
     not corpus-sized, and stop-word bigram keys ("of the") are exactly the
     skewed-join case AQE's skew split handles.  Everything is codegen
-    (split/slice/zip) — no Python in the path."""
+    (split/slice/zip) — no Python in the path.
+
+    Rounding-grid choice (the oracle-stability contract): avg_logp sums
+    irrational LN terms, so the engines' partial-aggregation orders give
+    different last-ulp sums and their libm LN may differ by 1 ulp per
+    term.  Bound: ~300 terms of magnitude ~10 put the summation error at
+    ~n*ulp(sum) ~ 1e-10 on the sum, ~5e-13 on the average, plus ~1e-15
+    libm skew — call it eps ~ 1e-12.  A 6-decimal grid makes a per-doc
+    tie (value within eps of a half-grid point) ~2e-6 probable — a real
+    flake source corpus-wide — so the certified column rounds at 4
+    decimals, where the per-doc tie probability is ~2e-8 (~1e-4 across
+    the sf0.01 corpus; accepted and documented residual).  n_bigrams
+    stays exact BIGINT."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     bi = (
         docs.select(
@@ -5679,7 +5691,7 @@ def bigram_lm_scores(spark, sf_dir):
                         (F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))
                     )
                 ),
-                6,
+                4,
             ).alias("avg_logp"),
         )
     )
