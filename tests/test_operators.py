@@ -1768,3 +1768,39 @@ def test_pagerank_checkpoint_blocks_do_not_accumulate(spark):
     # norm + nodes persists and at most the last checkpoint survive; 8
     # iterations MUST NOT leave ~8 checkpointed RDDs behind
     assert len(new) <= 4, f"leaked {len(new)} persistent RDDs: {sorted(new)}"
+
+
+def test_real_decoder_set_is_pinned():
+    """Which media decode REAL in this container (multimodal.auto_decode's
+    magic sniffing): WAV-PCM, binary PPM, and uncompressed BMP — and
+    nothing else.  JPEG/PNG/FLAC payloads must route to the deterministic
+    stub.  If a future environment grows codec libraries, extend
+    auto_decode AND this pin together so coverage flips visibly."""
+    wav = multimodal.make_wav_pcm8(b"audio-bytes")
+    ppm = multimodal.make_ppm(b"pixel-bytes")
+    bmp = multimodal.make_bmp(b"pixel-bytes")
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    flac = b"fLaC" + b"\x00" * 64
+
+    assert multimodal.decode_status(wav) == "real:wav-pcm"
+    assert multimodal.decode_status(ppm) == "real:ppm"
+    assert multimodal.decode_status(bmp) == "real:bmp"
+    for stub_payload, mt in [(jpeg, "image"), (png, "image"), (flac, "audio")]:
+        assert multimodal.decode_status(stub_payload) == "stub"
+        # the stub fallback is what auto_decode actually executes
+        np.testing.assert_array_equal(
+            multimodal.auto_decode(stub_payload, mt),
+            multimodal.fake_decode(stub_payload, mt),
+        )
+    assert multimodal.REAL_CONTAINERS == {"wav-pcm", "ppm", "bmp"}
+    # and the real paths go through the genuine decoders
+    np.testing.assert_array_equal(
+        multimodal.auto_decode(wav, "audio"), multimodal.decode_wav(wav)
+    )
+    np.testing.assert_array_equal(
+        multimodal.auto_decode(ppm, "image"), multimodal.decode_ppm(ppm)
+    )
+    np.testing.assert_array_equal(
+        multimodal.auto_decode(bmp, "image"), multimodal.decode_bmp(bmp)
+    )

@@ -92,9 +92,16 @@ def main() -> int:
 
     argv = sys.argv[1:]
     only = None
+    names = None
     if "--only" in argv:
         i = argv.index("--only")
         only = argv[i + 1]
+        del argv[i : i + 2]
+    if "--names" in argv:
+        # exact-name allowlist (comma-separated) — the 100x stress gate
+        # runs a curated linear-oracle subset, not a substring family
+        i = argv.index("--names")
+        names = {s.strip() for s in argv[i + 1].split(",") if s.strip()}
         del argv[i : i + 2]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     # the engine's session factory, not a bare builder: a raw local session
@@ -133,6 +140,8 @@ def main() -> int:
     problems = 0
     for name, fn in qs.items():
         if only and only not in name:
+            continue
+        if names is not None and name not in names:
             continue
         t0 = time.time()
         try:

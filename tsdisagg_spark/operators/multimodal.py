@@ -300,6 +300,30 @@ def auto_decode(payload: bytes, media_type: str) -> np.ndarray:
     return fake_decode(payload, media_type)
 
 
+#: container formats auto_decode parses with a REAL decoder in this
+#: environment (no codec libraries: JPEG/PNG/FLAC/MP4 etc. fall back to
+#: the deterministic stub).  Pinned by a registry test so a future
+#: environment that grows codec libs flips coverage VISIBLY instead of
+#: silently.
+REAL_CONTAINERS: frozenset[str] = frozenset({"wav-pcm", "ppm", "bmp"})
+
+
+def decode_status(payload: bytes) -> str:
+    """``'real:<container>'`` when :func:`auto_decode` would route this
+    payload to a genuine decoder, ``'stub'`` when it would fall back to
+    the digest-derived fake — the loud marker for which media actually
+    decode in this container."""
+    if payload is None:
+        return "stub"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "real:wav-pcm"
+    if payload[:2] == b"P6":
+        return "real:ppm"
+    if payload[:2] == b"BM":
+        return "real:bmp"
+    return "stub"
+
+
 def make_wav_pcm8(
     data: bytes, sample_rate: int = 8000, n_samples: int = 512
 ) -> bytes:

@@ -6019,11 +6019,18 @@ def pricing_summary_exact(spark, sf_dir):
     scale factors but NOT at 100x, where ~1e10-magnitude float sums meet
     the double ulp and the engines' summation orders legitimately disagree
     in the rounded cent (SCALING.md).  Integer sums are order-free, so
-    this variant hash-matches at any multiplier.  Headroom: the 1e-6-unit
-    charge product is ~1e11 per row, so a BIGINT sum holds to ~10^7-row
-    groups per flag/status cell x100 (~6e18 of 9.2e18); beyond that a
-    fleet promotes the accumulator to DECIMAL(38,0) — exact in both
-    engines — and casts once for display."""
+    this variant hash-matches at any multiplier.
+
+    Headroom discipline: the 1e-6-unit charge product is ~1e11 per row,
+    so a BIGINT accumulator would wrap SILENTLY (non-ANSI Spark) at
+    ~10^8 rows per (flag, status) cell — the measured 100x tier already
+    sits 1.5x from the edge.  Every price-scaled sum therefore
+    accumulates in DECIMAL(38,0) on the Spark side (exact to 10^38;
+    an overflow would surface as NULL, never a wrapped value) and is
+    cast to DOUBLE before the display division — bit-identical to the
+    oracle, where DuckDB's SUM(BIGINT) natively widens to HUGEINT and
+    converts to DOUBLE at the division.  qty/discount sums stay BIGINT
+    (per-row <= 1e4 -> >= 10^5 headroom at 10^10 rows)."""
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
     )
@@ -6040,25 +6047,229 @@ def pricing_summary_exact(spark, sf_dir):
         t_pc.alias("t_pc"),
     )
     n = F.count(F.lit(1))
+    dec = "decimal(38,0)"
+    sum_price = F.sum(F.col("price_c").cast(dec))
     return c.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("qty_c") / 100.0, 2).alias("sum_qty"),
-        F.round(F.sum("price_c") / 100.0, 2).alias("sum_base_price"),
+        F.round(sum_price.cast("double") / 100.0, 2).alias("sum_base_price"),
         F.round(
-            F.sum(F.col("price_c") * (100 - F.col("d_pc"))) / 10000.0, 2
+            F.sum((F.col("price_c") * (100 - F.col("d_pc"))).cast(dec))
+            .cast("double")
+            / 10000.0,
+            2,
         ).alias("sum_disc_price"),
         F.round(
             F.sum(
-                F.col("price_c")
-                * (100 - F.col("d_pc"))
-                * (100 + F.col("t_pc"))
-            )
+                (
+                    F.col("price_c")
+                    * (100 - F.col("d_pc"))
+                    * (100 + F.col("t_pc"))
+                ).cast(dec)
+            ).cast("double")
             / 1000000.0,
             2,
         ).alias("sum_charge"),
         F.round(F.sum("qty_c") * 1.0 / n / 100.0, 6).alias("avg_qty"),
-        F.round(F.sum("price_c") * 1.0 / n / 100.0, 6).alias("avg_price"),
+        F.round(sum_price.cast("double") / n / 100.0, 6).alias("avg_price"),
         F.round(F.sum("d_pc") * 1.0 / n / 100.0, 6).alias("avg_disc"),
         n.alias("count_order"),
+    )
+
+
+@query(
+    "revenue_rollup_exact",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+)
+def revenue_rollup_exact(spark, sf_dir):
+    """Exact-integer twin of `revenue_rollup` for the 100x oracle gate:
+    the certified revenue column is integer CENTS (o_totalprice lives on
+    a 2-decimal grid, so the per-row cent extraction has no rounding
+    ties) and is never divided, so the hash is magnitude-independent —
+    the float twin's ROUND(SUM(double), 2) display legitimately diverges
+    between engines once totals reach the double ulp at the measured
+    100x tier (SCALING.md).  The Spark accumulator is DECIMAL(38,0)
+    (overflow would surface as NULL, never a wrapped value; DuckDB's
+    SUM(BIGINT) widens to HUGEINT natively); the final BIGINT cast holds
+    to 9.2e16 dollars — >= 10^3 headroom past the 100 TB tier."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("year"),
+            "o_orderpriority",
+            cents.alias("rev_c"),
+        )
+        .rollup("year", "o_orderpriority")
+        .agg(
+            F.sum(F.col("rev_c").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "order_value_histogram_exact",
+    oracle="""
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_c
+               FROM orders),
+    b AS (SELECT MIN(v_c) AS lo, MAX(v_c) AS hi FROM c)
+    SELECT CAST(CASE WHEN hi = lo THEN 0
+                     ELSE LEAST((20 * (v_c - lo)) // (hi - lo), 19)
+                END AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(v_c) AS BIGINT) AS bucket_value_c
+    FROM c, b
+    GROUP BY 1
+    """,
+)
+def order_value_histogram_exact(spark, sf_dir):
+    """Exact-integer twin of `order_value_histogram`: bucket edges and
+    indices computed ENTIRELY in integer cents — bucket = floor(20 *
+    (v - lo) / (hi - lo)) clamped to 19, evaluated as integer division
+    of identical BIGINTs on both engines (numerator <= 20 * the cent
+    RANGE of order values, ~1e9, row-count independent) — and the
+    certified bucket mass is an undivided cent sum.  No double appears
+    anywhere, so the hash holds at any multiplier, where the float
+    twin's round-at-9-then-floor edge contract eventually meets the
+    double ulp.  The min/max pair is one tiny aggregate broadcast back;
+    bucketing + counting stay map-side combinable."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v_c")
+    )
+    b = c.agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+    bucket = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr("(20 * (v_c - lo)) div (hi - lo)"), F.lit(19)
+            )
+        )
+        .cast("long")
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("v_c").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("bucket_value_c"),
+        )
+    )
+
+
+@query(
+    "seasonal_decomposition_exact",
+    oracle="""
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                          AS month,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+               FROM orders GROUP BY 1),
+    b AS (SELECT MIN(month) AS lo, MAX(month) AS hi FROM m),
+    tl AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+           FROM b),
+    g AS (SELECT tl.month, COALESCE(m.rev_c, 0) AS rev_c
+          FROM tl LEFT JOIN m USING (month)),
+    tr AS (SELECT month, rev_c,
+                  CASE WHEN COUNT(*) OVER w13 = 13 THEN
+                      LAG(rev_c, 6) OVER wo
+                      + 2 * SUM(rev_c) OVER w11
+                      + LEAD(rev_c, 6) OVER wo
+                  END AS trend_c24,
+                  month(month) AS moy
+           FROM g
+           WINDOW wo AS (ORDER BY month),
+                  w11 AS (ORDER BY month
+                          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+                  w13 AS (ORDER BY month
+                          ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+    d AS (SELECT month, rev_c, trend_c24, moy,
+                 24 * rev_c - trend_c24 AS det_c24
+          FROM tr WHERE trend_c24 IS NOT NULL),
+    sr AS (SELECT moy, CAST(SUM(det_c24) AS BIGINT) AS seas_num_c24,
+                  COUNT(*) AS seas_cnt
+           FROM d GROUP BY 1)
+    SELECT d.month,
+           CAST(d.rev_c AS BIGINT) AS rev_c,
+           CAST(d.trend_c24 AS BIGINT) AS trend_c24,
+           CAST(d.moy AS BIGINT) AS moy,
+           sr.seas_num_c24, sr.seas_cnt
+    FROM d JOIN sr USING (moy)
+    """,
+)
+def seasonal_decomposition_exact(spark, sf_dir):
+    """Exact-integer twin of `seasonal_decomposition` for the 100x gate:
+    certifies the INTEGER STATE every display column derives from —
+    monthly revenue cents, the 24x-scaled centered-MA trend, and the
+    per-month-of-year seasonal numerator (sum of 24x detrended cents)
+    and count — with zero divisions, so the hash is exact at any
+    magnitude.  The float twin's 6-decimal trend/seasonal/residual
+    display cannot be certified once values reach ~1e10 (double ulp >
+    the rounding grid; adjudicated at the measured 100x tier,
+    SCALING.md); revenue = rev_c/100, trend = trend_c24/2400, seasonal =
+    (num/cnt - grand)/2400 are all recoverable exactly from these
+    integers.  Headroom: det_c24 <= 48 * monthly cents, seasonal
+    numerator sums ~span/12 of those — >= 10^3 past the 100 TB tier
+    inside BIGINT; the Spark-side window/group sums run over the ~10^2-
+    row monthly frame, so accumulator width is a non-issue there."""
+    o = t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+        .persist()
+    )
+    bounds = m.agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
+    tl = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    g = tl.join(m, "month", "left").select(
+        "month", F.coalesce("rev_c", F.lit(0)).alias("rev_c")
+    )
+    wo = Window.orderBy("month")
+    trend_c24 = F.when(
+        F.count("rev_c").over(wo.rowsBetween(-6, 6)) == 13,
+        F.lag("rev_c", 6).over(wo)
+        + 2 * F.sum("rev_c").over(wo.rowsBetween(-5, 5))
+        + F.lead("rev_c", 6).over(wo),
+    )
+    d = (
+        g.select(
+            "month",
+            "rev_c",
+            trend_c24.alias("trend_c24"),
+            F.month("month").cast("long").alias("moy"),
+        )
+        .filter(F.col("trend_c24").isNotNull())
+        .withColumn("det_c24", 24 * F.col("rev_c") - F.col("trend_c24"))
+    )
+    sr = d.groupBy("moy").agg(
+        F.sum("det_c24").alias("seas_num_c24"),
+        F.count(F.lit(1)).alias("seas_cnt"),
+    )
+    return d.join(F.broadcast(sr), "moy").select(
+        "month", "rev_c", "trend_c24", "moy", "seas_num_c24", "seas_cnt"
     )
 
 
