@@ -5805,8 +5805,12 @@ def idle_customers(spark, sf_dir):
             F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
         )
     )
+    # DECIMAL(38,0) accumulators: bal_c is <= 1e6/row, which leaves int64
+    # only ~9e2x headroom at 1e10 customers — below the >=1e3x rule
+    # (DuckDB's SUM widens to HUGEINT natively; see the verify recipe)
     thr = cust.agg(
-        F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")
+        F.sum(F.col("bal_c").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
     recent = (
         t(spark, sf_dir, "orders")
@@ -5826,7 +5830,11 @@ def idle_customers(spark, sf_dir):
     )
     return idle.groupBy("code").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("bal_c") / 100.0, 2).alias("total_acctbal"),
+        F.round(
+            F.sum(F.col("bal_c").cast("decimal(38,0)")).cast("double")
+            / 100.0,
+            2,
+        ).alias("total_acctbal"),
     )
 
 
