@@ -34,7 +34,8 @@ def main() -> None:
         f"Baseline: sf0.1 (min-of-2, local[32]).  Stress: the same headline\n"
         f"via `tools/scale_stress.py gen --mult {mult:g}` — fact tables\n"
         f"replicated {mult:g}x with offset keys, dimensions fixed, document\n"
-        f"replicas word-rotated and embedding replicas dimension-shifted so\n"
+        f"replicas stride-permuted + position-salted and embedding replicas\n"
+        f"dimension-shifted so\n"
         f"pair-output families measure throughput, not duplicate explosion\n"
         f"(see the tool docstring).  Ratio = wall(x{mult:g}) / wall(sf0.1);\n"
         f"a fact-bound query should ratio at <= {mult:g} (sublinear when\n"
