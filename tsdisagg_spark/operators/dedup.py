@@ -179,6 +179,72 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT near-dup pairs:
+    ``(id_sub, id_super, containment)`` where ``containment =
+    |S(sub) ∩ S(super)| / |S(sub)| >= threshold`` (Broder's containment
+    coefficient).  Both directions of a pair are emitted independently —
+    A quoted inside a 10x-longer B scores C(A→B) ~ 1 while C(B→A) ~ 0.1.
+
+    Why it exists next to :func:`jaccard_pairs`: symmetric Jaccard
+    divides by the UNION, so a short document wholly duplicated inside a
+    much longer one (quote expansion, boilerplate wrapping, prompt
+    stuffing — the classic training-data contamination shapes) scores
+    near |A|/|B| and slips under any usable Jaccard threshold.
+    Containment normalizes by the smaller side's size and catches it.
+
+    Scale shape: identical to jaccard_pairs — ONE posting self-join on
+    the 8-byte shingle hash (df-capped against boilerplate skew), sizes
+    as a reused group-by, and the ratio is integer/integer on values
+    both engines hold exactly, so the rounded output is
+    oracle-hashable."""
+    postings = shingle_postings(
+        df, id_col, text_col, n, max_doc_freq
+    ).persist()
+    sizes = postings.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    both = inter.join(
+        sizes.select(
+            F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a")
+        ),
+        "id_a",
+    ).join(
+        sizes.select(
+            F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b")
+        ),
+        "id_b",
+    )
+    fwd = both.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        F.round(F.col("n_common") / F.col("size_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

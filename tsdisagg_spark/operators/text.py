@@ -290,6 +290,90 @@ def tfidf_top_terms(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs with tf-idf COSINE similarity >= ``threshold``:
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b`` — sparse
+    lexical-vector similarity, the bag-of-words complement to the dense
+    embedding k-NN family (near-dup detection tolerant of word REORDERING,
+    which shingle methods are blind to, and topical-cluster discovery
+    without an embedding model).
+
+    Weights are ``tf * ln(N/df)`` over the ``max_doc_freq``-capped
+    vocabulary (norms AND dot products both use only surviving terms, so
+    the cap is a closed semantic, not a lossy shortcut — and it is the
+    skew guard: a stop word in every document would otherwise put O(N^2)
+    rows in one join partition).  Plan shape: the (doc, term, w) posting
+    list self-joins on term — the same content-addressed key discipline
+    as the shingle dedup family — dot products reduce per pair, norms
+    join back from a doc-keyed aggregate; nothing is collected and no
+    key's cardinality is bounded by a dimension.
+
+    Floats: the per-pair dot product sums ~10-100 ln-weighted doubles, so
+    the engines' summation orders can differ in the last ulp (~1e-13 on a
+    [0,1] cosine); at the 6-decimal output grid that is a ~1e-7/pair tie
+    probability — the accepted residual documented for the float
+    similarity family."""
+    tokens = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("dft") <= max_doc_freq)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")  # inner join = the df cap prunes here
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("dft"))).alias(
+                "wt"
+            ),
+        )
+        .persist()
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("norm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(
+                F.col(id_col).alias("id_a"), F.col("norm").alias("norm_a")
+            ),
+            "id_a",
+        )
+        .join(
+            norms.select(
+                F.col(id_col).alias("id_b"), F.col("norm").alias("norm_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
