@@ -1770,6 +1770,68 @@ def test_pagerank_checkpoint_blocks_do_not_accumulate(spark):
     assert len(new) <= 4, f"leaked {len(new)} persistent RDDs: {sorted(new)}"
 
 
+def test_pagerank_empty_graph_returns_empty(spark):
+    """An empty edge list must return an empty (node, rank) frame — not
+    raise ZeroDivisionError on the 1/n_nodes seed (regression: the
+    driver-side count formulation divided before checking)."""
+    from tsdisagg_spark.operators import graph
+
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    out = graph.pagerank(empty, "src", "dst", "w", iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_pagerank_release_diff_is_exactly_one_checkpoint(spark):
+    """The per-iteration RDD-id diff must contain ONLY that iteration's
+    checkpoint RDD — never the iteration-invariant norm/nodes caches
+    (regression: iteration 0's checkpoint job used to be what first
+    materialized norm's cache, so norm's id landed in the diff and
+    iteration 1 unpersisted it, re-deriving the edge aggregation every
+    round)."""
+    from tsdisagg_spark.operators import graph
+
+    released: list[set] = []
+    orig = graph._release_checkpoint_blocks
+
+    def spy(sc, rdd_ids):
+        released.append(set(rdd_ids))
+        orig(sc, rdd_ids)
+
+    graph._release_checkpoint_blocks = spy
+    try:
+        df = spark.createDataFrame(
+            [(i, (i + 1) % 6, 1.0) for i in range(6)], ["src", "dst", "w"]
+        )
+        total = (
+            graph.pagerank(df, "src", "dst", "w", iterations=4)
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+        )
+    finally:
+        graph._release_checkpoint_blocks = orig
+    assert abs(total - 1.0) < 1e-9
+    # 4 iterations -> 4 release calls; first is the empty pre-loop set,
+    # every later one is exactly the previous iteration's checkpoint RDD
+    assert len(released) == 4
+    assert released[0] == set()
+    for ids in released[1:]:
+        assert len(ids) == 1, f"over-collected release set: {ids}"
+
+
+def test_wide_bands_rejects_invalid_band_counts(spark):
+    """Direct wide_bands callers get the same clear ValueError as
+    simhash_pairs_wide — n_bands=1 would need a >60-bit LongType mask and
+    n_bands=7 does not divide 120 (regression: these failed deep in Py4J
+    with an opaque overflow)."""
+    sims = spark.createDataFrame([(1, 5, 9)], ["doc_id", "sim_lo", "sim_hi"])
+    for bad in (1, 7, 0):
+        with pytest.raises(ValueError, match="divide 120"):
+            dedup.wide_bands(sims, "doc_id", n_bands=bad)
+    # a valid layout still works
+    assert dedup.wide_bands(sims, "doc_id", n_bands=6).count() == 6
+
+
 def test_real_decoder_set_is_pinned():
     """Which media decode REAL in this container (multimodal.auto_decode's
     magic sniffing): WAV-PCM, binary PPM, and uncompressed BMP — and

@@ -509,7 +509,14 @@ def wide_bands(
     (sim_lo = bits 0..59, sim_hi = bits 60..119).  Exposed separately so
     the banding layout — the scale lever of the wide SimHash — is
     directly testable; requires ``2 <= n_bands`` and ``n_bands | 120``
-    (enforced by the caller's guard)."""
+    (enforced here, so direct callers get the same clear error as
+    :func:`simhash_pairs_wide` — a 1-band mask is wider than LongType and
+    would otherwise surface as an opaque Py4J overflow at runtime)."""
+    if n_bands < 2 or 120 % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide 120 and be >= 2 (bands wider "
+            "than 60 bits overflow the LongType band keys)"
+        )
     width = 120 // n_bands
     mask = (1 << width) - 1
 

@@ -241,6 +241,16 @@ def pagerank(
     # rank vector and gates the physical strategy below.  (nodes is
     # persisted, so this count doubles as its materialization.)
     n_nodes = float(nodes.count())
+    if n_nodes == 0:
+        # empty edge list: no nodes, no ranks — return the empty (node,
+        # rank) frame instead of dividing by zero below
+        return nodes.select("node", F.lit(1.0).cast("double").alias("rank"))
+    # Materialize norm's cache BEFORE the loop: the pre-checkpoint RDD-id
+    # snapshot below must already contain norm's cached RDD, or iteration
+    # 0's diff would claim it and iteration 1's release would unpersist the
+    # iteration-invariant persist — re-deriving the edge aggregation every
+    # round, exactly what the persist exists to prevent.
+    norm.count()
     small_graph = n_nodes <= broadcast_threshold
     sc = edges.sparkSession.sparkContext
 
@@ -274,9 +284,16 @@ def pagerank(
         contrib = contrib.localCheckpoint(eager=True)
         # The eager checkpoint just MATERIALIZED this iteration from the
         # previous one, so the previous blocks are dead — release them.
-        # (The id diff can only over-collect if another thread checkpoints
-        # concurrently in the same session; unpersisting a foreign cached
-        # RDD costs recompute, never correctness.)
+        # CAVEAT on the id diff: norm/nodes were materialized before the
+        # loop, so their cache ids sit in `before` and never land in the
+        # diff.  The diff can still over-collect if ANOTHER thread of the
+        # same session persists concurrently — and unpersisting a foreign
+        # localCheckpoint RDD is NOT merely a recompute (its lineage is
+        # truncated; the blocks are unrecoverable), so concurrent
+        # same-session iterative jobs should not share a SparkContext with
+        # this operator.  Single-threaded sessions — the engine's execution
+        # model — are exact: the diff is precisely this iteration's
+        # checkpoint RDD.
         _release_checkpoint_blocks(sc, prev_ckpt_ids)
         prev_ckpt_ids = _persistent_rdd_ids(sc) - before
         dang = contrib.agg(
