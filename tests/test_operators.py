@@ -47,6 +47,154 @@ def test_jaccard_pairs_finds_planted_dups(docs):
     assert exact["jaccard"].iloc[0] == 1.0
 
 
+def test_containment_catches_quoted_document(spark):
+    """The contamination shape symmetric Jaccard misses: a short document
+    quoted verbatim inside a much longer one must score containment 1.0 in
+    the sub->super direction and well below 1 in reverse."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    wrapper = (
+        "intro words before the quoted passage begins now "
+        + quote
+        + " and then many further unrelated trailing words continue on "
+        "about completely different topics for a while longer here"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, quote), (2, wrapper)], columns=["doc_id", "text"])
+    )
+    got = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in dedup.containment_pairs(df, n=3, threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0  # every shingle of the quote is in the wrapper
+    assert got[(2, 1)] < 0.35  # the wrapper is NOT contained in the quote
+    # symmetric jaccard on the same pair sits at the reverse-containment
+    # level — below any threshold that would still find real near-dups
+    jac = dedup.jaccard_pairs(df, n=3, threshold=0.0).collect()
+    assert jac[0]["jaccard"] < 0.35
+
+
+def test_containment_pairs_property_vs_python(spark):
+    """Randomized corpora vs a pure-Python shingle-set reference: both
+    directions of every pair, exact rounded scores, df cap off."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = [f"w{i}" for i in range(12)]
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=20),
+            min_size=2,
+            max_size=10,
+        ),
+        threshold=st.sampled_from([0.2, 0.5]),
+    )
+    def check(docs, threshold):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = {
+            (r["id_sub"], r["id_super"]): r["containment"]
+            for r in dedup.containment_pairs(
+                df, n=3, threshold=threshold
+            ).collect()
+        }
+        sets = {
+            i: {" ".join(ws[j : j + 3]) for j in range(max(len(ws) - 2, 0))}
+            for i, ws in enumerate(docs)
+        }
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a != b and sets[a] and sets[b]:
+                    c = round(len(sets[a] & sets[b]) / len(sets[a]), 6)
+                    if c >= threshold:
+                        want[(a, b)] = c
+        assert got == want
+
+    check()
+
+
+def test_tfidf_cosine_matches_brute_force(spark):
+    """tfidf_cosine_pairs equals the dense numpy tf-idf cosine on a tiny
+    corpus (cap off), and scores a word-REORDERED copy at exactly 1.0 —
+    the case every shingle method misses."""
+    corpus = [
+        (1, "spark shuffles data between executors during wide operations"),
+        (2, "operations wide during executors between data shuffles spark"),
+        (3, "ducks swim on the quiet pond near the old mill"),
+        (4, "spark executors exchange data during shuffle operations quickly"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text.tfidf_cosine_pairs(df, threshold=0.0).collect()
+    }
+    # reordered copy: identical bag of words -> cosine exactly 1
+    assert got[(1, 2)] == 1.0
+    # ...while 3-shingle jaccard sees nothing shared
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(df, n=3, threshold=0.01).collect()
+    }
+    assert (1, 2) not in jac
+    # brute-force reference
+    import math
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in corpus}
+    n_docs = len(corpus)
+    dft = Counter(w for ws in toks.values() for w in set(ws))
+    vecs = {
+        i: {w: c * math.log(n_docs / dft[w]) for w, c in Counter(ws).items()}
+        for i, ws in toks.items()
+    }
+    for (a, b), cs in got.items():
+        dot = sum(vecs[a][w] * vecs[b].get(w, 0.0) for w in vecs[a])
+        na = math.sqrt(sum(v * v for v in vecs[a].values()))
+        nb = math.sqrt(sum(v * v for v in vecs[b].values()))
+        assert abs(cs - dot / (na * nb)) < 2e-6, (a, b)
+
+
+def test_tfidf_cosine_df_cap_is_closed_semantic(spark):
+    """With max_doc_freq set, capped-out terms contribute to NEITHER dots
+    NOR norms: the result equals brute force over the surviving vocabulary
+    only (a lossy-shortcut implementation that kept full norms would score
+    lower)."""
+    import math
+    from collections import Counter
+
+    corpus = [
+        (1, "common common alpha beta gamma"),
+        (2, "common common alpha beta delta"),
+        (3, "common epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text.tfidf_cosine_pairs(df, threshold=0.0, max_doc_freq=2).collect()
+    }
+    toks = {i: t.split() for i, t in corpus}
+    dft = Counter(w for ws in toks.values() for w in set(ws))
+    vecs = {
+        i: {
+            w: c * math.log(len(corpus) / dft[w])
+            for w, c in Counter(ws).items()
+            if dft[w] <= 2  # 'common' (df=3) is OUT of the vocabulary
+        }
+        for i, ws in toks.items()
+    }
+    for (a, b), cs in got.items():
+        dot = sum(vecs[a][w] * vecs[b].get(w, 0.0) for w in vecs[a])
+        na = math.sqrt(sum(v * v for v in vecs[a].values()))
+        nb = math.sqrt(sum(v * v for v in vecs[b].values()))
+        assert abs(cs - dot / (na * nb)) < 2e-6, (a, b)
+
+
 def test_minhash_agrees_with_exact_jaccard(docs):
     mh = dedup.minhash_pairs(docs, num_hashes=32, bands=16, threshold=0.5).toPandas()
     found = {tuple(r) for r in mh[["id_a", "id_b"]].to_numpy()}

@@ -2426,6 +2426,107 @@ def jaccard_near_dups(spark, sf_dir):
 
 
 @query(
+    "containment_near_dups",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh_all AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    rare AS (SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) <= 20),
+    sh AS (SELECT doc_id, shingle FROM sh_all JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    both_sides AS (
+        SELECT id_a, id_b, n_common, sa.n AS size_a, sb.n AS size_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+    )
+    SELECT id_sub, id_super, containment FROM (
+        SELECT id_a AS id_sub, id_b AS id_super,
+               ROUND(n_common * 1.0 / size_a, 6) AS containment
+        FROM both_sides
+        UNION ALL
+        SELECT id_b, id_a, ROUND(n_common * 1.0 / size_b, 6)
+        FROM both_sides
+    ) WHERE containment >= 0.6
+    """,
+)
+def containment_near_dups(spark, sf_dir):
+    """Directed shingle-CONTAINMENT pairs (Broder's coefficient,
+    |sub ∩ super| / |sub| >= 0.6) — the contamination-shape detector:
+    a short document wholly quoted inside a much longer one scores near 1
+    here while its symmetric Jaccard (divided by the UNION) slips under
+    any usable threshold.  Same posting self-join and max_doc_freq=20 skew
+    cap as jaccard_near_dups; the oracle mirrors the prune and emits both
+    directions of each undirected intersection.  Float grid: the score is
+    ONE division of two exactly-held integers (no summation-order
+    dependence), so the 6-decimal round is tie-free at ANY corpus size —
+    no exact-twin switchover needed."""
+    return dedup.containment_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.6, max_doc_freq=20
+    )
+
+
+@query(
+    "tfidf_cosine_near_dups",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+        SELECT term, COUNT(*) AS dft FROM tf GROUP BY 1
+        HAVING COUNT(*) <= 50
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, term, tf * ln(n_docs * 1.0 / dft) AS wt
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wt * b.wt) AS dot
+        FROM w a JOIN w b USING (term)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON id_a = na.doc_id
+    JOIN norms nb ON id_b = nb.doc_id
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.3
+    """,
+)
+def tfidf_cosine_near_dups(spark, sf_dir):
+    """Sparse tf-idf COSINE pairs (threshold 0.3, vocabulary df-capped at
+    50) — the bag-of-words near-dup detector that tolerates word
+    REORDERING, which every shingle method is blind to.  The cap is a
+    closed semantic (norms and dots both use only surviving terms) and the
+    posting-join skew guard at once.  Float grid: each pair's dot product
+    sums ~10-100 ln-weighted doubles, so engines can differ in the last
+    ulp (~1e-13 on a [0,1] cosine) and the 6-decimal round has ~1e-7/pair
+    tie probability — expected flips = pairs x 1e-7, so this oracle is
+    safe while the output stays under ~10^5 pairs (300 here); beyond that
+    the query must switch to an exact-integer twin (rational weights) per
+    the verify recipe's float-grid rule."""
+    return text.tfidf_cosine_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.3, max_doc_freq=50
+    )
+
+
+@query(
     "dedup_components",
     oracle="""
     WITH RECURSIVE words AS (
