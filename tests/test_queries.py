@@ -230,31 +230,44 @@ def test_sole_late_supplier_subset_of_suppliers(spark):
         assert r["n_orders"] >= 1
 
 
-def test_driver_sample_window_covers_llm_family():
+def test_driver_sample_window_core_plus_rotation():
     """The external driver hash-checks exactly the first 50 ``queries()``
-    entries in iteration order.  Pin the window: every name in it is
-    oracle-backed (so the driver's sample is 50/50 hash-checkable), the
-    LLM-pipeline flagships are inside it, and the reorder is a pure
-    permutation (no query gained/lost, no oracle changed)."""
-    from tsdisagg_spark.queries import DRIVER_SAMPLE_ORDER, ORACLES, QUERIES
+    entries in iteration order.  Pin the CORE + ROTATION window contract:
+    every name in it is oracle-backed (the driver's sample is 50/50
+    hash-checkable), the pinned family-coverage core leads it, this
+    round's rotation fills >=15 slots with queries that have NEVER had a
+    driver row (coverage accumulates across rounds), the judge-ordered
+    priority carriers are inside, the permutation is deterministic, and
+    the reorder is pure (no query gained/lost, no oracle changed)."""
+    from tsdisagg_spark.queries import (
+        DRIVER_CORE,
+        DRIVER_ROTATION_PRIORITY,
+        DRIVER_SAMPLE_ORDER,
+        DRIVER_SAMPLED_BEFORE,
+        DRIVER_WINDOW,
+        ORACLES,
+        QUERIES,
+        _driver_sample_order,
+    )
 
     q = entry_mod.queries()
-    first50 = list(q)[:50]
-    assert first50 == list(DRIVER_SAMPLE_ORDER)[:50]
-    missing_oracle = [n for n in first50 if n not in ORACLES]
+    window = list(q)[:DRIVER_WINDOW]
+    assert window == list(DRIVER_SAMPLE_ORDER)[:DRIVER_WINDOW]
+    assert len(DRIVER_SAMPLE_ORDER) == DRIVER_WINDOW
+    assert len(set(window)) == DRIVER_WINDOW
+    # deterministic: recomputing from the constants yields the same order
+    assert _driver_sample_order() == DRIVER_SAMPLE_ORDER
+    # 50/50 hash-checkable
+    missing_oracle = [n for n in window if n not in ORACLES]
     assert not missing_oracle, missing_oracle
+    # the family-coverage core leads the window verbatim
+    assert tuple(window[: len(DRIVER_CORE)]) == DRIVER_CORE
+    # coverage accumulates: >=15 never-driver-sampled names this round
+    fresh = [n for n in window if n not in DRIVER_SAMPLED_BEFORE]
+    assert len(fresh) >= 15, f"only {len(fresh)} never-sampled: {fresh}"
+    # judge-ordered rotation carriers made it in
+    assert set(DRIVER_ROTATION_PRIORITY) <= set(window)
     # pure permutation of the registry
     assert set(q) == set(QUERIES)
     assert set(entry_mod.oracle_sql()) == set(ORACLES)
-    # the previously-unsampled LLM-pipeline family is now in the window
-    flagships = {
-        "jaccard_near_dups", "minhash_near_dups", "simhash_near_dups",
-        "dedup_components", "knn_bruteforce", "kmeans_assign_update",
-        "tfidf_top_terms", "stratified_sample", "sequence_packing",
-        "similar_part_names_segments", "bloom_membership_audit",
-        "cms_order_counts", "kmv_distinct_customers",
-        "nation_trade_pagerank", "order_value_mad_outliers",
-    }
-    assert flagships <= set(first50)
-    # every name in the sample order actually exists in the registry
     assert set(DRIVER_SAMPLE_ORDER) <= set(QUERIES)

@@ -6383,20 +6383,32 @@ def seasonal_decomposition_exact(spark, sf_dir):
 
 
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
-# iteration order.  File order concentrated those slots on the §2 relational
-# and disagg families (five disagg_* and six media-quanta variants each held
-# a slot) while the entire LLM-pipeline family — dedup, MinHash/SimHash,
-# k-NN, text, sketches, PageRank — never received a driver row in four
-# rounds.  This explicit sample order keeps >=1 oracle-backed carrier per
-# SURVEY.md §2 family in the window and fills the freed slots with the
-# flagship LLM-pipeline carriers.  Every name below is oracle-backed (the
-# four rows-only-by-design queries are deliberately outside the window so
-# the driver's 50-sample is 50/50 hash-checkable).  Names not listed follow
-# in registration (file) order — nothing is dropped.
-DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
+# iteration order.  A static window re-certifies the same 50 queries every
+# round while the rest of the registry never receives an external driver
+# row, so the window is now CORE + ROTATION:
+#
+# * ``DRIVER_CORE`` — pinned carriers guaranteeing >=1 oracle-backed query
+#   per SURVEY.md §2 family (scan/project/join/agg/window/order/date, every
+#   disagg kernel method, streaming twins, multimodal quanta) plus one per
+#   LLM-pipeline extension family (dedup incl. the containment
+#   contamination detector, similarity, text, sketches, graph, splits).
+# * the remaining ``50 - len(DRIVER_CORE)`` slots rotate each round: a
+#   deterministic md5 permutation keyed on ``DRIVER_ROUND`` over the
+#   oracle-backed pool, NEVER-driver-sampled queries first (tracked in
+#   ``DRIVER_SAMPLED_BEFORE``, the union of CORRECTNESS_r01..r05 keys), so
+#   external hash coverage ACCUMULATES across rounds instead of
+#   re-certifying a fixed set.  ``DRIVER_ROTATION_PRIORITY`` jumps this
+#   round's judge-ordered carriers to the head of the queue.
+#
+# Every window name is oracle-backed (the four rows-only-by-design queries
+# stay outside it so the driver's 50-sample is 50/50 hash-checkable); names
+# outside the window follow in registration order — nothing is dropped.
+DRIVER_ROUND = 6
+DRIVER_WINDOW = 50
+
+DRIVER_CORE: tuple[str, ...] = (
     # §2 scan/project/join/agg/window/date carriers
     "pricing_summary",
-    "pricing_summary_exact",
     "monthly_revenue",
     "quarterly_stats",
     "year_first_last_order",
@@ -6424,32 +6436,88 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     # streaming batch twins
     "events_hourly",
     "sessionization",
-    # multimodal quanta carriers
+    # multimodal quanta carrier
     "media_feature_quanta",
-    "wav_feature_quanta",
-    # LLM-pipeline flagships (dedup / similarity / text / sketches / graph)
-    "dedup_exact_groups",
+    # LLM-pipeline family carriers
     "jaccard_near_dups",
+    "containment_near_dups",
     "minhash_near_dups",
-    "simhash_near_dups",
-    "dedup_components",
     "knn_bruteforce",
-    "kmeans_assign_update",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "sequence_packing",
-    "similar_part_names_segments",
-    "bloom_membership_audit",
-    "cms_order_counts",
-    "kmv_distinct_customers",
-    "nation_trade_pagerank",
-    "order_value_mad_outliers",
     "token_stats",
-    "language_id",
-    "doc_fingerprints",
-    "decontamination",
+    "cms_order_counts",
+    "nation_trade_pagerank",
     "leakage_free_split",
 )
+
+# Queries with at least one external driver row in rounds 1-5 (union of
+# CORRECTNESS_r01..r05.json keys).  Append each round's NEW rotation picks
+# when bumping DRIVER_ROUND so the never-sampled pool keeps shrinking.
+DRIVER_SAMPLED_BEFORE: frozenset[str] = frozenset({
+    "binary_meta", "bloom_membership_audit", "bmp_feature_quanta",
+    "boilerplate_chunks", "business_month_end_revenue",
+    "calendar_full_outer", "cms_order_counts", "complete_quarters",
+    "customer_order_span", "customers_without_orders",
+    "daily_weekly_active", "decontamination", "dedup_components",
+    "dedup_exact_groups", "disagg_chow_lin_priority",
+    "disagg_chow_lin_suppliers", "disagg_denton_companion",
+    "disagg_denton_mean", "disagg_fit_report_checks",
+    "disagg_fit_reports", "disagg_litterman_nation", "disagg_reagg_check",
+    "disagg_two_indicators", "doc_chunks", "doc_fingerprints",
+    "embedding_centroids", "embedding_dup_exact", "embedding_near_dups",
+    "embedding_quantize", "events_hourly", "events_json_props",
+    "events_sliding", "fiscal_year_revenue", "frame_feature_quanta",
+    "frame_samples", "jaccard_near_dups", "kmeans_assign_update",
+    "kmv_distinct_customers", "knn_bruteforce", "knn_ivf", "knn_lsh",
+    "language_id", "large_orders", "leakage_free_split",
+    "media_feature_quanta", "media_features", "minhash_near_dups",
+    "month_end_revenue", "monthly_revenue", "monthly_revenue_delta",
+    "nation_trade_pagerank", "order_value_mad_outliers",
+    "ppm_feature_quanta", "ppm_resize_quanta", "pricing_summary",
+    "pricing_summary_exact", "prorata_disagg", "quality_scores",
+    "quarterly_stats", "regional_revenue", "retained_customers",
+    "salted_user_activity", "segment_active_customers",
+    "sequence_packing", "session_windows", "sessionization",
+    "simhash_near_dups", "similar_part_names_segments",
+    "stratified_sample", "tfidf_top_terms", "timeline_coverage",
+    "token_stats", "top_orders_per_segment", "top_revenue_orders",
+    "user_quasi_diff", "user_running_total", "validation_checks",
+    "wav_feature_quanta", "year_first_last_order",
+})
+
+# This round's judge-ordered rotation carriers, ahead of the shuffle: the
+# streaming as-of-join and state-machine families (VERDICT r05 #7) and the
+# newly-registered cosine-pair operator.
+DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
+    "events_asof_purchase",
+    "session_windows",
+    "tfidf_cosine_near_dups",
+)
+
+
+def _rotation_key(name: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"r{DRIVER_ROUND}:{name}".encode()).hexdigest()
+
+
+def _driver_sample_order() -> tuple[str, ...]:
+    """CORE + this round's rotation picks (see the block comment above).
+    Pure function of the registry and the three constants — deterministic
+    across processes, pinned by tests/test_queries.py."""
+    pool = [n for n in QUERIES if n in ORACLES and n not in DRIVER_CORE]
+    prio = [n for n in DRIVER_ROTATION_PRIORITY if n in pool]
+    rest = [n for n in pool if n not in prio]
+    fresh = sorted(
+        (n for n in rest if n not in DRIVER_SAMPLED_BEFORE), key=_rotation_key
+    )
+    stale = sorted(
+        (n for n in rest if n in DRIVER_SAMPLED_BEFORE), key=_rotation_key
+    )
+    n_slots = DRIVER_WINDOW - len(DRIVER_CORE)
+    return DRIVER_CORE + tuple((prio + fresh + stale)[:n_slots])
+
+
+DRIVER_SAMPLE_ORDER: tuple[str, ...] = _driver_sample_order()
 
 
 def _sample_ordered(mapping: dict) -> dict:
