@@ -1949,7 +1949,11 @@ def media_features(spark, sf_dir):
     isolation — is the real 100 TB shape; only the codec is fake.
     ``total_bytes`` is an exact integer (an avg-of-bytes rounded at 2
     decimals sits on a rounding tie with probability ~1/8 per dataset —
-    the gotcha class the verify notes document)."""
+    the gotcha class the verify notes document).  SAFE CORPUS BOUND for
+    the 6-decimal ``avg_feature`` column (float-grid rule): summation
+    skew eps ~ n_assets x ulp grows linearly, reaching the grid near
+    ~1e8 assets — switch to an exact-twin on integer lane sums beyond
+    ~1e7 assets."""
     from tsdisagg_spark.operators import multimodal
 
     d = t(spark, sf_dir, "documents").select(
@@ -3333,7 +3337,10 @@ def embedding_dup_exact(spark, sf_dir):
 )
 def embedding_centroids(spark, sf_dir):
     """Per-label centroid in long form (posexplode + hash agg); 1-based
-    positions to match SQL array semantics."""
+    positions to match SQL array semantics.  SAFE CORPUS BOUND for the
+    6-decimal ``avg_val`` (float-grid rule): partial-sum skew gives a
+    ~4e-6/row tie at 1e4 vectors/label; safe to ~1e6 vectors/label, then
+    switch to an exact twin on fixed-point (1e6-scaled) lanes."""
     emb = t(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
@@ -5755,7 +5762,11 @@ def bigram_lm_scores(spark, sf_dir):
     flake source corpus-wide — so the certified column rounds at 4
     decimals, where the per-doc tie probability is ~2e-8 (~1e-4 across
     the sf0.01 corpus; accepted and documented residual).  n_bigrams
-    stays exact BIGINT."""
+    stays exact BIGINT.  SAFE CORPUS BOUND (verify recipe's float-grid
+    rule): expected flips = docs x 2e-8 reaches ~0.1 at ~5e6 documents —
+    beyond that this oracle must switch to an exact-integer twin (bigram
+    counts are integers; score as a rational and round in the final
+    projection)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     bi = (
         docs.select(
