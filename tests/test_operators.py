@@ -1980,6 +1980,29 @@ def test_wide_bands_rejects_invalid_band_counts(spark):
     assert dedup.wide_bands(sims, "doc_id", n_bands=6).count() == 6
 
 
+def test_release_all_frees_pair_caches_and_checkpoint_blocks(spark):
+    """cacheutil.release_all must leave ZERO persisted RDDs after the two
+    cache classes the operators create: pair-family persists (posting
+    lists/signatures, caller-managed lifetime) and iterative-operator
+    localCheckpoint blocks (invisible to catalog.clearCache) — and the
+    session must still run fresh queries afterwards."""
+    from tsdisagg_spark import cacheutil
+    from tsdisagg_spark.operators import graph
+
+    rows = [(i, f"doc number {i} shares shingle text body {i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    dedup.jaccard_pairs(docs, threshold=0.2).count()  # persists postings+pairs
+    edges = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0)], ["src", "dst", "w"])
+    graph.pagerank(edges, "src", "dst", "w", iterations=3).count()  # leaves ckpt
+    assert cacheutil.persistent_rdd_ids(spark), "expected live caches before release"
+    cacheutil.release_all(spark)
+    assert cacheutil.persistent_rdd_ids(spark) == []
+    # the session is still healthy: a fresh query computes from source
+    assert dedup.exact_groups(docs, key_cols=["text"]).count() > 0
+    cacheutil.release_all(spark)
+    assert cacheutil.persistent_rdd_ids(spark) == []
+
+
 def test_real_decoder_set_is_pinned():
     """Which media decode REAL in this container (multimodal.auto_decode's
     magic sniffing): WAV-PCM, binary PPM, and uncompressed BMP — and

@@ -137,6 +137,8 @@ def main() -> int:
             f"CREATE VIEW {tn} AS SELECT * FROM read_parquet('{path}')"
         )
 
+    from tsdisagg_spark.cacheutil import persistent_rdd_ids, release_all
+
     problems = 0
     for name, fn in qs.items():
         if only and only not in name:
@@ -147,6 +149,14 @@ def main() -> int:
         try:
             sdf = fn(spark, sf)
             srows = [tuple(r) for r in sdf.collect()]
+            # managed cache lifetime: the pair-family queries persist
+            # posting lists / signatures with caller-managed lifetime and
+            # the iterative graph queries leave final checkpoint blocks —
+            # release after each query's materialization so a 133-query
+            # session holds O(1) storage, not a sum over every query,
+            # and the per-query timing below never reads a predecessor's
+            # cache.  (Safe here: srows is already collected.)
+            release_all(spark)
             el = round(time.time() - t0, 1)
             if name not in oracles:
                 print(f"{name}\tROWS_ONLY\t{len(srows)}\t{el}s")
@@ -176,6 +186,13 @@ def main() -> int:
             problems += 1
             print(f"{name}\tERROR\t{traceback.format_exc().splitlines()[-1][:200]}")
 
+    # zero-leak gate: after per-query release_all the session must hold no
+    # persisted RDDs at all — a nonzero residue means some operator grew a
+    # cache path release_all cannot see (storage regression)
+    leaked = persistent_rdd_ids(spark)
+    if leaked:
+        problems += 1
+        print(f"LEAKED_PERSISTENT_RDDS\t{leaked}")
     print(f"== {len(qs)} queries, {problems} problems")
     spark.stop()
     return 1 if problems else 0

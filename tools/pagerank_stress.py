@@ -5,6 +5,13 @@ single-partition bottleneck the registry-scale coalesce(1) would impose.
 Usage::
 
     python tools/pagerank_stress.py [n_nodes] [avg_degree] [iterations]
+                                    [--skip-forced]
+
+``--skip-forced`` runs only the gated (large-graph) branch — the 10M-node
+tier exists to probe the gated branch's next knee (checkpoint I/O, the
+40M-edge join's shuffle partitioning); re-measuring the known-pathological
+forced-coalesce(1) branch there would add tens of minutes for no new
+information (its single-task funnel is already demonstrated at 1M).
 
 Generates ``n_nodes * avg_degree`` edges with deterministic md5-derived
 endpoints (every node also gets one self-anchoring out-edge so the node
@@ -29,9 +36,13 @@ def main() -> int:
     from tsdisagg_spark.operators import graph
     from tsdisagg_spark.spark.session import get_spark
 
-    n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    avg_deg = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    argv = sys.argv[1:]
+    skip_forced = "--skip-forced" in argv
+    if skip_forced:
+        argv.remove("--skip-forced")
+    n_nodes = int(argv[0]) if len(argv) > 0 else 1_000_000
+    avg_deg = int(argv[1]) if len(argv) > 1 else 4
+    iters = int(argv[2]) if len(argv) > 2 else 5
 
     spark = get_spark(
         app_name="pagerank-stress",
@@ -97,11 +108,12 @@ def main() -> int:
         return el
 
     t_large = run("large-branch (hash-partitioned contrib)", 100_000)
-    t_coalesce = run("forced coalesce(1) contrib", 2**62)
-    print(
-        f"ratio coalesce1/large = {t_coalesce / t_large:.2f}x "
-        f"on {n_nodes} nodes x {iters} iterations"
-    )
+    if not skip_forced:
+        t_coalesce = run("forced coalesce(1) contrib", 2**62)
+        print(
+            f"ratio coalesce1/large = {t_coalesce / t_large:.2f}x "
+            f"on {n_nodes} nodes x {iters} iterations"
+        )
     spark.stop()
     return 0
 

@@ -29,8 +29,10 @@ Cache lifetime: the pair functions ``persist()`` an intermediate
 return a LAZY DataFrame — so the cached blocks cannot be dropped inside the
 function without forcing an extra job.  The cache lifetime is
 caller-managed: after materializing the result, call
-``spark.catalog.clearCache()`` (or keep a handle and ``unpersist()``) in
-long-lived sessions; a one-shot job can rely on session teardown.
+``tsdisagg_spark.cacheutil.release_all(spark)`` (which also frees the
+``localCheckpoint`` blocks ``clearCache()`` cannot see) in long-lived
+sessions — the oracle sweep does exactly this per query and asserts a
+zero-leak session end; a one-shot job can rely on session teardown.
 """
 
 from __future__ import annotations
