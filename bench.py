@@ -101,6 +101,8 @@ HEADLINE = [
     "sole_late_supplier",      # Q21 shape: fact-fact join + shared-key agg
     "bloom_pruned_urgent_revenue",  # bloom pre-filtered selective join
     "idle_customers",          # Q22 shape: scalar threshold + anti-join
+    "containment_near_dups",   # directed Broder containment (posting self-join)
+    "tfidf_cosine_near_dups",  # sparse tf-idf cosine pairs (term self-join)
     "pricing_summary_exact",   # Q1 in exact integer units (scale-stable)
     "revenue_rollup_exact",    # ROLLUP certified in undivided cents
     "order_value_histogram_exact",  # integer-cent bucket edges, no doubles

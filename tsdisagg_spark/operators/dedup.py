@@ -234,17 +234,34 @@ def containment_pairs(
         ),
         "id_b",
     )
-    fwd = both.select(
-        F.col("id_a").alias("id_sub"),
-        F.col("id_b").alias("id_super"),
-        F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
+    # BOTH directions from ONE pass: a union of two projections over
+    # `both` would plan the posting self-join TWICE (measured 1.85x
+    # jaccard_pairs' wall at the 100x stress corpus); exploding a 2-struct
+    # array emits (sub, super) and (super, sub) per intersection row with
+    # the join subtree evaluated once
+    directed = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("id_sub"),
+                F.col("id_b").alias("id_super"),
+                F.round(F.col("n_common") / F.col("size_a"), 6).alias(
+                    "containment"
+                ),
+            ),
+            F.struct(
+                F.col("id_b").alias("id_sub"),
+                F.col("id_a").alias("id_super"),
+                F.round(F.col("n_common") / F.col("size_b"), 6).alias(
+                    "containment"
+                ),
+            ),
+        )
     )
-    rev = both.select(
-        F.col("id_b").alias("id_sub"),
-        F.col("id_a").alias("id_super"),
-        F.round(F.col("n_common") / F.col("size_b"), 6).alias("containment"),
+    return (
+        both.select(directed.alias("p"))
+        .select("p.id_sub", "p.id_super", "p.containment")
+        .filter(F.col("containment") >= threshold)
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 def minhash_signatures(
