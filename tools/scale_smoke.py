@@ -41,6 +41,8 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
 
+    from tsdisagg_spark.cacheutil import release_all
+
     failures = 0
     slow: list[tuple[str, float]] = []
     for name, fn in entry_mod.queries().items():
@@ -53,7 +55,10 @@ def main() -> int:
         except Exception:
             failures += 1
             print(f"{name}\tFAIL\t{traceback.format_exc().splitlines()[-1][:200]}")
-        spark.catalog.clearCache()
+        # managed lifetime: catalog cache AND checkpoint blocks — at 10x
+        # the registry's iterative queries would otherwise stack
+        # edge-list-sized storage across 133 queries
+        release_all(spark)
     slow.sort(key=lambda kv: -kv[1])
     print("slowest:", [(n, s) for n, s in slow[:8]])
     print(f"== {len(slow) + failures} queries, {failures} failures")
