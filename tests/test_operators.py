@@ -1918,6 +1918,28 @@ def test_pagerank_checkpoint_blocks_do_not_accumulate(spark):
     assert len(new) <= 4, f"leaked {len(new)} persistent RDDs: {sorted(new)}"
 
 
+def test_connected_components_checkpoint_blocks_do_not_accumulate(spark):
+    """The large/small-star loop must release each round's checkpoint
+    blocks as the next round materializes: on a long chain (many rounds to
+    converge) the number of NEW persistent RDDs left behind is O(1) — the
+    untracked initial checkpoint and the kept final one — not O(rounds)."""
+    from tsdisagg_spark.operators import graph
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # a 200-node chain: worst-case diameter for min-label reach, several
+    # large/small-star rounds for the O(log^2 n) algorithm
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    comps = graph.connected_components(chain)
+    got = {r.node: r.component for r in comps.collect()}
+    assert set(got.values()) == {0} and len(got) == 201
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    new = after - before
+    assert len(new) <= 3, f"leaked {len(new)} persistent RDDs: {sorted(new)}"
+
+
 def test_pagerank_empty_graph_returns_empty(spark):
     """An empty edge list must return an empty (node, rank) frame — not
     raise ZeroDivisionError on the 1/n_nodes seed (regression: the

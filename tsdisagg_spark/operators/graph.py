@@ -98,6 +98,12 @@ def connected_components(
     isolated documents never appear in pairs and so get no row — a caller
     wanting singletons unions them back with ``component = node``.
     """
+    sc = pairs.sparkSession.sparkContext
+    # The initial checkpoint is NOT release-tracked: its plan references
+    # the caller's frames (often persisted, e.g. jaccard_pairs' caches),
+    # and physical planning can register those cache RDDs inside any id
+    # diff taken around a job.  Round checkpoints (below) sit on pure
+    # LogicalRDD inputs, where call-time tracking is exact.
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -120,10 +126,30 @@ def connected_components(
     # star set returns the same set), so comparing checksums every second
     # round still detects convergence, at worst one redundant pass after
     # the fixed point is reached.
+    #
+    # Checkpoint blocks are released as the loop advances: a lazy
+    # localCheckpoint REGISTERS its persisted RDD at call time (no job
+    # runs, so the id diff around the call is exactly that checkpoint —
+    # verified empirically, and unlike DataFrame.persist, which registers
+    # only at materialization).  Once the round's checksum job has
+    # materialized checkpoint k, the blocks of k-1 (and of the
+    # mid-iteration checkpoint, whose lineage k has truncated) are dead;
+    # without the release a long run stacks one edge-list-sized RDD per
+    # round for the life of the session.  The final checkpoint is kept —
+    # the returned (lazy) labeling reads it; its lifetime is
+    # caller-managed (cacheutil.release_all).
+    def _tracked_ckpt(df: DataFrame):
+        before = _persistent_rdd_ids(sc)
+        out = df.localCheckpoint(eager=False)
+        return out, _persistent_rdd_ids(sc) - before
+
+    live_ids: set = set()
     for _ in range((max_rounds + 1) // 2):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        mid, mid_ids = _tracked_ckpt(_small_star(_large_star(edges)))
+        edges, new_ids = _tracked_ckpt(_small_star(_large_star(mid)))
         cur = _edge_checksum(edges)
+        _release_checkpoint_blocks(sc, live_ids | mid_ids)
+        live_ids = new_ids
         if cur == prev:
             break
         prev = cur
