@@ -41,6 +41,7 @@ HEADLINE = [
     "events_hourly",           # tumbling-window aggregation
     "jaccard_near_dups",       # shingle self-join dedup
     "minhash_near_dups",       # MinHash LSH + verification
+    "incremental_minhash_dedup",  # batch probe vs persistable band index
     "knn_bruteforce",          # broadcast cosine top-k
     "knn_ivf",                 # inverted-file ANN (probe-list equi-join)
     "session_windows",         # native session windows (gap merging)

@@ -204,6 +204,66 @@ def test_minhash_agrees_with_exact_jaccard(docs):
     assert (mh["jaccard"] >= 0.5).all()
 
 
+def test_minhash_probe_incremental_contract(docs, tmp_path):
+    """The index/probe pair: a batch near-dup of an indexed document is
+    found with its exact jaccard; batch-vs-batch and self (re-ingest)
+    pairs are never emitted; and the parquet-persisted index produces the
+    identical probe result (the durable-index determinism contract)."""
+    corpus = docs  # docs 100..102 contain the planted near-dup cluster
+    spark = docs.sparkSession
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # near-copy of corpus doc 100 (one-word edit)
+                (900, "the quick brown fox jumps over the lazy dog while the "
+                      "cat watches from the warm windowsill in the evening sun"),
+                # re-ingest of corpus doc 103, same id: self-pair must be dropped
+                (103, "completely different text about spark query engines and shuffles"),
+                # two batch docs that are near-dups of EACH OTHER only
+                (901, "batch only content alpha beta gamma delta epsilon zeta"),
+                (902, "batch only content alpha beta gamma delta epsilon eta"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    index = dedup.minhash_band_index(corpus, num_hashes=32, bands=16)
+    got = dedup.minhash_probe(
+        batch, index, corpus, num_hashes=32, bands=16, threshold=0.2
+    ).toPandas()
+    pairs = {tuple(r) for r in got[["batch_id", "corpus_id"]].to_numpy()}
+    assert (900, 100) in pairs and (900, 102) in pairs  # 102 = copy of 100
+    assert all(b != c for b, c in pairs), "self pair leaked"
+    assert not any(b in (901, 902) and c in (901, 902) for b, c in pairs), (
+        "batch-vs-batch pair leaked"
+    )
+    # exact verification: jaccard equals the brute-force cross value
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            corpus.unionByName(batch.filter(F.col("doc_id") == 900)),
+            threshold=0.2,
+        ).collect()
+    }
+    want_900_100 = jac[(100, 900)]
+    got_900_100 = got[(got.batch_id == 900) & (got.corpus_id == 100)][
+        "jaccard"
+    ].iloc[0]
+    assert got_900_100 == want_900_100
+    # durable index: parquet round-trip, probe again, identical result
+    path = str(tmp_path / "band_index.parquet")
+    index.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    got2 = dedup.minhash_probe(
+        batch, reloaded, corpus, num_hashes=32, bands=16, threshold=0.2
+    ).toPandas()
+    key = ["batch_id", "corpus_id"]
+    assert (
+        got.sort_values(key).reset_index(drop=True).equals(
+            got2.sort_values(key).reset_index(drop=True)
+        )
+    )
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=8, n_bands=16).toPandas()
     found = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}

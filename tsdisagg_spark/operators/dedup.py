@@ -303,6 +303,49 @@ def minhash_signatures(
     )
 
 
+def _band_entries(
+    sigs: DataFrame, id_col: str, bands: int, rows: int
+) -> DataFrame:
+    """Explode a ``(id, sig)`` signature frame into its LSH band keys:
+    one ``(id, band, band_hash)`` row per (document, band), where
+    ``band_hash`` hashes the band's ``rows`` signature slots.  Shared by
+    the all-pairs self-join (:func:`minhash_pairs`) and the persistable
+    index/probe pair (:func:`minhash_band_index` / :func:`minhash_probe`)
+    so both block identically."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("sig", bi * rows + ri + 1)
+                                for ri in range(rows)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_hash")
+
+
+def _doc_shingle_sets(
+    df: DataFrame, ids: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """``(id, sh array)`` shingle-hash sets for exactly the documents in
+    ``ids`` (semi-join pushdown: only candidate documents are re-shingled
+    for verification)."""
+    return (
+        shingle_postings(df.join(ids, id_col, "left_semi"), id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+
+
 def minhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -325,22 +368,7 @@ def minhash_pairs(
     # signatures are tiny (id + num_hashes ints) and feed both sides of the
     # band self-join: persist so the hash-min aggregation runs once
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
-    band_entries = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(
-                            *[F.element_at("sig", bi * rows + ri + 1) for ri in range(rows)]
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_hash")
+    band_entries = _band_entries(sigs, id_col, bands, rows)
 
     a, b = band_entries.alias("a"), band_entries.alias("b")
     candidates = (
@@ -363,11 +391,7 @@ def minhash_pairs(
         .union(candidates.select("id_b"))
         .distinct()
     )
-    doc_sets = (
-        shingle_postings(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
+    doc_sets = _doc_shingle_sets(df, cand_ids, id_col, text_col, n)
     a_sets = doc_sets.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
     )
@@ -386,6 +410,114 @@ def minhash_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Persistable MinHash-LSH band index of a corpus: one ``(id, band,
+    band_hash)`` row per (document, band) — the structure a continuously-
+    ingested training-data pipeline keeps ON DISK so each new batch is
+    deduplicated against the existing corpus WITHOUT re-pairing the
+    corpus against itself.
+
+    Determinism contract: signatures use Spark's Murmur3 over the
+    shingles' xxhash64 with the slot index as a literal second column, so
+    an index written to parquet by one session produces bit-identical
+    band keys when probed from any later session (pinned by test) — the
+    property that makes the index durable rather than session-scoped.
+
+    Scale shape: building is the :func:`minhash_signatures` aggregation
+    plus a ``bands``-way explode — one shuffle over the corpus, done once;
+    at 100 TB the index is written ``partitionBy(band)`` /
+    bucketed-by-``band_hash`` so a probe's equi-join prunes to the touched
+    buckets instead of scanning the index."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return _band_entries(sigs, id_col, bands, rows)
+
+
+def minhash_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW document batch against
+    an existing :func:`minhash_band_index`, returning
+    ``(batch_id, corpus_id, jaccard)`` for every batch document whose
+    exact shingle-Jaccard against an indexed document meets ``threshold``.
+    Batch-vs-batch pairs are deliberately NOT emitted — that is a
+    :func:`minhash_pairs` run over the batch alone.
+
+    ``index`` must have been built with the same ``n``/``num_hashes``/
+    ``bands`` (the band keys are a pure function of those parameters);
+    ``corpus`` supplies the indexed documents' text for exact
+    verification, semi-joined down to candidates only.
+
+    Scale shape — why this beats re-running the all-pairs dedup per
+    ingest: the corpus-sized work is ONE equi-join of the (small) batch's
+    band entries against the index on ``(band, band_hash)`` — with the
+    index bucketed on the join key this is a shuffle of the BATCH only —
+    and verification re-reads corpus text for just the candidate ids
+    (semi-join pushdown).  Nothing re-pairs corpus-vs-corpus, so ingest
+    cost is O(batch + matches), not O(corpus).
+    """
+    rows = num_hashes // bands
+    batch_entries = _band_entries(
+        minhash_signatures(batch, id_col, text_col, n, num_hashes),
+        id_col,
+        bands,
+        rows,
+    )
+    q, x = batch_entries.alias("q"), index.alias("x")
+    candidates = (
+        q.join(x, ["band", "band_hash"])
+        # a document present on both sides (re-ingest) must not pair with
+        # itself; cross-id duplicates are exactly what we're looking for
+        .filter(F.col(f"q.{id_col}") != F.col(f"x.{id_col}"))
+        .select(
+            F.col(f"q.{id_col}").alias("batch_id"),
+            F.col(f"x.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    b_sets = _doc_shingle_sets(
+        batch,
+        candidates.select(F.col("batch_id").alias(id_col)).distinct(),
+        id_col,
+        text_col,
+        n,
+    ).select(F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_b"))
+    c_sets = _doc_shingle_sets(
+        corpus,
+        candidates.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col,
+        text_col,
+        n,
+    ).select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c"))
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    return (
+        candidates.join(b_sets, "batch_id")
+        .join(c_sets, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("sh_b") + F.size("sh_c") - inter), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
     )
 
 

@@ -2793,6 +2793,55 @@ def minhash_near_dups(spark, sf_dir):
 
 
 @query(
+    "incremental_minhash_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+               COUNT(*) AS n_common
+        FROM sh b JOIN sh c USING (shingle)
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+        GROUP BY 1, 2
+    )
+    SELECT batch_id, corpus_id,
+           ROUND(n_common * 1.0 / (sb.n + sc.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sb ON batch_id = sb.doc_id
+    JOIN sizes sc ON corpus_id = sc.doc_id
+    WHERE ROUND(n_common * 1.0 / (sb.n + sc.n - n_common), 6) >= 0.2
+    """,
+)
+def incremental_minhash_dedup(spark, sf_dir):
+    """The continuous-ingest dedup shape: the corpus (doc_id % 5 != 0) is
+    held as a persistable MinHash band INDEX and a new batch
+    (doc_id % 5 == 0) is probed against it — candidates from one
+    batch-vs-index equi-join on (band, band_hash), verified with exact
+    Jaccard over semi-joined candidate texts.  Ingest cost is
+    O(batch + matches), never O(corpus^2) — nothing re-pairs
+    corpus-vs-corpus.  Oracle-backed by the FULL exact cross-split
+    Jaccard (same argument as minhash_near_dups: verification rescoring
+    is exact, and every real pair in this corpus sits at jaccard >= 0.9
+    where the 16-band/2-row miss probability is (1 - 0.9^2)^16 < 1e-11,
+    so the hash match proves no-false-positives AND full recall at the
+    operating point)."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.minhash_band_index(corpus, num_hashes=32, bands=16)
+    return dedup.minhash_probe(
+        batch, index, corpus, num_hashes=32, bands=16, threshold=0.2
+    )
+
+
+@query(
     "sequence_packing",
     oracle="""
     WITH counts AS (
