@@ -264,6 +264,59 @@ def test_minhash_probe_incremental_contract(docs, tmp_path):
     )
 
 
+def test_minhash_index_bucketed_join_skips_index_shuffle(docs, tmp_path):
+    """The docstring's 100 TB claim, made testable: an index saved
+    bucketed on the probe's join key (band, band_hash) joins WITHOUT
+    shuffling the index side — the candidate join's plan has strictly
+    fewer exchanges than against the identical unbucketed index, and the
+    probe results are identical.  (Broadcast disabled so the tiny test
+    corpus exercises the sort-merge path a real index size would take.)"""
+    spark = docs.sparkSession
+    index = dedup.minhash_band_index(docs, num_hashes=32, bands=16)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(900, "the quick brown fox jumps over the lazy dog while the "
+                   "cat watches from the warm windowsill in the evening sun")],
+            columns=["doc_id", "text"],
+        )
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            index.write.mode("overwrite")
+            .bucketBy(8, "band", "band_hash")
+            .sortBy("band", "band_hash")
+            .option("path", str(tmp_path / "bucketed_idx"))
+            .saveAsTable("bucketed_band_index")
+        )
+        bucketed = spark.table("bucketed_band_index")
+        plain_path = str(tmp_path / "plain_idx")
+        index.write.mode("overwrite").parquet(plain_path)
+        plain = spark.read.parquet(plain_path)
+
+        def n_exchanges(df):
+            return df._jdf.queryExecution().executedPlan().toString().count(
+                "Exchange"
+            )
+
+        got_b = dedup.minhash_probe(
+            batch, bucketed, docs, num_hashes=32, bands=16, threshold=0.2
+        )
+        got_p = dedup.minhash_probe(
+            batch, plain, docs, num_hashes=32, bands=16, threshold=0.2
+        )
+        rows_b = sorted(map(tuple, got_b.collect()))
+        rows_p = sorted(map(tuple, got_p.collect()))
+        assert rows_b == rows_p and rows_b  # same matches, non-empty
+        assert n_exchanges(got_b) < n_exchanges(got_p), (
+            "bucketed index did not remove the index-side shuffle"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bucketed_band_index")
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=8, n_bands=16).toPandas()
     found = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}

@@ -435,9 +435,10 @@ def minhash_band_index(
 
     Scale shape: building is the :func:`minhash_signatures` aggregation
     plus a ``bands``-way explode — one shuffle over the corpus, done once;
-    at 100 TB the index is written ``partitionBy(band)`` /
-    bucketed-by-``band_hash`` so a probe's equi-join prunes to the touched
-    buckets instead of scanning the index."""
+    at 100 TB the index is saved ``bucketBy(N, band, band_hash)`` so a
+    probe's equi-join reads the index WITHOUT a shuffle on the index side
+    (demonstrated by test: the bucketed plan has strictly fewer
+    exchanges than the unbucketed one, identical results)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     return _band_entries(sigs, id_col, bands, rows)
