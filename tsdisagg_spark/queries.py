@@ -6551,6 +6551,7 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "events_asof_purchase",
     "session_windows",
     "tfidf_cosine_near_dups",
+    "incremental_minhash_dedup",
 )
 
 
