@@ -215,6 +215,29 @@ def test_bigram_lm_scores_invariants(spark):
         assert r["n_bigrams"] >= 1, r
 
 
+def test_ingest_audit_invariants(spark):
+    """Exactly one verdict per batch document, all three verdict classes
+    fire on this corpus, precedence holds (a near-dup doc is never
+    labeled low_quality even when its ratio is low), and ratios are in
+    (0, 1]."""
+    rows = entry_mod.queries()["ingest_audit"](spark, SF_DIR).collect()
+    batch_n = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("doc_id % 5 = 0")
+        .count()
+    )
+    assert len(rows) == batch_n
+    assert len({r["doc_id"] for r in rows}) == batch_n
+    verdicts = {r["verdict"] for r in rows}
+    assert verdicts == {"near_dup", "low_quality", "accept"}
+    for r in rows:
+        assert 0.0 < r["distinct_ratio"] <= 1.0, r
+        if r["verdict"] == "low_quality":
+            assert r["distinct_ratio"] < 0.4, r
+        if r["verdict"] == "accept":
+            assert r["distinct_ratio"] >= 0.4, r
+
+
 def test_sole_late_supplier_subset_of_suppliers(spark):
     """Every blamed supplier exists in the supplier dim and order counts
     are positive."""

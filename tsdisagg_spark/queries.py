@@ -2842,6 +2842,90 @@ def incremental_minhash_dedup(spark, sf_dir):
 
 
 @query(
+    "ingest_audit",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               len(w) AS nw,
+               len(list_distinct(w)) AS ndw
+        FROM words WHERE doc_id % 5 = 0
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+               COUNT(*) AS n_common
+        FROM sh b JOIN sh c USING (shingle)
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+        GROUP BY 1, 2
+    ),
+    nd AS (
+        SELECT DISTINCT batch_id AS doc_id
+        FROM inter
+        JOIN sizes sb ON batch_id = sb.doc_id
+        JOIN sizes sc ON corpus_id = sc.doc_id
+        WHERE ROUND(n_common * 1.0 / (sb.n + sc.n - n_common), 6) >= 0.2
+    )
+    SELECT s.doc_id,
+           CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN s.ndw * 1.0 / s.nw < 0.4 THEN 'low_quality'
+                ELSE 'accept' END AS verdict,
+           ROUND(s.ndw * 1.0 / s.nw, 6) AS distinct_ratio
+    FROM stats s LEFT JOIN nd USING (doc_id)
+    """,
+)
+def ingest_audit(spark, sf_dir):
+    """The accept/reject gate a training-data ingest runs per batch,
+    composed from the certified stages: every new document (doc_id % 5 ==
+    0) is audited against (1) near-duplication of the EXISTING corpus via
+    the persistable MinHash band index + exact-Jaccard probe, then (2) a
+    repetition-quality rule (distinct-word ratio < 0.4 — the
+    template/keyword-stuffing signal), emitting one verdict row per batch
+    document with precedence near_dup > low_quality > accept.  The ratio
+    is one division of two exactly-held integers — tie-free at any corpus
+    size (float-grid rule).  Scale shape: the probe is O(batch + matches)
+    (see incremental_minhash_dedup); the quality stats are a pure
+    projection riding the batch scan; one left join stitches verdicts —
+    nothing touches corpus-vs-corpus."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.minhash_band_index(corpus, num_hashes=32, bands=16)
+    nd = (
+        dedup.minhash_probe(
+            batch, index, corpus, num_hashes=32, bands=16, threshold=0.2
+        )
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_nd", F.lit(True))
+    )
+    w = text.words(F.col("text"))
+    stats = batch.select(
+        "doc_id",
+        F.size(w).cast("long").alias("nw"),
+        F.size(F.array_distinct(w)).cast("long").alias("ndw"),
+    )
+    return (
+        stats.join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_nd"), F.lit("near_dup"))
+            .when(F.col("ndw") / F.col("nw") < 0.4, F.lit("low_quality"))
+            .otherwise(F.lit("accept"))
+            .alias("verdict"),
+            F.round(F.col("ndw") / F.col("nw"), 6).alias("distinct_ratio"),
+        )
+    )
+
+
+@query(
     "sequence_packing",
     oracle="""
     WITH counts AS (
