@@ -111,7 +111,8 @@ HEADLINE = [
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two
-    # edge-list joins
+    # edge-list joins; ingest_audit rides incremental_minhash_dedup (timed)
+    # plus a projection and one left join
 ]
 
 REPS = max(1, int(os.environ.get("BENCH_REPS", "2")))
