@@ -317,6 +317,84 @@ def test_minhash_index_bucketed_join_skips_index_shuffle(docs, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketed_band_index")
 
 
+def test_rowwise_signatures_equal_batch_signatures(docs):
+    """The shuffle-free per-row MinHash formulation must produce the
+    IDENTICAL signature values as the batch groupBy-min formulation —
+    same min over the same hashed shingle set — including dropping
+    docs with no shingles."""
+    from tsdisagg_spark.streaming import rowwise_minhash_signatures
+
+    a = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(docs, num_hashes=16).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["sig"])
+        for r in rowwise_minhash_signatures(docs, num_hashes=16).collect()
+    }
+    assert a == b and a
+
+
+def test_stream_probe_matches_batch_probe(docs, tmp_path):
+    """End-to-end streaming ingest dedup: a parquet-source document
+    stream probed against the static band index, verified per micro-batch
+    in foreachBatch, must produce exactly the batch minhash_probe result
+    on the same batch/corpus split."""
+    from tsdisagg_spark.streaming import (
+        stream_probe_candidates,
+        verify_probe_candidates,
+    )
+
+    spark = docs.sparkSession
+    corpus = docs
+    batch_rows = [
+        (900, "the quick brown fox jumps over the lazy dog while the "
+              "cat watches from the warm windowsill in the evening sun"),
+        (901, "entirely new content nothing like the corpus at all here"),
+        (902, "completely different text about spark query engines and shuffles"),
+    ]
+    batch_pdf = pd.DataFrame(batch_rows, columns=["doc_id", "text"])
+    batch_static = spark.createDataFrame(batch_pdf)
+    src = str(tmp_path / "doc_stream")
+    batch_static.write.parquet(src)
+
+    index = dedup.minhash_band_index(corpus, num_hashes=32, bands=16)
+
+    # batch twin = the reference result
+    want = sorted(
+        map(
+            tuple,
+            dedup.minhash_probe(
+                batch_static, index, corpus, num_hashes=32, bands=16,
+                threshold=0.2,
+            ).collect(),
+        )
+    )
+    assert want  # 900 near-dups corpus 100/102; 902 re-ingests corpus 103's text
+
+    got: list = []
+
+    def sink(cand_batch, _epoch):
+        got.extend(
+            map(
+                tuple,
+                verify_probe_candidates(
+                    cand_batch, batch_static, corpus, threshold=0.2
+                ).collect(),
+            )
+        )
+
+    stream = spark.readStream.schema(batch_static.schema).parquet(src)
+    q = (
+        stream_probe_candidates(stream, index, num_hashes=32, bands=16)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == want
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=8, n_bands=16).toPandas()
     found = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}

@@ -1,6 +1,12 @@
 """Structured Streaming operators: watermarked tumbling windows, stateful
-session aggregation, and incremental streaming disaggregation."""
+session aggregation, streaming ingest dedup against a static MinHash band
+index, and incremental streaming disaggregation."""
 
+from tsdisagg_spark.streaming.dedup import (
+    rowwise_minhash_signatures,
+    stream_probe_candidates,
+    verify_probe_candidates,
+)
 from tsdisagg_spark.streaming.disagg import (
     latest_solutions,
     streaming_disaggregate,
@@ -18,11 +24,14 @@ from tsdisagg_spark.streaming.windows import (
 __all__ = [
     "interval_join",
     "latest_solutions",
+    "rowwise_minhash_signatures",
     "sliding_counts",
     "stateful_sessions",
     "stream_exact_dedup",
+    "stream_probe_candidates",
     "stream_sliding_counts",
     "stream_tumbling_counts",
     "streaming_disaggregate",
     "tumbling_counts",
+    "verify_probe_candidates",
 ]
