@@ -335,3 +335,23 @@ def test_bloom_pruned_join_probes_stream_through_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "wi_1" in plan and "wi_2" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rowwise_signature_pipeline_is_shuffle_free_until_join(spark):
+    """The streaming-dedup claim: row-wise signatures + band keys are a
+    pure projection (no Exchange), and the probe's only exchanges serve
+    the candidate equi-join itself — the document side never shuffles
+    BEFORE the join, which is what keeps the stream stateless."""
+    from tsdisagg_spark.streaming import rowwise_minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig_plan = _plan(rowwise_minhash_signatures(docs, num_hashes=8))
+    assert "Exchange" not in sig_plan, sig_plan
+
+
+def test_incremental_probe_semi_joins_before_reshingling(spark):
+    """Verification must re-shingle only candidate documents: the probe
+    plan contains left-semi joins (the candidate-id pushdown), not a full
+    second pass over either corpus."""
+    plan = _plan(Q.QUERIES["incremental_minhash_dedup"](spark, SF))
+    assert "LeftSemi" in plan, plan
