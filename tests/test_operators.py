@@ -395,6 +395,74 @@ def test_stream_probe_matches_batch_probe(docs, tmp_path):
     assert sorted(got) == want
 
 
+def test_simhash_probe_equals_bruteforce_cross_scan(docs):
+    """The SimHash index/probe output is PROVABLY the brute-force
+    batch-vs-corpus Hamming scan (pigeonhole recall + exact bit_count
+    verification): compare against codes computed once and crossed in
+    pandas."""
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.simhash_band_index(corpus, max_hamming=5)
+    got = {
+        (r["batch_id"], r["corpus_id"]): r["hamming"]
+        for r in dedup.simhash_probe(batch, index, max_hamming=5).collect()
+    }
+    codes = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in dedup.simhash_md5_120(docs).collect()
+    }
+    want = {}
+    for b, (bl, bh) in codes.items():
+        if b % 5 != 0:
+            continue
+        for c, (cl, ch) in codes.items():
+            if c % 5 == 0:
+                continue
+            d = bin(bl ^ cl).count("1") + bin(bh ^ ch).count("1")
+            if d <= 5:
+                want[(b, c)] = d
+    # batch doc 100's exact copy 102 sits in the corpus: hamming 0 crosses
+    assert got == want and want and got[(100, 102)] == 0
+
+
+def test_simhash_probe_streams_statelessly(docs, tmp_path):
+    """dedupe=False makes the probe a fully stateless streaming plan:
+    parquet-source stream -> probe -> foreachBatch distinct equals the
+    batch probe exactly (verification needs no corpus re-read — the
+    hamming comes from codes the index and stream rows already carry)."""
+    spark = docs.sparkSession
+    batch_rows = [
+        (901, "the quick brown fox jumps over the lazy dog while the "
+              "cat watches from the warm windowsill in the evening sun"),
+        (903, "entirely new content nothing like the corpus at all here"),
+    ]
+    batch_static = spark.createDataFrame(
+        pd.DataFrame(batch_rows, columns=["doc_id", "text"])
+    )
+    src = str(tmp_path / "sim_stream")
+    batch_static.write.parquet(src)
+    index = dedup.simhash_band_index(docs, max_hamming=5)
+    want = sorted(
+        map(tuple, dedup.simhash_probe(batch_static, index).collect())
+    )
+    assert want  # 901 is a near-dup of the planted 100/102 cluster
+
+    got: list = []
+
+    def sink(pairs, _epoch):
+        got.extend(map(tuple, pairs.distinct().collect()))
+
+    stream = spark.readStream.schema(batch_static.schema).parquet(src)
+    q = (
+        dedup.simhash_probe(stream, index, dedupe=False)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == want
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=8, n_bands=16).toPandas()
     found = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}

@@ -72,7 +72,12 @@ def _spread(df: DataFrame) -> DataFrame:
     core: a corpus that arrives as a handful of parquet files would otherwise
     pin the whole explode on one task.  Only repartitions when the input has
     fewer partitions than the cluster has slots — at real scale (thousands of
-    input splits) this is a no-op, so no extra shuffle is paid."""
+    input splits) this is a no-op, so no extra shuffle is paid.  Streaming
+    frames pass through untouched: ``.rdd`` is illegal on them, and a
+    stream's parallelism is governed by its source options (maxFilesPerTrigger
+    / partition count), not a one-shot repartition."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -758,6 +763,81 @@ def simhash_pairs_wide(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 5,
+) -> DataFrame:
+    """Persistable wide-SimHash band index: one ``(id, sim_lo, sim_hi,
+    band, band_bits)`` row per (document, band) over the 120-bit md5 code
+    of :func:`simhash_md5_120`, banded ``max_hamming + 1`` ways
+    (pigeonhole-exact, as :func:`simhash_pairs_wide`).
+
+    Two properties the MinHash index does not have: the index carries the
+    FULL code, so a probe verifies Hamming distance from the index alone —
+    no corpus re-read at probe time — and the code itself is a per-row
+    computation (no shuffle), so the whole probe pipeline is stateless
+    and runs unchanged on a Structured Streaming document source.
+    md5-derived codes keep the index recomputable bit-for-bit by an
+    external SQL engine."""
+    return wide_bands(
+        simhash_md5_120(df, id_col, text_col), id_col, max_hamming + 1
+    )
+
+
+def simhash_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 5,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Incremental SimHash near-dup detection: probe a NEW document batch
+    (or stream) against a :func:`simhash_band_index`, returning
+    ``(batch_id, corpus_id, hamming)`` for every cross pair within
+    ``max_hamming`` over the 120-bit code.
+
+    EXACT, not approximate: by pigeonhole any batch/corpus pair within
+    Hamming ``max_hamming`` agrees on at least one of the
+    ``max_hamming + 1`` bands, so the banded candidate join has full
+    recall, and verification is ``bit_count(xor)`` over the codes both
+    sides already carry — the output equals the brute-force cross scan
+    (which is exactly what the SQL oracle computes).  ``index`` must use
+    the same ``max_hamming``.  Scale shape: one equi-join of the batch's
+    band rows against the (bucketable) index; nothing touches
+    corpus-vs-corpus and nothing re-reads corpus text.
+
+    Streaming: everything up to the trailing ``distinct`` is stateless
+    (the code fold is a per-row pandas UDF, banding a projection, the
+    index join stream-static), and a pair found via k agreeing bands
+    appears k times with the SAME hamming — so a streaming caller passes
+    ``dedupe=False`` and collapses duplicates per micro-batch (every
+    duplicate lands in its document's own micro-batch), exactly the
+    ``foreachBatch`` discipline of the MinHash probe."""
+    b = wide_bands(
+        simhash_md5_120(batch, id_col, text_col), id_col, max_hamming + 1
+    )
+    q, x = b.alias("q"), index.alias("x")
+    out = (
+        q.join(x, ["band", "band_bits"])
+        .filter(F.col(f"q.{id_col}") != F.col(f"x.{id_col}"))
+        .select(
+            F.col(f"q.{id_col}").alias("batch_id"),
+            F.col(f"x.{id_col}").alias("corpus_id"),
+            (
+                F.expr("bit_count(q.sim_lo ^ x.sim_lo)")
+                + F.expr("bit_count(q.sim_hi ^ x.sim_hi)")
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return out.distinct() if dedupe else out
 
 
 def _simhash_nbits(token_hash: str) -> int:

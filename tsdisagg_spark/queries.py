@@ -3028,6 +3028,60 @@ def simhash_near_dups(spark, sf_dir):
 
 
 @query(
+    "incremental_simhash_dedup",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tl,
+               ('0x' || substr(md5(tok), 17, 15))::BIGINT AS th
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (tl >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sl,
+               SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sh
+        FROM h, (SELECT unnest(generate_series(0, 59)) AS i) g
+        GROUP BY 1, 2
+    ),
+    codes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN sl > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS sim_lo,
+               CAST(SUM(CASE WHEN sh > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS sim_hi
+        FROM bits GROUP BY 1
+    )
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(b.sim_lo, c.sim_lo))
+                + bit_count(xor(b.sim_hi, c.sim_hi)) AS BIGINT) AS hamming
+    FROM codes b JOIN codes c
+      ON b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+    WHERE bit_count(xor(b.sim_lo, c.sim_lo))
+          + bit_count(xor(b.sim_hi, c.sim_hi)) <= 5
+    """,
+)
+def incremental_simhash_dedup(spark, sf_dir):
+    """The SimHash twin of incremental_minhash_dedup: the corpus
+    (doc_id % 5 != 0) persists as a 120-bit wide-code band index and the
+    new batch (doc_id % 5 == 0) probes it at Hamming <= 5.  Stronger
+    contract than the MinHash probe on both axes: the result is PROVABLY
+    equal to the brute-force cross scan (pigeonhole recall + exact
+    bit_count verification — the oracle IS that quadratic scan, which the
+    engine never materializes), and the index carries the codes, so the
+    probe never re-reads corpus text.  Both code and oracle are
+    md5-derived, bit-for-bit recomputable outside Spark."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.simhash_band_index(corpus, max_hamming=5)
+    return dedup.simhash_probe(batch, index, max_hamming=5)
+
+
+@query(
     "decontamination",
     oracle="""
     WITH words AS (
