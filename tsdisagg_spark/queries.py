@@ -830,6 +830,48 @@ def monthly_revenue_delta(spark, sf_dir):
 
 
 @query(
+    "monthly_revenue_delta_exact",
+    oracle="""
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rc
+               FROM orders GROUP BY 1)
+    SELECT month,
+           CAST(rc AS BIGINT) AS revenue_c,
+           CAST(rc - lag(rc) OVER (ORDER BY month) AS BIGINT) AS delta_c
+    FROM m
+    """,
+)
+def monthly_revenue_delta_exact(spark, sf_dir):
+    """W1 first differences certified in EXACT integer cents — the
+    scale-stable twin the x1000 tier forced: monthly_revenue_delta's
+    ROUND(SUM(double), 2) was hash-MATCH through x100 but at x1000 the
+    ~4.7e11-magnitude month sums meet the double ulp and the engines'
+    partial-sum orders disagree in the rounded cent (measured flips of
+    0.01-0.02, SCALING.md).  Integer cent sums are order-free; the lag
+    difference subtracts integers both engines hold bit-identically, so
+    this variant hash-matches at any multiplier.  Headroom: ~1e5
+    cents/row x 1e10 rows/month ~ 1e15 — inside int64's 1e3x rule edge,
+    so the Spark side still accumulates DECIMAL(38,0) (overflow would
+    surface as NULL, never a wrapped value) and casts to BIGINT only in
+    the final projection, mirroring DuckDB's native HUGEINT widening."""
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).alias("rc")
+        )
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.col("rc").cast("long").alias("revenue_c"),
+        (F.col("rc") - F.lag("rc").over(w)).cast("long").alias("delta_c"),
+    )
+
+
+@query(
     "user_quasi_diff",
     oracle="""
     SELECT user_id, event_id,
