@@ -50,6 +50,7 @@ HEADLINE = [
     "decontamination",         # broadcast benchmark-gram overlap audit
     "repetition_stats",        # shuffle-free per-doc repetition signals
     "simhash_near_dups",       # provably-exact banded SimHash dedup
+    "incremental_simhash_dedup",  # batch probe vs wide-code band index
     "dedup_components",        # iterative large-star/small-star clustering
     "sequence_packing",        # hierarchical prefix sum + bin explode
     "events_sliding",          # overlapping hop-window aggregation
@@ -105,6 +106,7 @@ HEADLINE = [
     "containment_near_dups",   # directed Broder containment (posting self-join)
     "tfidf_cosine_near_dups",  # sparse tf-idf cosine pairs (term self-join)
     "pricing_summary_exact",   # Q1 in exact integer units (scale-stable)
+    "monthly_revenue_delta_exact",  # W1 deltas in integer cents (x1000-stable)
     "revenue_rollup_exact",    # ROLLUP certified in undivided cents
     "order_value_histogram_exact",  # integer-cent bucket edges, no doubles
     "seasonal_decomposition_exact",  # decomposition's integer state certified
