@@ -2318,3 +2318,109 @@ def test_real_decoder_set_is_pinned():
     np.testing.assert_array_equal(
         multimodal.auto_decode(bmp, "image"), multimodal.decode_bmp(bmp)
     )
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """semantic_dedup equals the brute-force restatement of its contract on
+    a corpus with planted near-duplicates: assign to nearest seed by
+    squared distance (lowest seed on ties), then flag any vector with a
+    lower-id same-cluster neighbor at rounded-cosine >= threshold."""
+    import numpy as np
+
+    from tsdisagg_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8)).astype(np.float32)
+    # plant near-dups: rows 30..39 are tiny perturbations of rows 0..9
+    base[30:40] = base[0:10] + rng.normal(scale=1e-3, size=(10, 8)).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: (r.cluster, r.is_dup)
+        for r in similarity.semantic_dedup(
+            df, n_clusters=4, threshold=0.99
+        ).collect()
+    }
+
+    v = base.astype(np.float64)
+    seeds = v[:4]
+    d2 = ((v[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)  # numpy argmin = lowest index on ties
+    nrm = np.sqrt((v * v).sum(axis=1))
+    expect_dup = set()
+    for b in range(40):
+        for a in range(b):
+            if cluster[a] == cluster[b] and round(
+                float(v[a] @ v[b] / (nrm[a] * nrm[b])), 6
+            ) >= 0.99:
+                expect_dup.add(b)
+                break
+    assert len(out) == 40
+    for i in range(40):
+        assert out[i][0] == cluster[i], i
+        assert out[i][1] == (i in expect_dup), i
+    # the planted copies are exactly the flagged set
+    assert expect_dup == set(range(30, 40))
+
+
+def test_quota_sample_equals_single_window(spark):
+    """The salted two-phase quota selection equals the single-window
+    definition row-for-row, including on a pathologically skewed group
+    (one domain holding 80% of rows), and never exceeds the cap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tsdisagg_spark.operators import sampling
+
+    rows = [(i, "big" if i < 800 else f"s{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r.source, r.doc_id, r.quota_rank)
+        for r in sampling.quota_sample(
+            df, group_col="source", key_col="doc_id", n=25, n_salts=8
+        ).collect()
+    }
+
+    hkey = F.concat(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("quota"))),
+        F.col("doc_id").cast("string"),
+    )
+    w = Window.partitionBy("source").orderBy(hkey)
+    want = {
+        (r.source, r.doc_id, r.quota_rank)
+        for r in df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= 25)
+        .collect()
+    }
+    assert got == want
+    per_group = {}
+    for s, _, _ in got:
+        per_group[s] = per_group.get(s, 0) + 1
+    assert per_group["big"] == 25
+    assert all(v <= 25 for v in per_group.values())
+
+
+def test_shard_assignment_deterministic_and_balanced(spark):
+    """Shards are a pure function of the key (stable across partitionings),
+    land in [0, n), and split ~evenly."""
+    from tsdisagg_spark.operators import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {
+        r.doc_id: r.shard
+        for r in sampling.shard_assignment(df, "doc_id", 16).collect()
+    }
+    b = {
+        r.doc_id: r.shard
+        for r in sampling.shard_assignment(
+            df.repartition(7), "doc_id", 16
+        ).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(16))
+    counts = [list(a.values()).count(s) for s in range(16)]
+    assert min(counts) > 2000 / 16 * 0.6 and max(counts) < 2000 / 16 * 1.5

@@ -123,3 +123,68 @@ def weighted_sample(
         .filter(F.col("rk") <= n)
         .drop("pri", "rk")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "quota",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by deterministic md5 hash
+    order of the key — the domain-balancing cap a web corpus applies so no
+    single host dominates the training mix.  Adds ``quota_rank`` (1-based
+    position in the group's hash order).
+
+    The selected set is exactly "the n smallest ``(md5(key||salt), key)``
+    per group" — re-runnable, engine-portable, and independent of input
+    partitioning.  A single window rank would force EVERY row of a group
+    through one partition: at web scale the largest domain is exactly the
+    group you cannot do that to.  So selection is hierarchical top-n:
+
+    * phase 1 ranks within ``(group, hash(key) % n_salts)`` salted
+      subgroups and keeps n per subgroup — the only pass that sees the full
+      data, with per-partition fan-in bounded by n_salts * n regardless of
+      group skew;
+    * phase 2 re-ranks the <= n_salts * n survivors per group and keeps n.
+
+    Because every group's true top-n is contained in the union of its
+    salted subgroups' top-n, the two-phase result equals the single-window
+    result row-for-row (the operator tests pin this equivalence).
+    """
+    hkey = F.concat(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.col(key_col).cast("string"),
+    )
+    sub = Window.partitionBy(
+        F.col(group_col), F.pmod(F.hash(F.col(key_col)), F.lit(n_salts))
+    ).orderBy(hkey)
+    final = Window.partitionBy(group_col).orderBy(hkey)
+    return (
+        df.withColumn("__rk1", F.row_number().over(sub))
+        .filter(F.col("__rk1") <= n)
+        .withColumn("quota_rank", F.row_number().over(final))
+        .filter(F.col("quota_rank") <= n)
+        .drop("__rk1")
+    )
+
+
+def shard_assignment(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic training-shard assignment: adds ``shard`` in
+    ``[0, n_shards)`` from the md5 bucket of the key — the export step that
+    splits a curated corpus into equal-expectation shards for data-parallel
+    training.
+
+    Pure projection: no shuffle, no RNG, rides the scan.  The physical
+    write is ``df.write.partitionBy("shard")`` (or ``repartition("shard")``
+    first to get one file per shard); assignment is engine-portable so a
+    SQL oracle reproduces every row's shard exactly, and re-exporting after
+    an upstream change moves only the rows that actually changed.
+    """
+    return df.withColumn(
+        "shard", (hash_bucket(F.col(key_col), salt) % n_shards).cast("int")
+    )

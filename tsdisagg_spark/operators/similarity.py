@@ -441,6 +441,83 @@ def embedding_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style cluster-blocked semantic deduplication (Abbas et al.
+    2023, arXiv:2303.09540): assign every vector to its nearest of
+    ``n_clusters`` deterministic seed centroids (the ``id < n_clusters``
+    vectors), then flag as duplicate any vector that has a LOWER-id
+    same-cluster neighbor with ``round(cosine, 6) >= threshold``.  Returns
+    one row per input vector: ``(id, cluster, is_dup)``.
+
+    This is the economics that makes embedding dedup feasible at corpus
+    scale: the O(N^2) pair space collapses to sum(N_c^2) over clusters, and
+    only same-cluster rows ever meet in the self-join.  Scale shape:
+
+    * assignment fans out (id, seed_id, d2) triples against a BROADCAST
+      seed table — the embedding arrays are never replicated K ways — and
+      reduces with one ``min_by`` hash aggregation;
+    * the pair stage shuffles each row once on its cluster id; within a
+      cluster the join carries (id, vec, norm) and scores pairs with the
+      same sequential-fold dot/norm arithmetic as :func:`exact_dup_pairs`'s
+      oracle contract (fold order is bit-identical across engines, so the
+      6-decimal rounding guard only arbitrates sub-ULP formula residue);
+    * keep-lowest-id inside a cluster needs no connected components: "has
+      ANY lower-id near neighbor" is a single semi-join-shaped aggregation,
+      mirroring SemDeDup's keep-one-representative semantics.
+
+    The K=seed variant here is the oracle-able twin; the production path at
+    100k+ clusters swaps the assignment stage for
+    :func:`train_centroids` + :func:`kmeans_assign` (sampled k-means, GEMM
+    per Arrow batch) with the identical pair stage downstream.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    seeds = v.filter(F.col("vid") < n_clusters).select(
+        F.col("vid").alias("seed_id"), F.col("vec").alias("seed")
+    )
+    d2 = v.crossJoin(F.broadcast(seeds)).select(
+        "vid",
+        "seed_id",
+        F.aggregate(
+            F.zip_with("vec", "seed", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    assign = d2.groupBy("vid").agg(
+        F.min_by("seed_id", F.struct("d2", "seed_id")).alias("cluster")
+    )
+    av = v.join(assign, "vid").withColumn("vnorm", norm(F.col("vec")))
+    a, b = av.alias("a"), av.alias("b")
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .filter(
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.vnorm") * F.col("b.vnorm")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assign.join(dups, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cluster",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

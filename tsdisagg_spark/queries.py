@@ -3181,6 +3181,68 @@ def stratified_sample(spark, sf_dir):
 
 
 @query(
+    "domain_quota_sample",
+    oracle="""
+    SELECT source, doc_id, quota_rank FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR || 'quota') || doc_id::VARCHAR
+               ) AS quota_rank
+        FROM documents)
+    WHERE quota_rank <= 10
+    """,
+)
+def domain_quota_sample(spark, sf_dir):
+    """Per-domain quota cap (keep <= 10 docs per source, md5-hash order) —
+    the host-balancing pass that stops one domain from dominating the
+    training mix.  The Spark side selects hierarchically (salted subgroup
+    top-n, then re-rank the survivors) so the largest domain never funnels
+    through one partition; the oracle is the single-window definition the
+    two-phase plan must equal row-for-row."""
+    from tsdisagg_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    return sampling.quota_sample(
+        d, group_col="source", key_col="doc_id", n=10
+    ).select("source", "doc_id", F.col("quota_rank").cast("long").alias("quota_rank"))
+
+
+@query(
+    "training_shards",
+    oracle="""
+    SELECT CAST((('0x' || substring(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT
+                 % 10000) % 16 AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def training_shards(spark, sf_dir):
+    """Deterministic training-shard export audit: md5-bucket every document
+    into 16 shards (a pure projection — no shuffle, no RNG, engine-portable)
+    and report each shard's manifest (docs, whitespace tokens, chars, id
+    span).  This is the summary a sharded ``write.partitionBy("shard")``
+    export publishes so trainers can verify shard balance without reading
+    the data."""
+    from tsdisagg_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    sharded = sampling.shard_assignment(d, key_col="doc_id", n_shards=16)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
     "repetition_stats",
     oracle="""
     WITH words AS (
@@ -3532,6 +3594,56 @@ def embedding_dup_lsh_exhaustive(spark, sf_dir):
     test."""
     return similarity.embedding_dup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=0, dim=64
+    )
+
+
+@query(
+    "semantic_dedup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, e AS s FROM v WHERE vec_id < 8),
+    d2 AS (
+        SELECT v.vec_id, seeds.seed_id,
+               list_sum(list_transform(list_zip(v.e, seeds.s),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        FROM v CROSS JOIN seeds
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster
+        FROM (SELECT vec_id, seed_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, seed_id ASC) AS rk
+              FROM d2)
+        WHERE rk = 1
+    ),
+    av AS (
+        SELECT a.vec_id, a.cluster, v.e,
+               sqrt(list_sum(list_transform(v.e, x -> x * x))) AS nrm
+        FROM assign a JOIN v USING (vec_id)
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ROUND(list_sum(list_transform(list_zip(a.e, b.e),
+                        x -> x[1] * x[2])) / (a.nrm * b.nrm), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS is_dup
+    FROM assign a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-blocked semantic deduplication): nearest-seed
+    assignment (K=8, the ``vec_id<8`` embeddings, same fold-exact argmin
+    contract as `kmeans_assign_update`) then keep-lowest-id within each
+    cluster at rounded-cosine >= 0.4.  The oracle replays both stages
+    relationally, so the hash check covers the assignment argmin, the
+    cluster-blocked pair space, AND the dup flags.  Assignment distances
+    and cosines are sequential folds on both engines (bit-identical; the
+    6-decimal guard only absorbs formula-order residue), so no float-grid
+    corpus bound applies."""
+    return similarity.semantic_dedup(
+        t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4
     )
 
 
@@ -6732,6 +6844,11 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "session_windows",
     "tfidf_cosine_near_dups",
     "incremental_minhash_dedup",
+    # round-6 late additions: the SemDeDup flagship and the curation-export
+    # pair — new surface should get an external hash row the round it lands
+    "semantic_dedup",
+    "domain_quota_sample",
+    "training_shards",
 )
 
 
