@@ -110,6 +110,9 @@ HEADLINE = [
     "revenue_rollup_exact",    # ROLLUP certified in undivided cents
     "order_value_histogram_exact",  # integer-cent bucket edges, no doubles
     "seasonal_decomposition_exact",  # decomposition's integer state certified
+    "semantic_dedup",          # SemDeDup: cluster-blocked embedding dedup
+    "domain_quota_sample",     # salted two-phase per-domain top-n cap
+    "training_shards",         # md5 shard manifests (pure projection + agg)
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

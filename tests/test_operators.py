@@ -2424,3 +2424,37 @@ def test_shard_assignment_deterministic_and_balanced(spark):
     assert set(a.values()) <= set(range(16))
     counts = [list(a.values()).count(s) for s in range(16)]
     assert min(counts) > 2000 / 16 * 0.6 and max(counts) < 2000 / 16 * 1.5
+
+
+def test_semantic_dedup_gemm_backend_matches_expr(spark):
+    """The BLAS pair stage (collected seeds + kmeans_assign GEMM +
+    per-cluster blocked GEMM) reproduces the Catalyst fold path
+    row-for-row — the scale backend is semantically the same operator."""
+    import numpy as np
+
+    from tsdisagg_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 12)).astype(np.float32)
+    base[100:120] = base[0:20] + rng.normal(
+        scale=1e-3, size=(20, 12)
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {
+        (r.vec_id, r.cluster, r.is_dup)
+        for r in similarity.semantic_dedup(
+            df, n_clusters=5, threshold=0.99
+        ).collect()
+    }
+    b = {
+        (r.vec_id, r.cluster, r.is_dup)
+        for r in similarity.semantic_dedup(
+            df, n_clusters=5, threshold=0.99, backend="gemm"
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(df, backend="blas")

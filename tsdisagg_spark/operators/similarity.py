@@ -447,6 +447,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_clusters: int = 8,
     threshold: float = 0.95,
+    backend: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked semantic deduplication (Abbas et al.
     2023, arXiv:2303.09540): assign every vector to its nearest of
@@ -475,10 +476,30 @@ def semantic_dedup(
     100k+ clusters swaps the assignment stage for
     :func:`train_centroids` + :func:`kmeans_assign` (sampled k-means, GEMM
     per Arrow batch) with the identical pair stage downstream.
+
+    ``backend`` selects the pair-stage engine:
+
+    * ``"expr"`` (default) — Catalyst fold arithmetic end-to-end.
+      Bit-identical to a SQL oracle (the registry twin), but the
+      interpreted HOF dot is the bottleneck past ~1M intra-cluster pairs.
+    * ``"gemm"`` — the scale path: seeds collected once (K x d floats, the
+      only driver traffic), assignment as one BLAS GEMM per Arrow batch,
+      and per-cluster pair scoring as blocked GEMM inside
+      ``applyInPandas`` (each cluster is one group; sims computed in
+      row-blocks so peak memory is block x cluster, not cluster^2).
+      Same keep-lowest-id semantics; cosine rounds at 6 decimals before
+      the threshold, the same contract `exact_dup_pairs` proved
+      oracle-safe.  Sized for fixed cluster OCCUPANCY: pick
+      ``n_clusters ~ N / 1024`` and total scored pairs stay ~N x 512 —
+      LINEAR in the corpus, the SemDeDup economics at 100 TB.
     """
+    if backend not in ("expr", "gemm"):
+        raise ValueError(f"backend must be 'expr' or 'gemm', got {backend!r}")
     v = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
+    if backend == "gemm":
+        return _semantic_dedup_gemm(v, id_col, n_clusters, threshold)
     seeds = v.filter(F.col("vid") < n_clusters).select(
         F.col("vid").alias("seed_id"), F.col("vec").alias("seed")
     )
@@ -515,6 +536,73 @@ def semantic_dedup(
         F.col("vid").alias(id_col),
         "cluster",
         F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+
+
+def _semantic_dedup_gemm(
+    v: DataFrame, id_col: str, n_clusters: int, threshold: float
+) -> DataFrame:
+    """GEMM backend of :func:`semantic_dedup` over the normalized
+    ``(vid, vec)`` frame — see that docstring for the contract."""
+    seed_rows = sorted(
+        v.filter(F.col("vid") < n_clusters).collect(), key=lambda r: r.vid
+    )
+    seed_ids = [int(r.vid) for r in seed_rows]
+    centroids = [list(r.vec) for r in seed_rows]
+    # centroid index i corresponds to seed vid seed_ids[i]; kmeans_assign
+    # breaks exact distance ties toward the LOWEST index = lowest seed vid
+    # (seed_rows are vid-sorted), matching the expr path's min_by order.
+    assigned = kmeans_assign(v, centroids, vec_col="vec")
+    id_to_seed = np.array(seed_ids, dtype=np.int64)
+
+    # ``round(x, 6) >= thr`` restated boundary-inclusively as ``x >= cut``:
+    # HALF_UP rounding promotes anything from half-a-grid-step below the
+    # threshold, so the comparison cut sits 5e-7 under it (same 1-ulp
+    # boundary residue class as the rounded form — the equivalence test
+    # pins the two backends on data away from the boundary).
+    cut = float(threshold) - 5e-7
+
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        M = np.stack(pdf["vec"].to_numpy()).astype(float)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        M /= nrm[:, None]
+        n = M.shape[0]
+        dup = np.zeros(n, dtype=bool)
+        block = 1024
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            cols = np.arange(s, e)
+            undecided = np.ones(e - s, dtype=bool)
+            # chunk the earlier rows; dup-dense corpora resolve most
+            # columns in the first chunk, so work collapses toward
+            # O(n x chunk) instead of the full lower triangle
+            for cs_ in range(0, e, block):
+                ce = min(cs_ + block, e)
+                if not undecided.any():
+                    break
+                live = np.flatnonzero(undecided)
+                sims = M[cs_:ce] @ M[cols[live]].T
+                # row index must stay strictly below the column's global
+                # index (only lower-vid neighbors count)
+                mask = (cs_ + np.arange(ce - cs_))[:, None] < cols[live][None, :]
+                hit = ((sims >= cut) & mask).any(axis=0)
+                dup[cols[live[hit]]] = True
+                undecided[live[hit]] = False
+        return pd.DataFrame(
+            {
+                "vid": pdf["vid"],
+                "cluster": id_to_seed[pdf["cluster"].to_numpy()],
+                "is_dup": dup,
+            }
+        )
+
+    out = assigned.groupBy("cluster").applyInPandas(
+        flag, "vid long, cluster long, is_dup boolean"
+    )
+    return out.select(
+        F.col("vid").alias(id_col), "cluster", "is_dup"
     )
 
 

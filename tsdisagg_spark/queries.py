@@ -3641,7 +3641,14 @@ def semantic_dedup(spark, sf_dir):
     cluster-blocked pair space, AND the dup flags.  Assignment distances
     and cosines are sequential folds on both engines (bit-identical; the
     6-decimal guard only absorbs formula-order residue), so no float-grid
-    corpus bound applies."""
+    corpus bound applies.
+
+    SCALE NOTE: with K pinned at 8 the pair space is N^2/8 — this twin is
+    the labeled quadratic oracle baseline (same class as
+    `embedding_dup_exact`; BENCH_SKIP it at stress multipliers).  The
+    production configuration is ``backend="gemm"`` with occupancy-scaled
+    K (N/1024 clusters): measured 9.1x total wall for 1000x the vectors
+    at 2M (SCALING.md, `tools/semdedup_stress.py`)."""
     return similarity.semantic_dedup(
         t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4
     )
