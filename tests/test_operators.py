@@ -2458,3 +2458,49 @@ def test_semantic_dedup_gemm_backend_matches_expr(spark):
     assert a == b
     with pytest.raises(ValueError):
         similarity.semantic_dedup(df, backend="blas")
+
+
+def test_window_dup_stats_matches_bruteforce(spark):
+    """window_dup_stats equals a literal Python restatement on a corpus
+    with a planted repeated passage: coverage is the union of flagged
+    windows, short docs yield zero windows, and within-doc repetition
+    counts toward the census."""
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, f"alpha beta {passage} gamma delta epsilon"),
+        (1, f"zeta eta theta iota {passage} kappa"),
+        (2, "totally unrelated words that repeat nothing of note here"),
+        (3, "short doc"),
+        # within-doc repetition: the same 6-gram twice in one document
+        (4, "x1 x2 x3 x4 x5 x6 filler x1 x2 x3 x4 x5 x6 tail"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    W = 6
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in dedup.window_dup_stats(df, window=W).collect()
+    }
+
+    toks = {i: t.lower().strip().split() for i, t in docs}
+    from collections import Counter
+
+    census = Counter()
+    wins = {}
+    for i, w in toks.items():
+        wins[i] = [
+            (p, " ".join(w[p : p + W])) for p in range(len(w) - W + 1)
+        ]
+        census.update(g for _, g in wins[i])
+    for i, w in toks.items():
+        cov = set()
+        for p, g in wins[i]:
+            if census[g] >= 2:
+                cov.update(range(p, p + W))
+        assert out[i] == (
+            len(w),
+            len(cov),
+            round(len(cov) / len(w), 6),
+        ), i
+    # sanity: the planted passage was actually caught, the clean doc not
+    assert out[0][1] > 0 and out[1][1] > 0 and out[4][1] > 0
+    assert out[2][1] == 0 and out[3][1] == 0

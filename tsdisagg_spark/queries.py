@@ -3181,6 +3181,45 @@ def stratified_sample(spark, sf_dir):
 
 
 @query(
+    "exact_substring_overlap",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i - 1 AS pos0,
+               md5(array_to_string(w[i:i+15], ' ')) AS dig
+        FROM words,
+        LATERAL (SELECT unnest(generate_series(1, len(w) - 15)) AS i) t
+    ),
+    rep AS (SELECT dig FROM wins GROUP BY dig HAVING COUNT(*) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, p
+        FROM wins JOIN rep USING (dig),
+        LATERAL (SELECT unnest(generate_series(pos0, pos0 + 15)) AS p) q
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(a.dup_tokens, 0) * 1.0 / len(w.w), 6) AS dup_frac
+    FROM words w LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def exact_substring_overlap(spark, sf_dir):
+    """ExactSubstr-style duplicated-text audit (Lee et al. 2022): per
+    document, the fraction of token positions covered by a 16-token window
+    whose digest repeats anywhere in the corpus.  The substring-level
+    complement to MinHash document dedup — catches verbatim passages
+    embedded in otherwise-distinct documents.  ``dup_frac`` is a single
+    integer/integer division (exact class, no float-grid bound); the
+    census shuffles 32-char digests, never text."""
+    return dedup.window_dup_stats(
+        t(spark, sf_dir, "documents"), window=16, min_count=2
+    )
+
+
+@query(
     "domain_quota_sample",
     oracle="""
     SELECT source, doc_id, quota_rank FROM (
@@ -6856,6 +6895,7 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "semantic_dedup",
     "domain_quota_sample",
     "training_shards",
+    "exact_substring_overlap",
 )
 
 
