@@ -114,6 +114,7 @@ HEADLINE = [
     "domain_quota_sample",     # salted two-phase per-domain top-n cap
     "training_shards",         # md5 shard manifests (pure projection + agg)
     "exact_substring_overlap", # ExactSubstr window census + coverage union
+    "incremental_semantic_dedup",  # batch probe vs persistable cluster index
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

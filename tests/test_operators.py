@@ -2504,3 +2504,119 @@ def test_window_dup_stats_matches_bruteforce(spark):
     # sanity: the planted passage was actually caught, the clean doc not
     assert out[0][1] > 0 and out[1][1] > 0 and out[4][1] > 0
     assert out[2][1] == 0 and out[3][1] == 0
+
+
+def test_semantic_probe_durable_index_and_broadcast_plan(spark, tmp_path):
+    """The semantic cluster index survives a parquet round-trip (assignment
+    is a deterministic fold, so a probe against the re-read index equals
+    the inline result), probe output matches brute force, and the probe
+    plan BROADCASTS the batch — the corpus index side carries no
+    exchange."""
+    import numpy as np
+
+    from tsdisagg_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(60, 8)).astype(np.float32)
+    base[55:60] = base[10:15] + rng.normal(scale=1e-3, size=(5, 8)).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = df.filter((F.col("vec_id") < 4)).select(
+        F.col("vec_id").alias("seed_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("seed"),
+    )
+    corpus = df.filter(F.col("vec_id") % 4 != 3)
+    batch = df.filter(F.col("vec_id") % 4 == 3)
+
+    index = similarity.semantic_index(corpus, seeds)
+    inline = {
+        (r.batch_id, r.corpus_id, r.cosine)
+        for r in similarity.semantic_probe(
+            batch, index, seeds, threshold=0.99
+        ).collect()
+    }
+
+    # durable: write, re-read in a fresh frame, probe again
+    path = str(tmp_path / "sem_index")
+    index.write.parquet(path)
+    reread = spark.read.parquet(path)
+    durable = {
+        (r.batch_id, r.corpus_id, r.cosine)
+        for r in similarity.semantic_probe(
+            batch, reread, seeds, threshold=0.99
+        ).collect()
+    }
+    assert durable == inline
+
+    # brute force: same seeds, same argmin, same rounded-cosine rule
+    v = base.astype(np.float64)
+    sd = v[:4]
+    d2 = ((v[:, None, :] - sd[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    nrm = np.sqrt((v * v).sum(axis=1))
+    expect = set()
+    for b in range(60):
+        if b % 4 != 3:
+            continue
+        for c in range(60):
+            if c % 4 == 3 or cl[b] != cl[c]:
+                continue
+            cos = round(float(v[b] @ v[c] / (nrm[b] * nrm[c])), 6)
+            if cos >= 0.99:
+                expect.add((b, c, cos))
+    assert {(b, c) for b, c, _ in inline} == {(b, c) for b, c, _ in expect}
+
+    plan = similarity.semantic_probe(
+        batch, reread, seeds, threshold=0.99
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the index side of the cluster join must stream from the scan with
+    # no exchange: every Exchange in the plan belongs to the (small)
+    # batch-assignment subtree, whose scans are in-memory LocalTableScans
+    for frag in plan.split("Exchange")[1:]:
+        assert "Scan parquet" not in frag.split("BroadcastHashJoin")[0]
+
+
+def test_semantic_probe_gemm_backend_matches_expr(spark):
+    """The cogrouped per-cluster GEMM probe emits exactly the expr
+    backend's pairs with cosines equal on the 6-decimal grid (the 5e-7
+    cut slack admits boundary rows the fold also admits)."""
+    import numpy as np
+
+    from tsdisagg_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(80, 6)).astype(np.float32)
+    base[70:80] = base[0:10] + rng.normal(scale=1e-3, size=(10, 6)).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("seed_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("seed"),
+    )
+    corpus = df.filter(F.col("vec_id") % 4 != 0)
+    batch = df.filter(F.col("vec_id") % 4 == 0)
+
+    def run(backend):
+        index = similarity.semantic_index(corpus, seeds, backend=backend)
+        return {
+            (r.batch_id, r.corpus_id, r.cosine)
+            for r in similarity.semantic_probe(
+                batch, index, seeds, threshold=0.5, backend=backend
+            ).collect()
+        }
+
+    expr = run("expr")
+    gemm = run("gemm")
+    assert {(b, c) for b, c, _ in expr} == {(b, c) for b, c, _ in gemm}
+    ge = {(b, c): s for b, c, s in gemm}
+    for b, c, s in expr:
+        assert abs(ge[(b, c)] - s) <= 1e-6

@@ -539,6 +539,152 @@ def semantic_dedup(
     )
 
 
+def semantic_index(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend: str = "expr",
+) -> DataFrame:
+    """Cluster index of an embedding corpus: every vector assigned to its
+    nearest seed centroid — ``(id, cluster, vec, vnorm)``, the structure a
+    continuously-ingested pipeline persists so new batches are
+    semantically deduplicated against the corpus WITHOUT re-clustering or
+    re-pairing it (the embedding analog of :func:`dedup.minhash_band_index`).
+
+    ``seeds`` is a ``(seed_id, seed)`` frame (any deterministic rule —
+    the registry query uses a plain id filter so a SQL engine reproduces
+    the exact index).  Assignment is the same broadcast fold argmin as
+    :func:`semantic_dedup`'s expr path: bit-identical across engines and
+    sessions, which is what makes the index durable rather than
+    session-scoped (pinned by a parquet round-trip test).  Production
+    swap at many-cluster scale: :func:`kmeans_assign` (GEMM per Arrow
+    batch), same output contract.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    if backend == "gemm":
+        seed_rows = sorted(seeds.collect(), key=lambda r: r.seed_id)
+        centroids = [list(r.seed) for r in seed_rows]
+        id_to_seed = np.array(
+            [int(r.seed_id) for r in seed_rows], dtype=np.int64
+        )
+        assigned = kmeans_assign(v, centroids, vec_col="vec")
+        # map centroid index back to seed id via an expression (literal
+        # array lookup — stays in codegen, no UDF)
+        lookup = F.array(*[F.lit(int(s)) for s in id_to_seed])
+        return assigned.withColumn("vnorm", norm(F.col("vec"))).select(
+            F.col("vid").alias(id_col),
+            F.element_at(lookup, F.col("cluster") + 1).alias("cluster"),
+            "vec",
+            "vnorm",
+        )
+    d2 = v.crossJoin(F.broadcast(seeds)).select(
+        "vid",
+        "seed_id",
+        F.aggregate(
+            F.zip_with("vec", "seed", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    assign = d2.groupBy("vid").agg(
+        F.min_by("seed_id", F.struct("d2", "seed_id")).alias("cluster")
+    )
+    return (
+        v.join(assign, "vid")
+        .withColumn("vnorm", norm(F.col("vec")))
+        .select(
+            F.col("vid").alias(id_col), "cluster", "vec", "vnorm"
+        )
+    )
+
+
+def semantic_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    backend: str = "expr",
+) -> DataFrame:
+    """Incremental semantic dedup: probe a NEW embedding batch against a
+    persisted :func:`semantic_index`, returning ``(batch_id, corpus_id,
+    cosine)`` for every batch vector whose rounded cosine against a
+    same-cluster indexed vector meets ``threshold``.
+
+    Scale shape — why this beats re-running SemDeDup per ingest: the
+    batch is assigned against the SAME seed table (broadcast fold, O(batch
+    x K)) and then BROADCAST into a hash join on ``cluster`` — the
+    corpus-sized index STREAMS map-side, is never shuffled, and is never
+    paired against itself.  Ingest cost is O(batch x occupancy + matches),
+    independent of corpus size.  Batch-vs-batch pairs are deliberately not
+    emitted (that is a :func:`semantic_dedup` run over the batch alone).
+
+    ``backend="gemm"`` is the many-cluster scale path: the batch assigns
+    through :func:`semantic_index`'s GEMM route and scoring runs as one
+    BLAS product per cluster via a COGROUPED ``applyInPandas`` (batch
+    group x index group) — pair rows are never materialized as a join,
+    only the >= threshold survivors leave the kernel.  Same rounded-
+    cosine contract, equivalence test-pinned.
+    """
+    b = semantic_index(batch, seeds, id_col, vec_col, backend=backend)
+    if backend == "gemm":
+        cut = float(threshold) - 5e-7
+
+        def score(bpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+            if bpdf.empty or cpdf.empty:
+                return pd.DataFrame(
+                    {"batch_id": [], "corpus_id": [], "cosine": []}
+                ).astype(
+                    {
+                        "batch_id": "int64",
+                        "corpus_id": "int64",
+                        "cosine": "float64",
+                    }
+                )
+            B = np.stack(bpdf["vec"].to_numpy()).astype(float)
+            C = np.stack(cpdf["vec"].to_numpy()).astype(float)
+            bn = bpdf["vnorm"].to_numpy().astype(float)
+            cn = cpdf["vnorm"].to_numpy().astype(float)
+            bn[bn == 0.0] = 1.0
+            cn[cn == 0.0] = 1.0
+            sims = (B / bn[:, None]) @ (C / cn[:, None]).T
+            bi, ci = np.nonzero(sims >= cut)
+            return pd.DataFrame(
+                {
+                    "batch_id": bpdf[id_col].to_numpy()[bi],
+                    "corpus_id": cpdf[id_col].to_numpy()[ci],
+                    "cosine": np.round(sims[bi, ci], 6),
+                }
+            )
+
+        return (
+            b.groupBy("cluster")
+            .cogroup(index.groupBy("cluster"))
+            .applyInPandas(
+                score, "batch_id long, corpus_id long, cosine double"
+            )
+        )
+    b = b.alias("b")
+    c = index.alias("c")
+    return (
+        c.join(F.broadcast(b), "cluster")
+        .select(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.round(
+                dot(F.col("b.vec"), F.col("c.vec"))
+                / (F.col("b.vnorm") * F.col("c.vnorm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _semantic_dedup_gemm(
     v: DataFrame, id_col: str, n_clusters: int, threshold: float
 ) -> DataFrame:

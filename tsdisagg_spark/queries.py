@@ -3694,6 +3694,66 @@ def semantic_dedup(spark, sf_dir):
 
 
 @query(
+    "incremental_semantic_dedup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, e AS s FROM v
+              WHERE vec_id < 10 AND vec_id % 5 != 0),
+    d2 AS (
+        SELECT v.vec_id, seeds.seed_id,
+               list_sum(list_transform(list_zip(v.e, seeds.s),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        FROM v CROSS JOIN seeds
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster
+        FROM (SELECT vec_id, seed_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, seed_id ASC) AS rk
+              FROM d2)
+        WHERE rk = 1
+    ),
+    av AS (
+        SELECT a.vec_id, a.cluster, v.e,
+               sqrt(list_sum(list_transform(v.e, x -> x * x))) AS nrm
+        FROM assign a JOIN v USING (vec_id)
+    )
+    SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+           ROUND(list_sum(list_transform(list_zip(b.e, c.e),
+                     x -> x[1] * x[2])) / (b.nrm * c.nrm), 6) AS cosine
+    FROM av b JOIN av c ON b.cluster = c.cluster
+    WHERE b.vec_id % 5 = 0 AND c.vec_id % 5 != 0
+      AND ROUND(list_sum(list_transform(list_zip(b.e, c.e),
+                    x -> x[1] * x[2])) / (b.nrm * c.nrm), 6) >= 0.4
+    """,
+)
+def incremental_semantic_dedup(spark, sf_dir):
+    """The continuous-ingest shape for SEMANTIC dedup (completing the
+    incremental family across all three modalities: minhash text, simhash
+    codes, embeddings): the corpus (vec_id % 5 != 0) is held as a
+    persistable cluster index against 8 deterministic seed centroids (the
+    corpus vectors with vec_id < 10), and a new batch (vec_id % 5 == 0)
+    is assigned against the SAME seeds and broadcast into a hash join on
+    cluster — the corpus index streams map-side, never shuffles, never
+    re-pairs against itself; ingest cost is O(batch x occupancy +
+    matches).  Assignment distances and cosines are sequential folds on
+    both engines (bit-identical), so no float-grid corpus bound
+    applies."""
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(
+        (F.col("vec_id") < 10) & (F.col("vec_id") % 5 != 0)
+    ).select(
+        F.col("vec_id").alias("seed_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("seed"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    index = similarity.semantic_index(corpus, seeds)
+    return similarity.semantic_probe(batch, index, seeds, threshold=0.4)
+
+
+@query(
     "embedding_dup_exact",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -6896,6 +6956,7 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "domain_quota_sample",
     "training_shards",
     "exact_substring_overlap",
+    "incremental_semantic_dedup",
 )
 
 
