@@ -115,6 +115,7 @@ HEADLINE = [
     "training_shards",         # md5 shard manifests (pure projection + agg)
     "exact_substring_overlap", # ExactSubstr window census + coverage union
     "incremental_semantic_dedup",  # batch probe vs persistable cluster index
+    "bm25_search",             # BM25 lexical retrieval top-k
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

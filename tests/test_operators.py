@@ -160,6 +160,49 @@ def test_tfidf_cosine_matches_brute_force(spark):
         assert abs(cs - dot / (na * nb)) < 2e-6, (a, b)
 
 
+def test_bm25_matches_brute_force(spark):
+    """bm25_search equals a from-scratch BM25 (Lucene idf) on a tiny
+    corpus: scores, ranking, top-k cut, and doc_id tie-breaks."""
+    import math
+    from collections import Counter
+
+    corpus = [
+        (1, "hash join builds a table from the small side"),
+        (2, "sort merge join shuffles both sides by the join key"),
+        (3, "a window function scans rows within its frame"),
+        (4, "ducks swim on the quiet pond"),
+        (5, "broadcast hash join avoids the shuffle of the big side"),
+        (6, "hash hash hash join join scan"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    terms = ["hash", "join", "scan"]
+    got = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in text.bm25_search(df, terms, k=3).collect()
+    ]
+
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(ws) for ws in toks.values()) / n
+    dft = Counter(w for ws in toks.values() for w in set(ws) if w in terms)
+    scores = {}
+    for i, ws in toks.items():
+        tf = Counter(w for w in ws if w in terms)
+        s = 0.0
+        for w, f in tf.items():
+            idf = math.log(1.0 + (n - dft[w] + 0.5) / (dft[w] + 0.5))
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(ws) / avgdl))
+        if tf:
+            scores[i] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(d, s) for d, s, _ in got] == want
+    assert [r for _, _, r in got] == [1, 2, 3]
+    # docs without any query term never appear even with a huge k
+    all_ids = {r["doc_id"] for r in text.bm25_search(df, terms, k=100).collect()}
+    assert 4 not in all_ids and all_ids == set(scores)
+
+
 def test_tfidf_cosine_df_cap_is_closed_semantic(spark):
     """With max_doc_freq set, capped-out terms contribute to NEITHER dots
     NOR norms: the result equals brute force over the surviving vocabulary

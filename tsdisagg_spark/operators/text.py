@@ -374,6 +374,84 @@ def tfidf_cosine_pairs(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25 —
+    ``(id, score, rank)`` — the lexical retrieval primitive every
+    corpus-curation / RAG / eval-contamination pipeline leans on
+    (Robertson & Zaragoza 2009; the idf form is Lucene's
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``, strictly positive so a term
+    in >half the corpus cannot produce negative relevance).
+
+    Plan shape for 100 TB: the query-term ``isin`` filter lands directly
+    on the exploded token stream BEFORE the (doc, term) aggregate, so the
+    shuffled tf state is |matching docs| x |query terms|, not the corpus
+    posting table; df comes from aggregating that tf result; N / avgdl is
+    a broadcast one-row aggregate over doc lengths (computed over ALL
+    docs, matched or not — BM25's length normalization is corpus-global).
+    Per-doc sums add <= |query_terms| doubles; at the 6-decimal grid the
+    tie probability is ~1e-9/doc, safe to ~1e8 candidate docs (the
+    float-grid rule; ranking compares the ROUNDED score with id
+    tie-breaks, so order is deterministic across engines).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(F.col(id_col), words(F.col(text_col)).alias("w"))
+    dl = toks.select(F.col(id_col), F.size("w").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode("w").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                    / (F.col("dft") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("part"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum("part"), 6).alias("score")
+    )
+    # distributed TakeOrdered FIRST (per-partition heaps, no global sort
+    # or single-partition window over |matched docs|), THEN rank the k
+    # survivors — the window's empty partitioning is fine on k rows
+    top = per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        id_col, "score", "rank"
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

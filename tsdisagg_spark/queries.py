@@ -4441,6 +4441,69 @@ def tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
 
 
+BM25_QUERY_TERMS = ["hash", "join", "window", "scan"]
+
+
+@query(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+        WHERE term IN ('hash', 'join', 'window', 'scan')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (stats.n_docs - dfreq.dft + 0.5)
+                        / (dfreq.dft + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                   AS part
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    per_doc AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, score, rank FROM (
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM per_doc
+    ) WHERE rank <= 10
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """Top-10 documents for the bag-of-words query {hash, join, window,
+    scan} under BM25 (operators/text.py:bm25_search; Lucene idf form) —
+    the lexical retrieval primitive of corpus curation and
+    eval-contamination pipelines.  The query-term filter prunes the token
+    stream BEFORE the tf aggregate, length stats arrive as one broadcast
+    row, and the top-10 is a distributed TakeOrdered, not a global sort.
+    Float grid: each score sums <=4 ln-weighted terms (~1e-9/doc tie
+    probability at 6 decimals; safe to ~1e8 matched docs, then switch the
+    grid per the verify recipe's float-grid rule)."""
+    return text.bm25_search(
+        t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=10
+    )
+
+
 @query(
     "customer_quartiles",
     oracle="""
@@ -6957,6 +7020,7 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "training_shards",
     "exact_substring_overlap",
     "incremental_semantic_dedup",
+    "bm25_search",
 )
 
 
