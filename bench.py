@@ -116,6 +116,8 @@ HEADLINE = [
     "exact_substring_overlap", # ExactSubstr window census + coverage union
     "incremental_semantic_dedup",  # batch probe vs persistable cluster index
     "bm25_search",             # BM25 lexical retrieval top-k
+    "mixture_resample",        # epoch-mixture upsampling (map-side explode)
+    "order_snapshot_diff",     # CDC full-outer snapshot reconciliation
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

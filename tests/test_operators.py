@@ -1046,6 +1046,98 @@ def test_stratified_sample_plan_is_scan_local(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_mixture_resample_multiset_and_plan(spark):
+    """Repeat counts equal the hashlib recomputation (floor + md5-bucket
+    fraction), weight-0 strata vanish, repeat_idx is dense 0..n-1, the
+    result is partitioning-independent, and the plan is a map-side
+    explode — no exchange, no UDF."""
+    import hashlib
+    from collections import Counter
+
+    from tsdisagg_spark.operators import sampling
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(300), "source": ["w", "x", "y", "z"] * 75}
+    )
+    df = spark.createDataFrame(pdf)
+    weights = {"w": 2.5, "x": 0.4, "y": 0.0}
+
+    def run(frame):
+        return [
+            (r.doc_id, r.repeat_idx)
+            for r in sampling.mixture_resample(
+                frame, "source", weights, key_col="doc_id"
+            ).collect()
+        ]
+
+    got = run(df)
+    assert sorted(got) == sorted(run(df.repartition(7)))
+
+    def expect_repeats(doc_id, source):
+        w = weights.get(source, 1.0)
+        bucket = (
+            int(hashlib.md5(f"{doc_id}mix".encode()).hexdigest()[:8], 16)
+            % 10000
+        )
+        return int(w) + (1 if bucket < round((w - int(w)) * 10000) else 0)
+
+    want = Counter()
+    for d, s in zip(pdf.doc_id, pdf.source):
+        want[d] = expect_repeats(d, s)
+    got_counts = Counter(d for d, _ in got)
+    assert got_counts == Counter({d: n for d, n in want.items() if n > 0})
+    # repeat_idx is dense per doc
+    by_doc = {}
+    for d, i in got:
+        by_doc.setdefault(d, []).append(i)
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+    # y (weight 0) gone entirely
+    assert not any(pdf.source[d] == "y" for d in got_counts)
+
+    plan = (
+        sampling.mixture_resample(df, "source", weights, key_col="doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_classes_and_null_safety(spark):
+    """All four change classes, null-safe compare (NULL -> value is
+    'changed'), include_unchanged flag, and a single full-outer join in
+    the plan (no anti-joins)."""
+    from tsdisagg_spark.operators import joins
+
+    old = spark.createDataFrame(
+        [(1, 10, None), (2, 20, "a"), (3, 30, "b"), (5, 50, "e")],
+        "k long, v long, tag string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "seen"), (2, 20, "a"), (4, 40, "d"), (5, 51, "e")],
+        "k long, v long, tag string",
+    )
+    out = {
+        r.k: r.change
+        for r in joins.snapshot_diff(
+            old, new, keys=["k"], compare_cols=["v", "tag"]
+        ).collect()
+    }
+    assert out == {1: "changed", 3: "removed", 4: "added", 5: "changed"}
+
+    full = joins.snapshot_diff(
+        old, new, keys=["k"], compare_cols=["v", "tag"],
+        include_unchanged=True,
+    )
+    rows = {r.k: r for r in full.collect()}
+    assert rows[2].change == "unchanged"
+    assert rows[4].old_v is None and rows[4].new_v == 40
+    assert rows[3].new_tag is None and rows[3].old_v == 30
+
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FullOuter") >= 1
+    assert "LeftAnti" not in plan
+
+
 def test_repetition_stats_values(spark):
     df = spark.createDataFrame(
         pd.DataFrame(

@@ -56,3 +56,56 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     ).hint("shuffle_hash")
     return left_s.join(right_s, [*on, "__salt"], how).drop("__salt")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data capture between two snapshots of the same entity table:
+    one row per key present in either snapshot, classified ``added`` /
+    ``removed`` / ``changed`` (/ ``unchanged``), with the compared columns
+    emitted as ``old_<col>`` / ``new_<col>`` so downstream sinks can apply
+    the delta — the reconciliation step of every incremental-refresh /
+    SCD pipeline (detect what an upstream refeed actually touched instead
+    of rewriting 100 TB).
+
+    Comparison is NULL-SAFE per column (a NULL -> value transition is
+    ``changed``, not invisible).  Plan shape: ONE full-outer sort-merge
+    join on the key — both snapshots shuffle once on the same key, no
+    driver state, no second pass; with both inputs bucketed on the key
+    the exchange disappears entirely.  ``added``/``removed`` fall out of
+    the outer join's NULL sides, so no anti-joins are planned.
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, keys, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.withColumn("change", change).drop("__in_old", "__in_new")
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out.select(
+        *keys,
+        "change",
+        *[c for p in compare_cols for c in (f"old_{p}", f"new_{p}")],
+    )

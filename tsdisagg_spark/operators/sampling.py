@@ -125,6 +125,55 @@ def weighted_sample(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture RESAMPLING — the epoch-weighting step that
+    turns a curated corpus into a training mix (e.g. "see wikipedia 3.2
+    times per epoch, common-crawl 0.6 times"): every row is emitted
+    ``floor(w)`` times plus one more for the ``frac(w)`` md5-bucket slice
+    of its stratum, each copy tagged with ``repeat_idx`` (0-based) so
+    downstream shuffling/packing can decorrelate the copies.
+
+    The fractional decision reuses :func:`hash_bucket` (salted, so it is
+    independent of any earlier sampling pass on the same key); repeat
+    counts are therefore a pure function of (key, stratum) — reproducible
+    across runs, partitionings, and engines, like every sampler here.
+    Upsampling complements :func:`stratified_sample` (which can only keep
+    ``w <= 1`` fractions); together they express any non-negative mixture
+    weight.
+
+    Plan shape at 100 TB: one CASE expression computes the per-row count,
+    ``explode(sequence(...))`` fans rows out map-side — no shuffle, no
+    join, no RNG state; output size is exactly ``sum_s w_s * N_s`` rows
+    and pushdown below the explode still reaches the scan."""
+    wcase = reduce(
+        lambda acc, kv: acc.when(F.col(strata_col) == kv[0], float(kv[1])),
+        weights.items(),
+        F.when(F.lit(False), 0.0),
+    ).otherwise(float(default_weight))
+    base = F.floor(wcase).cast("long")
+    frac_buckets = F.round((wcase - F.floor(wcase)) * BUCKETS).cast("long")
+    extra = (
+        (hash_bucket(F.col(key_col), salt) < frac_buckets).cast("long")
+    )
+    repeats = (base + extra).alias("repeats")
+    return (
+        df.withColumn("repeats", repeats)
+        .filter(F.col("repeats") > 0)
+        .withColumn(
+            "repeat_idx",
+            F.explode(F.sequence(F.lit(0), F.col("repeats") - 1)),
+        )
+        .drop("repeats")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

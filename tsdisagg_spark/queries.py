@@ -3282,6 +3282,115 @@ def training_shards(spark, sf_dir):
 
 
 @query(
+    "mixture_resample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+                           WHEN 'src2' THEN 0.4 WHEN 'src3' THEN 0.0
+                           ELSE 1.0 END AS wt,
+               ('0x' || substring(md5(doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT
+                   % 10000 AS bucket
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               CAST(floor(wt) AS BIGINT)
+               + CASE WHEN bucket <
+                          CAST(round((wt - floor(wt)) * 10000) AS BIGINT)
+                      THEN 1 ELSE 0 END AS repeats
+        FROM w
+    )
+    SELECT doc_id, source, CAST(unnest(range(repeats)) AS BIGINT) AS repeat_idx
+    FROM r WHERE repeats > 0
+    """,
+)
+def mixture_resample(spark, sf_dir):
+    """Deterministic epoch-mixture resampling
+    (operators/sampling.py:mixture_resample): src0 seen 2.5x per epoch,
+    src1 2x, src2 0.4x, src3 dropped, everything else 1x — each emitted
+    copy tagged with repeat_idx.  Repeat counts are a pure function of
+    md5(doc_id), so the oracle reproduces the exact multiset; the Spark
+    plan is one CASE + map-side explode(sequence), no shuffle and no RNG
+    state.  Upsampling is the complement stratified_sample can't express
+    (weights > 1)."""
+    from tsdisagg_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    return sampling.mixture_resample(
+        d,
+        strata_col="source",
+        weights={"src0": 2.5, "src1": 2.0, "src2": 0.4, "src3": 0.0},
+        key_col="doc_id",
+    ).select("doc_id", "source", F.col("repeat_idx").cast("long").alias("repeat_idx"))
+
+
+@query(
+    "order_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-07-01'
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-04-01'
+          AND o_orderdate < DATE '1995-10-01'
+        GROUP BY 1
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           a.n_orders AS old_n_orders, b.n_orders AS new_n_orders,
+           a.cents AS old_cents, b.cents AS new_cents
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+       OR a.n_orders != b.n_orders OR a.cents != b.cents
+    """,
+)
+def order_snapshot_diff(spark, sf_dir):
+    """Change-data capture between two per-customer activity snapshots
+    (operators/joins.py:snapshot_diff): trailing-half-year order count +
+    exact integer cents as of 1995-07 vs 1995-10, classified added /
+    removed / changed via ONE full-outer sort-merge join (null-safe
+    column compare; no anti-joins, no driver state).  Cents accumulate in
+    DECIMAL(38,0) per the headroom rule and project to BIGINT."""
+    from tsdisagg_spark.operators import joins
+
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+
+    def snap(lo, hi):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo))
+                & (F.col("o_orderdate") < F.lit(hi))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).cast("long").alias("cents"),
+            )
+        )
+
+    return joins.snapshot_diff(
+        snap("1995-01-01", "1995-07-01"),
+        snap("1995-04-01", "1995-10-01"),
+        keys=["o_custkey"],
+        compare_cols=["n_orders", "cents"],
+    )
+
+
+@query(
     "repetition_stats",
     oracle="""
     WITH words AS (
@@ -7021,6 +7130,8 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "exact_substring_overlap",
     "incremental_semantic_dedup",
     "bm25_search",
+    "mixture_resample",
+    "order_snapshot_diff",
 )
 
 
