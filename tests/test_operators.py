@@ -1138,6 +1138,51 @@ def test_snapshot_diff_classes_and_null_safety(spark):
     assert "LeftAnti" not in plan
 
 
+def test_interval_join_matches_bruteforce_and_plans_equi(spark):
+    """interval_join equals the brute-force inequality scan for every
+    (point, interval) pair — boundaries lo-inclusive / hi-exclusive,
+    intervals spanning many buckets, degenerate lo >= hi dropped — and
+    plans an EQUI-join on the bucket id, not a nested-loop cartesian."""
+    import datetime as dt
+
+    from tsdisagg_spark.operators import joins
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = [(i, t0 + dt.timedelta(seconds=37 * i)) for i in range(200)]
+    ivs = [
+        (100, t0 + dt.timedelta(seconds=100), t0 + dt.timedelta(seconds=100)),
+        (101, t0 + dt.timedelta(seconds=500), t0 + dt.timedelta(seconds=200)),
+        (102, t0, t0 + dt.timedelta(seconds=37)),
+        (103, t0 + dt.timedelta(seconds=1000), t0 + dt.timedelta(seconds=5000)),
+        (104, t0 + dt.timedelta(seconds=74), t0 + dt.timedelta(seconds=75)),
+    ]
+    p = spark.createDataFrame(pts, "pid long, ts timestamp")
+    v = spark.createDataFrame(ivs, "iid long, lo timestamp, hi timestamp")
+    out = joins.interval_join(p, v, "ts", "lo", "hi", bucket_seconds=60)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    want = {
+        (pid, iid)
+        for pid, ts in pts
+        for iid, lo, hi in ivs
+        if lo <= ts < hi
+    }
+    assert got == want
+    assert not any(i in (100, 101) for _, i in got)  # degenerate dropped
+    assert (2, 104) in got and (0, 102) in got and (1, 102) not in got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    try:
+        joins.interval_join(
+            p.withColumnRenamed("pid", "iid"), v, "ts", "lo", "hi"
+        )
+        raise AssertionError("column clash not rejected")
+    except ValueError as e:
+        assert "iid" in str(e)
+
+
 def test_repetition_stats_values(spark):
     df = spark.createDataFrame(
         pd.DataFrame(

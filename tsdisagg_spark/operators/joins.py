@@ -109,3 +109,63 @@ def snapshot_diff(
         "change",
         *[c for p in compare_cols for c in (f"old_{p}", f"new_{p}")],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Range join WITHOUT an equi-key — match every point event to every
+    interval with ``lo <= ts < hi`` — via fixed-width time bucketization:
+    each interval explodes to the buckets it covers, points compute their
+    bucket with one expression, both sides meet in an ordinary shuffled
+    equi-join on the bucket id, and the exact inequality runs as a
+    residual filter.  This is the join Spark's optimizer would otherwise
+    plan as a cartesian BroadcastNestedLoopJoin — the classic 100 TB
+    scale-killer for telemetry-vs-incident-window correlation.
+
+    Scale levers: candidate pairs are ``sum_b points(b) x intervals(b)``
+    — bounded by bucket width, never by |points| x |intervals| — and the
+    interval side's replication factor is ``len/width + 1`` per row.
+    Width trades those against each other; pick it near the typical
+    interval length.  Degenerate (``lo >= hi``) intervals are dropped
+    (Spark's ``sequence`` would otherwise count DOWN and fabricate
+    buckets).  Column names must not collide across the two inputs
+    (raises ``ValueError``; prefix one side first).
+    """
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(
+            f"points/intervals share column names {sorted(clash)}; "
+            "rename or prefix one side before interval_join"
+        )
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def _us(c):
+        # unix_micros rejects TIMESTAMP_NTZ; the cast is deterministic
+        # because the engine pins the session time zone to UTC
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    pb = points.withColumn("__bucket", F.floor(_us(ts_col) / w_us))
+    ib = intervals.filter(F.col(lo_col) < F.col(hi_col)).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_us(lo_col) / w_us),
+                F.floor((_us(hi_col) - 1) / w_us),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "__bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) < F.col(hi_col))
+        )
+        .drop("__bucket")
+    )

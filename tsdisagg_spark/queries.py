@@ -3391,6 +3391,63 @@ def order_snapshot_diff(spark, sf_dir):
 
 
 @query(
+    "events_in_incident_windows",
+    oracle="""
+    WITH inc AS (
+        SELECT event_id AS incident_id,
+               ts - INTERVAL 5 MINUTE AS lo,
+               ts + INTERVAL 5 MINUTE AS hi
+        FROM events WHERE event_type = 'error' AND value >= 18.0
+    )
+    SELECT i.incident_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM inc i JOIN events e ON e.ts >= i.lo AND e.ts < i.hi
+    GROUP BY 1
+    """,
+)
+def events_in_incident_windows(spark, sf_dir):
+    """Range join with NO equi-key (operators/joins.py:interval_join):
+    every event inside the +/-5-minute window around each high-value
+    error event, aggregated per incident — telemetry-vs-incident
+    correlation.  The interval side explodes to its covered 5-minute
+    buckets and meets the points in a shuffled equi-join on bucket id
+    with the exact inequality as a residual filter; the oracle is the
+    raw inequality join, so a hash match proves the bucketization loses
+    and fabricates nothing.  Value sums are exact integer cents."""
+    from tsdisagg_spark.operators import joins
+
+    ev = t(spark, sf_dir, "events")
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 18.0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("win_lo"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_hi"),
+    )
+    pts = ev.select("event_id", "ts", "event_type", "value")
+    return (
+        joins.interval_join(
+            pts, inc, ts_col="ts", lo_col="win_lo", hi_col="win_hi",
+            bucket_seconds=300,
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "n_clicks"
+            ),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+@query(
     "repetition_stats",
     oracle="""
     WITH words AS (
@@ -7132,6 +7189,7 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "mixture_resample",
     "order_snapshot_diff",
+    "events_in_incident_windows",
 )
 
 
