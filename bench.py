@@ -119,6 +119,7 @@ HEADLINE = [
     "mixture_resample",        # epoch-mixture upsampling (map-side explode)
     "order_snapshot_diff",     # CDC full-outer snapshot reconciliation
     "events_in_incident_windows",  # keyless range join (bucketized intervals)
+    "order_value_grid_quantiles",  # exact histogram quantiles, sort-free
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

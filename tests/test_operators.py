@@ -1138,6 +1138,94 @@ def test_snapshot_diff_classes_and_null_safety(spark):
     assert "LeftAnti" not in plan
 
 
+def test_grid_quantiles_matches_order_statistic(spark):
+    """grid_quantiles equals the lower order statistic (inverted CDF)
+    computed by sorting, across heavy ties, singleton groups, and q=1;
+    bad rationals raise."""
+    import math
+
+    import numpy as np
+
+    from tsdisagg_spark.operators import sketches
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, n in [("a", 500), ("b", 73), ("c", 1), ("d", 2)]:
+        vals = rng.integers(0, 40, size=n)  # dense ties
+        rows += [(g, int(v)) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    qs = [(1, 4), (1, 2), (3, 4), (1, 1), (1, 100)]
+    got = {
+        r.grp: r.asDict()
+        for r in sketches.grid_quantiles(df, "v", qs, ["grp"]).collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        s = sorted(vals)
+        n = len(s)
+        assert got[g]["n_rows"] == n
+        for num, den in qs:
+            # smallest v with den*cum >= num*n == element at rank
+            # ceil(num*n/den) (1-based)
+            rank = math.ceil(num * n / den)
+            assert got[g][f"q_{num}_{den}"] == s[rank - 1], (g, num, den)
+
+    for bad in [(0, 4), (5, 4), (-1, 2)]:
+        try:
+            sketches.grid_quantiles(df, "v", [bad], ["grp"])
+            raise AssertionError(f"{bad} accepted")
+        except ValueError:
+            pass
+
+
+def test_snapshot_diff_bucketed_inputs_skip_exchange(spark, tmp_path):
+    """The docstring's 100 TB claim, made testable: two snapshots saved
+    bucketed on the diff key full-outer join with FEWER exchanges than
+    the identical unbucketed frames (zero on the join itself), and the
+    diff output is identical.  Broadcast disabled so the tiny frames
+    take the sort-merge path real snapshot sizes would."""
+    from tsdisagg_spark.operators import joins
+
+    old_rows = [(i, i * 10) for i in range(50)]
+    new_rows = [(i, i * 10 + (i % 7 == 0)) for i in range(5, 55)]
+    old = spark.createDataFrame(old_rows, "k long, v long")
+    new = spark.createDataFrame(new_rows, "k long, v long")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def save(df, name):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+            return spark.table(name)
+
+        b_old, b_new = save(old, "snap_old"), save(new, "snap_new")
+
+        def run(o, n):
+            return joins.snapshot_diff(o, n, keys=["k"], compare_cols=["v"])
+
+        def n_exchanges(df):
+            return df._jdf.queryExecution().executedPlan().toString().count(
+                "Exchange"
+            )
+
+        rows_b = sorted(map(tuple, run(b_old, b_new).collect()))
+        rows_p = sorted(map(tuple, run(old, new).collect()))
+        assert rows_b == rows_p and rows_b
+        assert n_exchanges(run(b_old, b_new)) == 0
+        assert n_exchanges(run(old, new)) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS snap_old")
+        spark.sql("DROP TABLE IF EXISTS snap_new")
+
+
 def test_interval_join_matches_bruteforce_and_plans_equi(spark):
     """interval_join equals the brute-force inequality scan for every
     (point, interval) pair — boundaries lo-inclusive / hi-exclusive,

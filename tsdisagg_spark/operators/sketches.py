@@ -325,3 +325,65 @@ def bloom_probe(
         key_col,
         "left",
     ).fillna({"claimed": False})
+
+
+def grid_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[tuple[int, int]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT quantiles over integer-grid values with NO per-group sort —
+    the 100 TB replacement for ``percentile()`` when the domain is
+    discrete (cents, token counts, byte sizes, quanta): build a per-group
+    value HISTOGRAM (a map-side-combinable hash aggregate whose state is
+    the number of DISTINCT grid values, not the row count), running-sum
+    it in grid order, and read each quantile as the smallest value whose
+    cumulative count reaches the rank.
+
+    ``quantiles`` are RATIONALS ``(num, den)`` (e.g. ``(1, 4)`` for p25)
+    and the rank test is pure integer arithmetic ``den * cum >= num *
+    n`` — no float rank, no interpolation, no cross-engine tie class at
+    any data size.  This is the inverted-CDF (lower order statistic)
+    definition.
+
+    Returns ``group_cols + (n_rows, q_<num>_<den> ...)``.  Plan: one
+    shuffle for the histogram, one for the per-group cumulative window
+    (both keyed on columns that scale with the data), then a conditional
+    min — rows never sort globally and never collect.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    gcols = list(group_cols or [])
+    hist = df.groupBy(
+        *gcols, F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ).orderBy("__v")
+    cum = hist.withColumn(
+        "__cum", F.sum("__cnt").over(w)
+    ).withColumn(
+        "__n",
+        F.sum("__cnt").over(
+            (
+                Window.partitionBy(*gcols)
+                if gcols
+                else Window.partitionBy(F.lit(1))
+            ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    aggs = [F.max("__n").alias("n_rows")]
+    for num, den in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(den) * F.col("__cum") >= F.lit(num) * F.col("__n"),
+                    F.col("__v"),
+                )
+            ).alias(f"q_{num}_{den}")
+        )
+    return cum.groupBy(*gcols).agg(*aggs)

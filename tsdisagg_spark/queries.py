@@ -4729,6 +4729,47 @@ def order_value_percentiles(spark, sf_dir):
 
 
 @query(
+    "order_value_grid_quantiles",
+    oracle="""
+    WITH c AS (SELECT o_orderpriority,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    h AS (SELECT o_orderpriority, cents, COUNT(*) AS cnt
+          FROM c GROUP BY 1, 2),
+    w AS (SELECT o_orderpriority, cents,
+                 SUM(cnt) OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents) AS cum,
+                 SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+          FROM h)
+    SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_rows,
+           MIN(CASE WHEN 4 * cum >= n THEN cents END) AS q_1_4,
+           MIN(CASE WHEN 2 * cum >= n THEN cents END) AS q_1_2,
+           MIN(CASE WHEN 4 * cum >= 3 * n THEN cents END) AS q_3_4
+    FROM w GROUP BY 1
+    """,
+)
+def order_value_grid_quantiles(spark, sf_dir):
+    """Exact integer-grid histogram quantiles
+    (operators/sketches.py:grid_quantiles): p25/p50/p75 of order value in
+    cents per priority WITHOUT sorting any group — histogram hash
+    aggregate (state = distinct grid values, map-side combinable),
+    per-group running sum, integer rank test ``den*cum >= num*n`` (the
+    inverted-CDF definition; no float rank, no interpolation, tie-free
+    at any size).  The scale twin of ``order_value_percentiles``: same
+    distribution summary, but the plan survives groups of any row
+    count."""
+    from tsdisagg_spark.operators import sketches
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return sketches.grid_quantiles(
+        o, "cents", [(1, 4), (1, 2), (3, 4)], group_cols=["o_orderpriority"]
+    )
+
+
+@query(
     "order_value_mad_outliers",
     oracle="""
     WITH med AS (SELECT o_orderpriority,
@@ -7190,6 +7231,7 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "mixture_resample",
     "order_snapshot_diff",
     "events_in_incident_windows",
+    "order_value_grid_quantiles",
 )
 
 
