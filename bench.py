@@ -120,6 +120,8 @@ HEADLINE = [
     "order_snapshot_diff",     # CDC full-outer snapshot reconciliation
     "events_in_incident_windows",  # keyless range join (bucketized intervals)
     "order_value_grid_quantiles",  # exact histogram quantiles, sort-free
+    "pq_codes",                # product-quantization encode (explode + broadcast codebook)
+    "pq_adc_topk",             # asymmetric-distance top-k over 8-byte codes
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

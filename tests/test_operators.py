@@ -1138,6 +1138,68 @@ def test_snapshot_diff_classes_and_null_safety(spark):
     assert "LeftAnti" not in plan
 
 
+def test_pq_encode_and_adc_match_bruteforce(spark):
+    """PQ codes equal the numpy per-subspace argmin (tie-break on code),
+    seed vectors encode to themselves with zero error, and ADC top-k
+    equals the numpy lookup-table ranking."""
+    import numpy as np
+
+    from tsdisagg_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    n, m, sd = 80, 3, 8
+    base = rng.normal(size=(n, m * sd)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = similarity.pq_subvectors(
+        df.filter(F.col("vec_id") < 5), m=m, sub_dim=sd
+    ).select("sub", F.col("vec_id").alias("code"), F.col("sv").alias("cent"))
+    codes = similarity.pq_encode(df, seeds, m=m, sub_dim=sd)
+    got = {(r.vec_id, r.sub): (r.code, r.sub_d2) for r in codes.collect()}
+
+    v = base.astype(np.float64)
+    cents = v[:5].reshape(5, m, sd)
+    for i in range(n):
+        for j in range(m):
+            d2 = ((v[i, j * sd : (j + 1) * sd] - cents[:, j, :]) ** 2).sum(
+                axis=1
+            )
+            code = int(np.lexsort((np.arange(5), d2))[0])
+            assert got[(i, j)][0] == code, (i, j)
+            assert abs(got[(i, j)][1] - round(float(d2[code]), 6)) < 1e-9
+    for j in range(m):  # seeds encode to themselves, zero error
+        assert got[(2, j)] == (2, 0.0)
+
+    probe = similarity.pq_subvectors(
+        df.filter(F.col("vec_id") == 7), m=m, sub_dim=sd
+    ).select("sub", "sv")
+    corpus_codes = similarity.pq_encode(
+        df.filter(F.col("vec_id") != 7), seeds, m=m, sub_dim=sd
+    )
+    top = [
+        (r.vec_id, r.adc_d2, r.rank)
+        for r in similarity.pq_adc_topk(
+            corpus_codes, seeds, probe, k=5
+        ).collect()
+    ]
+    lut = ((v[7].reshape(m, 1, sd) - cents.transpose(1, 0, 2)) ** 2).sum(
+        axis=2
+    )  # (m, 5)
+    scores = {}
+    for i in range(n):
+        if i == 7:
+            continue
+        s = sum(
+            lut[j, got[(i, j)][0]] for j in range(m)
+        )
+        scores[i] = round(float(s), 6)
+    want = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    assert [(i, s) for i, s, _ in top] == want
+    assert [r for _, _, r in top] == [1, 2, 3, 4, 5]
+
+
 def test_grid_quantiles_matches_order_statistic(spark):
     """grid_quantiles equals the lower order statistic (inverted CDF)
     computed by sorting, across heavy ties, singleton groups, and q=1;

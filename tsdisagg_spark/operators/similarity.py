@@ -915,3 +915,123 @@ def kmeans_fit(
         "n_iter": n_iter,
         "inertia": float(inertia or 0.0),
     }
+
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Split each embedding into its ``m`` product-quantization subspaces:
+    ``(id, sub, sv)`` with ``sv`` the ``sub_dim``-wide double slice — one
+    map-side explode, the shared front end of :func:`pq_encode` and the
+    ADC lookup-table build."""
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("sub"),
+                    F.slice(
+                        _as_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
+                    ).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+    )
+    return df.select(F.col(id_col), subs.alias("s")).select(
+        id_col, "s.sub", "s.sv"
+    )
+
+
+def _sub_d2(a: Column, b: Column) -> Column:
+    """Squared L2 between two subvectors as a sequential fold —
+    left-to-right like DuckDB's list_sum, so cross-engine bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    seeds: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jegou, Douze & Schmid 2011): every
+    vector becomes ``m`` codebook ids — ``(id, sub, code, sub_d2)``, one
+    row per subspace, ``sub_d2`` the squared distance to the chosen
+    centroid (the reconstruction error lane).  At 64 dims / 8 subspaces /
+    byte codes this is a 32x memory compression, which is what lets an
+    ANN index over 10^10 embeddings live in RAM on a cluster.
+
+    ``seeds`` is a ``(sub, code, cent)`` codebook (the registry derives
+    it from the corpus's first vectors so a SQL engine rebuilds it
+    exactly; the production swap trains per-subspace :func:`kmeans_fit`
+    codebooks, same contract).  Plan: one explode, one broadcast hash
+    join against the m x k codebook, one min_by per (vector, subspace) —
+    the corpus never shuffles, and every arithmetic step is a sequential
+    fold, so rows are bit-identical across engines (no float-grid
+    residual; ties break on code id).
+    """
+    v = pq_subvectors(df, m, sub_dim, id_col, vec_col)
+    d2 = v.join(F.broadcast(seeds), "sub").select(
+        F.col(id_col),
+        "sub",
+        "code",
+        _sub_d2(F.col("sv"), F.col("cent")).alias("d2"),
+    )
+    best = d2.groupBy(id_col, "sub").agg(
+        F.min(F.struct("d2", "code")).alias("b")
+    )
+    return best.select(
+        id_col,
+        "sub",
+        F.col("b.code").alias("code"),
+        F.round(F.col("b.d2"), 6).alias("sub_d2"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    seeds: DataFrame,
+    probe_subs: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the probe builds an
+    ``m x |codebook|`` lookup table of exact subspace distances (broadcast
+    — it is codebook-sized, never corpus-sized), each encoded vector's
+    approximate distance is the sum of its ``m`` table entries, and the
+    top-k is a distributed TakeOrdered.  The corpus side touches ONLY the
+    8-byte codes — the full vectors never load, which is the entire point
+    of PQ at 100 TB.
+
+    ``probe_subs`` is the probe vector through :func:`pq_subvectors`.
+    The per-vector sum adds ``m`` doubles (group order is engine-chosen),
+    so ``adc_d2`` lands on the 6-decimal grid with a ~1e-9/vector tie
+    probability — float-grid safe to ~1e8 corpus vectors, then switch to
+    an exact fixed-point lane per the verify recipe.  Ranking compares
+    the ROUNDED distance with id tie-breaks."""
+    lut = (
+        probe_subs.join(F.broadcast(seeds), "sub")
+        .select(
+            "sub", "code", _sub_d2(F.col("sv"), F.col("cent")).alias("qd2")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+    )
+    top = scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        id_col, "adc_d2", "rank"
+    )

@@ -3919,6 +3919,103 @@ def incremental_semantic_dedup(spark, sf_dir):
     return similarity.semantic_probe(batch, index, seeds, threshold=0.4)
 
 
+PQ_ORACLE_PRELUDE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    sub AS (
+        SELECT vec_id, s.sub, e[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+        FROM v, (SELECT unnest(range(8)) AS sub) s
+    ),
+    seeds AS (SELECT sub, vec_id AS code, sv AS cent FROM sub
+              WHERE vec_id < 16),
+    d2 AS (
+        SELECT s.vec_id, s.sub, seeds.code,
+               list_sum(list_transform(list_zip(s.sv, seeds.cent),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        FROM sub s JOIN seeds USING (sub)
+    ),
+    codes AS (
+        SELECT vec_id, sub, code, d2 FROM (
+            SELECT vec_id, sub, code, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, code) AS rk
+            FROM d2)
+        WHERE rk = 1
+    )
+"""
+
+
+@query(
+    "pq_codes",
+    oracle=PQ_ORACLE_PRELUDE
+    + """
+    SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+           ROUND(d2, 6) AS sub_d2
+    FROM codes
+    """,
+)
+def pq_codes(spark, sf_dir):
+    """Product-quantization encoding (operators/similarity.py:pq_encode;
+    Jegou et al. 2011): 64-dim embeddings x 8 subspaces against the
+    deterministic 16-centroid-per-subspace codebook (subvectors of
+    vec_id < 16) — 32x memory compression for a RAM-resident ANN index
+    over 10^10 vectors.  One explode + one broadcast codebook join +
+    min_by; the corpus never shuffles.  Every lane is a sequential fold,
+    so rows are bit-identical cross-engine — no float-grid residual."""
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") < 16), m=8, sub_dim=8
+    ).select("sub", F.col("vec_id").alias("code"), F.col("sv").alias("cent"))
+    return similarity.pq_encode(emb, seeds, m=8, sub_dim=8)
+
+
+@query(
+    "pq_adc_topk",
+    oracle=PQ_ORACLE_PRELUDE
+    + """
+    , q AS (SELECT sub, sv FROM sub WHERE vec_id = 0),
+    lut AS (
+        SELECT seeds.sub, seeds.code,
+               list_sum(list_transform(list_zip(q.sv, seeds.cent),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qd2
+        FROM seeds JOIN q USING (sub)
+    ),
+    score AS (
+        SELECT c.vec_id, ROUND(SUM(l.qd2), 6) AS adc_d2
+        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        WHERE c.vec_id != 0
+        GROUP BY 1
+    )
+    SELECT vec_id, adc_d2, rank FROM (
+        SELECT vec_id, adc_d2,
+               CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS BIGINT)
+                   AS rank
+        FROM score)
+    WHERE rank <= 10
+    """,
+)
+def pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-10 for probe vector 0 over the PQ codes
+    (operators/similarity.py:pq_adc_topk): the probe's m x 16 distance
+    lookup table broadcasts, each corpus vector's approximate distance is
+    the sum of its 8 table entries, and the top-k is a distributed
+    TakeOrdered — the corpus side reads ONLY the codes, never the
+    vectors.  Float grid: adc_d2 sums 8 doubles in engine-chosen order
+    (~1e-9/vector tie at 6 decimals; safe to ~1e8 vectors, then switch
+    to a fixed-point lane per the verify recipe)."""
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") < 16), m=8, sub_dim=8
+    ).select("sub", F.col("vec_id").alias("code"), F.col("sv").alias("cent"))
+    codes = similarity.pq_encode(
+        emb.filter(F.col("vec_id") != 0), seeds, m=8, sub_dim=8
+    )
+    probe = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") == 0), m=8, sub_dim=8
+    ).select("sub", "sv")
+    return similarity.pq_adc_topk(codes, seeds, probe, k=10)
+
+
 @query(
     "embedding_dup_exact",
     oracle="""
@@ -7220,9 +7317,9 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "session_windows",
     "tfidf_cosine_near_dups",
     "incremental_minhash_dedup",
-    # round-6 late additions: the SemDeDup flagship and the curation-export
-    # pair — new surface should get an external hash row the round it lands
-    "semantic_dedup",
+    # round-6 late additions: new surface should get an external hash row
+    # the round it lands (semantic_dedup yields its slot to its
+    # incremental sibling; it stays in the never-sampled shuffle pool)
     "domain_quota_sample",
     "training_shards",
     "exact_substring_overlap",
@@ -7232,6 +7329,8 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "order_snapshot_diff",
     "events_in_incident_windows",
     "order_value_grid_quantiles",
+    "pq_codes",
+    "pq_adc_topk",
 )
 
 
