@@ -1332,6 +1332,32 @@ def test_interval_join_matches_bruteforce_and_plans_equi(spark):
     except ValueError as e:
         assert "iid" in str(e)
 
+    # span guard: a width mismatch fails loudly, not as an OOM
+    try:
+        joins.interval_join(
+            p, v, "ts", "lo", "hi", bucket_seconds=1, max_span_buckets=100
+        ).collect()
+        raise AssertionError("oversized span not rejected")
+    except Exception as e:
+        assert "max_span_buckets" in str(e)
+    # ...and a sufficient cap passes with identical results
+    ok = joins.interval_join(
+        p, v, "ts", "lo", "hi", bucket_seconds=60, max_span_buckets=1000
+    )
+    assert {(r.pid, r.iid) for r in ok.collect()} == want
+
+
+def test_mixture_resample_rejects_bad_weights(spark):
+    from tsdisagg_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    for bad in [{"a": -0.5}, {"a": 20_000.0}]:
+        try:
+            sampling.mixture_resample(df, "source", bad, key_col="doc_id")
+            raise AssertionError(f"{bad} accepted")
+        except ValueError as e:
+            assert "mixture weight" in str(e)
+
 
 def test_repetition_stats_values(spark):
     df = spark.createDataFrame(

@@ -118,6 +118,7 @@ def interval_join(
     lo_col: str,
     hi_col: str,
     bucket_seconds: int = 600,
+    max_span_buckets: int = 100_000,
 ) -> DataFrame:
     """Range join WITHOUT an equi-key — match every point event to every
     interval with ``lo <= ts < hi`` — via fixed-width time bucketization:
@@ -134,8 +135,13 @@ def interval_join(
     Width trades those against each other; pick it near the typical
     interval length.  Degenerate (``lo >= hi``) intervals are dropped
     (Spark's ``sequence`` would otherwise count DOWN and fabricate
-    buckets).  Column names must not collide across the two inputs
-    (raises ``ValueError``; prefix one side first).
+    buckets).  An interval spanning more than ``max_span_buckets``
+    buckets fails the job with a clear message (``raise_error``) instead
+    of silently materializing a multi-million-element sequence array per
+    row — that shape means the width is wrong for the data, and the
+    guard costs one comparison per interval.  Column names must not
+    collide across the two inputs (raises ``ValueError``; prefix one
+    side first).
     """
     clash = set(points.columns) & set(intervals.columns)
     if clash:
@@ -153,14 +159,25 @@ def interval_join(
         return F.unix_micros(F.col(c).cast("timestamp"))
 
     pb = points.withColumn("__bucket", F.floor(_us(ts_col) / w_us))
-    ib = intervals.filter(F.col(lo_col) < F.col(hi_col)).withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(_us(lo_col) / w_us),
-                F.floor((_us(hi_col) - 1) / w_us),
+    b_lo = F.floor(_us(lo_col) / w_us)
+    b_hi = F.floor((_us(hi_col) - 1) / w_us)
+    span_ok = F.when(
+        b_hi - b_lo < F.lit(int(max_span_buckets)),
+        F.lit(True),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval_join: an interval spans %s buckets "
+                + f"(max_span_buckets={int(max_span_buckets)}); "
+                + "widen bucket_seconds to fit the interval lengths",
+                (b_hi - b_lo).cast("string"),
             )
-        ),
+        )
+    )
+    ib = (
+        intervals.filter(F.col(lo_col) < F.col(hi_col))
+        .filter(span_ok)
+        .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
     )
     return (
         pb.join(ib, "__bucket")

@@ -151,7 +151,17 @@ def mixture_resample(
     Plan shape at 100 TB: one CASE expression computes the per-row count,
     ``explode(sequence(...))`` fans rows out map-side — no shuffle, no
     join, no RNG state; output size is exactly ``sum_s w_s * N_s`` rows
-    and pushdown below the explode still reaches the scan."""
+    and pushdown below the explode still reaches the scan.  Weights must
+    be in ``[0, 10^4]``: negative is meaningless, and a larger repeat
+    builds a per-row sequence array big enough to be an executor-memory
+    mistake, not a mixture (raise here beats an opaque OOM)."""
+    for sname, wv in list(weights.items()) + [("<default>", default_weight)]:
+        if not (0.0 <= float(wv) <= 10_000.0):
+            raise ValueError(
+                f"mixture weight for {sname!r} is {wv}; must be in "
+                "[0, 10000] (larger repeats explode a per-row array — "
+                "split the pass instead)"
+            )
     wcase = reduce(
         lambda acc, kv: acc.when(F.col(strata_col) == kv[0], float(kv[1])),
         weights.items(),

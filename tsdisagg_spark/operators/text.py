@@ -390,14 +390,16 @@ def bm25_search(
     ``ln(1 + (N - df + 0.5) / (df + 0.5))``, strictly positive so a term
     in >half the corpus cannot produce negative relevance).
 
-    Plan shape for 100 TB: the query-term ``isin`` filter lands directly
-    on the exploded token stream BEFORE the (doc, term) aggregate, so the
-    shuffled tf state is |matching docs| x |query terms|, not the corpus
-    posting table; df comes from aggregating that tf result; N / avgdl is
-    a broadcast one-row aggregate over doc lengths (computed over ALL
-    docs, matched or not — BM25's length normalization is corpus-global).
-    Per-doc sums add <= |query_terms| doubles; at the 6-decimal grid the
-    tie probability is ~1e-9/doc, safe to ~1e8 candidate docs (the
+    Plan shape for 100 TB: the query-term filter runs INSIDE the token
+    array (a higher-order ``filter`` before the explode), so only
+    matching tokens ever become rows — the explode emits ~|hits| rows,
+    not the corpus token stream — and the (doc, term) aggregate shuffles
+    |matching docs| x |query terms| state, not a posting table; df
+    comes from aggregating that tf result; N / avgdl is a broadcast
+    one-row aggregate over doc lengths (computed over ALL docs, matched
+    or not — BM25's length normalization is corpus-global).  Per-doc
+    sums add <= |query_terms| doubles; at the 6-decimal grid the tie
+    probability is ~1e-9/doc, safe to ~1e8 candidate docs (the
     float-grid rule; ranking compares the ROUNDED score with id
     tie-breaks, so order is deterministic across engines).
     """
@@ -409,8 +411,12 @@ def bm25_search(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        toks.select(F.col(id_col), F.explode("w").alias("term"))
-        .filter(F.col("term").isin(terms))
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.col("w"), lambda w: w.isin(terms))
+            ).alias("term"),
+        )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
