@@ -88,6 +88,7 @@ HEADLINE = [
     "bloom_membership_audit",  # broadcast Bloom sketch build + probe + grade
     "cms_order_counts",        # count-min sketch build + point queries
     "kmv_distinct_customers",  # KMV distinct-count sketch vs exact
+    "hll_distinct_users",      # HLL registers via grouping sets + union merge
     "nation_trade_pagerank",   # iterative graph: 5 power-iteration joins
     "wav_decimate_quanta",     # REAL audio decimation through mapInPandas
     "weighted_sample_orders",  # deterministic weighted sampling (ES priorities)

@@ -2487,6 +2487,96 @@ def test_kmv_is_mergeable_across_partitions(spark):
     assert (a.n_seen, a.est_distinct) == (b.n_seen, b.est_distinct)
 
 
+def test_hll_registers_match_pure_python(spark):
+    """The register table is a pure function of the key set: every
+    (bucket, rho) must equal a reference HLL computed row-by-row in
+    Python over the same md5 split (first 32 bits -> bucket, next 32 ->
+    leading-zero rank)."""
+    import hashlib
+
+    from tsdisagg_spark.operators import sketches
+
+    keys = list(range(300))
+    p, m = 5, 32
+    expect: dict[int, int] = {}
+    for k in keys:
+        h = hashlib.md5(f"{k}:hll".encode()).hexdigest()
+        bucket = int(h[:8], 16) % m
+        v = int(h[8:16], 16)
+        rho = 33 if v == 0 else 33 - v.bit_length()
+        expect[bucket] = max(expect.get(bucket, 0), rho)
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r.bucket: r.rho
+        for r in sketches.hll_registers(df, "k", p=p).collect()
+    }
+    assert got == expect
+
+
+def test_hll_estimate_accuracy_and_branches(spark):
+    """Raw branch within ~4 sigma (1.04/sqrt(m)) of a large truth; a
+    small key set lands in the linear-counting branch and reports near-
+    exactly; duplicated/re-partitioned input changes nothing (the sketch
+    sees the key SET)."""
+    from tsdisagg_spark.operators import sketches
+
+    p, m = 7, 128
+    big = spark.range(0, 50_000).withColumnRenamed("id", "k")
+    regs = sketches.hll_registers(big, "k", p=p)
+    est = sketches.hll_estimate(regs, p=p).collect()[0]
+    assert abs(est.est_distinct - 50_000) / 50_000 < 4 * 1.04 / m**0.5
+    dup = big.union(big).repartition(7)
+    est2 = sketches.hll_estimate(
+        sketches.hll_registers(dup, "k", p=p), p=p
+    ).collect()[0]
+    assert (est2.n_occupied, est2.est_distinct) == (
+        est.n_occupied,
+        est.est_distinct,
+    )
+    small = spark.range(0, 40).withColumnRenamed("id", "k")
+    s = sketches.hll_estimate(
+        sketches.hll_registers(small, "k", p=p), p=p
+    ).collect()[0]
+    assert s.n_occupied < m  # must be the linear-counting branch
+    assert abs(s.est_distinct - 40) / 40 < 0.25
+
+
+def test_hll_merge_is_union(spark):
+    """Sketch algebra: merging the registers of two disjoint halves gives
+    BIT-IDENTICAL registers (and therefore the identical estimate) to
+    sketching the concatenated input — the property that lets daily
+    sketches roll up without re-reading raw keys."""
+    from tsdisagg_spark.operators import sketches
+
+    p = 6
+    a = spark.range(0, 900).withColumnRenamed("id", "k")
+    b = spark.range(600, 1500).withColumnRenamed("id", "k")
+    merged = sketches.hll_merge(
+        sketches.hll_registers(a, "k", p=p).unionByName(
+            sketches.hll_registers(b, "k", p=p)
+        )
+    )
+    direct = sketches.hll_registers(a.unionByName(b), "k", p=p)
+    assert {(r.bucket, r.rho) for r in merged.collect()} == {
+        (r.bucket, r.rho) for r in direct.collect()
+    }
+    em = sketches.hll_estimate(merged, p=p).collect()[0]
+    ed = sketches.hll_estimate(direct, p=p).collect()[0]
+    assert (em.n_occupied, em.est_distinct) == (ed.n_occupied, ed.est_distinct)
+
+
+def test_hll_rejects_bad_precision(spark):
+    from tsdisagg_spark.operators import sketches
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    for bad in (3, 17):
+        try:
+            sketches.hll_registers(df, "k", p=bad)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "[4, 16]" in str(e)
+
+
 def test_pagerank_large_graph_branch_identical_and_partitioned(spark):
     """broadcast_threshold=0 forces the large-graph physical strategy
     (hash-partitioned contribution vector, no coalesce(1)) on the same

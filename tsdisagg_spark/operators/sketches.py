@@ -327,6 +327,129 @@ def bloom_probe(
     ).fillna({"claimed": False})
 
 
+#: HLL bias-correction constants (Flajolet et al. 2007).  m >= 128 uses
+#: the closed form 0.7213 / (1 + 1.079 / m).
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(p: int) -> float:
+    """The alpha_m bias constant for ``m = 2**p`` registers."""
+    m = 1 << p
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_hash_cols(
+    key_col: str, p: int = 10, salt: str = "hll"
+) -> tuple[Column, Column]:
+    """The per-row ``(bucket, rho)`` column pair behind
+    :func:`hll_registers`, exposed so callers can feed them into their
+    own aggregation shape (e.g. ``groupingSets`` to build per-group AND
+    merged-union registers in one pass over the input)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m).alias(
+        "bucket"
+    )
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.conv(F.substring(h, 9, 8), 16, 2)))
+        .alias("rho")
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog register table per group: ``group_cols + (bucket,
+    rho)`` with ``m = 2**p`` buckets (Flajolet, Fusy, Gandouet, Meunier
+    2007).  Bucket is the first 32 md5 bits mod m; rho is the leading-
+    zero count of the NEXT 32 md5 bits plus one — independent bit ranges
+    of the same digest, exactly the split the paper prescribes.
+
+    The rho computation is pure integer arithmetic on both engines:
+    ``33 - length(conv(hex, 16, 2))`` in Spark mirrors DuckDB's
+    ``33 - length(bin(v))`` (both render minimal-length binary), so —
+    contrary to HLL folklore (see ``kmv_distinct``'s note) — the whole
+    sketch IS cross-engine hash-checkable: registers are integers, and
+    the estimator in :func:`hll_estimate` sums ``2^-rho`` terms that are
+    dyadic rationals exactly representable in a double, making even the
+    float side bit-reproducible up to the single final division.
+
+    State per group is at most m small integers regardless of input
+    size, the build is one map-side-combinable ``max`` aggregate, and
+    registers merge by ``max`` (:func:`hll_merge`) — the property that
+    lets 1000 executors (or 30 days of daily sketches) combine without
+    ever re-touching raw keys."""
+    gcols = list(group_cols or [])
+    bucket, rho = hll_hash_cols(key_col, p, salt)
+    return (
+        df.select(*gcols, bucket, rho)
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    regs: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge register tables by taking the per-bucket ``max`` — the HLL
+    union: estimating the merged table is estimating the DISTINCT UNION
+    of every input the constituent sketches saw.  Registers built at
+    different times/places combine losslessly; only sketch-sized state
+    moves."""
+    gcols = list(group_cols or [])
+    return regs.groupBy(*gcols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    regs: DataFrame, p: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate from a register table: ``group_cols +
+    (n_occupied, est_distinct)``.
+
+    Raw estimator ``alpha_m * m^2 / sum_j 2^-M_j`` with absent buckets
+    contributing ``2^0 = 1`` (the ``m - n_occupied`` term); below
+    ``2.5 m`` with empty buckets it switches to linear counting
+    ``m * ln(m / zeros)`` per the original paper.  Standard error of the
+    raw branch is ``~1.04 / sqrt(m)``.
+
+    Determinism across engines: the ``2^-rho`` sum is exact (dyadic
+    rationals, total significand well under a double's 53 bits, so even
+    summation ORDER cannot change it), the branch predicate compares
+    identically-computed doubles, and only the linear-counting ``ln`` is
+    subject to last-ulp libm variance — one value per group, rounded at
+    6 decimals (tie probability ~1e-10 per group; the float-grid recipe's
+    exact-twin switch applies above ~1e9 groups, far past any realistic
+    group count for a per-group scalar)."""
+    m = 1 << p
+    alpha = hll_alpha(p)
+    gcols = list(group_cols or [])
+    agg = regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_occupied"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(1L, cast(rho as int))")
+        ).alias("__s"),
+    )
+    zeros = F.lit(m) - F.col("n_occupied")
+    raw = F.lit(alpha * m * m) / (F.col("__s") + zeros.cast("double"))
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return agg.select(
+        *gcols,
+        "n_occupied",
+        F.round(
+            F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw), 6
+        ).alias("est_distinct"),
+    )
+
+
 def grid_quantiles(
     df: DataFrame,
     value_col: str,

@@ -5930,6 +5930,104 @@ def kmv_distinct_customers(spark, sf_dir):
 
 
 @query(
+    "hll_distinct_users",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               (('0x' || substr(md5(user_id::VARCHAR || ':hll'), 1, 8))
+                ::BIGINT % 64) AS bucket,
+               ('0x' || substr(md5(user_id::VARCHAR || ':hll'), 9, 8))
+               ::BIGINT AS v
+        FROM events),
+    regs AS (
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN '__all__'
+                    ELSE event_type END AS event_type,
+               bucket,
+               MAX(CASE WHEN v = 0 THEN 33
+                        ELSE 33 - length(bin(v)) END) AS rho
+        FROM h GROUP BY GROUPING SETS ((event_type, bucket), (bucket))),
+    est AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_occupied,
+               SUM(1.0 / (1::BIGINT << rho)) AS s
+        FROM regs GROUP BY 1),
+    fin AS (
+        SELECT event_type, n_occupied,
+               ROUND(CASE WHEN 0.709 * 64 * 64 / (s + (64 - n_occupied))
+                               <= 2.5 * 64
+                           AND n_occupied < 64
+                          THEN 64.0 * ln(64.0 / (64 - n_occupied))
+                          ELSE 0.709 * 64 * 64 / (s + (64 - n_occupied))
+                      END, 6) AS est_distinct
+        FROM est),
+    truth AS (
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN '__all__'
+                    ELSE event_type END AS event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+        FROM events GROUP BY ROLLUP (event_type))
+    SELECT t.event_type, t.true_distinct, f.n_occupied, f.est_distinct
+    FROM truth t JOIN fin f USING (event_type)
+    """,
+)
+def hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct users per event type PLUS the merged-union
+    '__all__' row, next to the exact answer — the fourth sketch family
+    member (Bloom/CMS/KMV done), and the one that disproves the folklore
+    that HLL can't be cross-engine hash-checked: buckets and leading-zero
+    ranks are integer md5 arithmetic (operators/sketches.py:hll_hash_cols),
+    the 2^-rho sum is an exactly-representable dyadic rational on any
+    IEEE engine, and only the linear-counting ln is float — one scalar
+    per group, rounded at 6 (tie bound ~1e-10/group; exact-twin switch
+    would apply past ~1e9 groups).
+
+    Scale shape: ONE pass over events builds the per-type and union
+    registers together via GROUPING SETS ((type, bucket), (bucket)) —
+    map-side combinable, at most (n_types + 1) * 64 small-int rows of
+    state, no second scan for the merge (the one-input union special
+    case of hll_merge's general sketch algebra; re-aggregating
+    per-type registers would be cheaper still but needs a persist to
+    avoid double-planning — at 100 TB the single-scan grouping-sets
+    build is the shape that wins).  Exercises both estimator branches
+    across SFs: 150 users at sf0.01 lands in linear counting, 1500 at
+    sf0.1 saturates all 64 buckets into the raw branch."""
+    from tsdisagg_spark.operators import sketches
+
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    bucket, rho = sketches.hll_hash_cols("user_id", p=6)
+    hashed = ev.select("event_type", bucket, rho)
+    regs = (
+        hashed.groupingSets(
+            [["event_type", "bucket"], ["bucket"]], "event_type", "bucket"
+        )
+        .agg(F.max("rho").alias("rho"), F.grouping("event_type").alias("__g"))
+        .select(
+            F.when(F.col("__g") == 1, F.lit("__all__"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "bucket",
+            "rho",
+        )
+    )
+    est = sketches.hll_estimate(regs, p=6, group_cols=["event_type"])
+    truth = (
+        ev.rollup("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("true_distinct"),
+            F.grouping("event_type").alias("__g"),
+        )
+        .select(
+            F.when(F.col("__g") == 1, F.lit("__all__"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "true_distinct",
+        )
+    )
+    return truth.join(est, "event_type").select(
+        "event_type", "true_distinct", "n_occupied", "est_distinct"
+    )
+
+
+@query(
     "weighted_sample_orders",
     oracle="""
     WITH pri AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
