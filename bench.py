@@ -89,6 +89,9 @@ HEADLINE = [
     "cms_order_counts",        # count-min sketch build + point queries
     "kmv_distinct_customers",  # KMV distinct-count sketch vs exact
     "hll_distinct_users",      # HLL registers via grouping sets + union merge
+    "order_custkey_skew",      # join-key skew profile (sort-free quantiles)
+    "vocab_oov_by_source",     # top-V vocabulary + per-source OOV budget
+    "doc_length_drift",        # exact KS drift vs the reference source
     "nation_trade_pagerank",   # iterative graph: 5 power-iteration joins
     "wav_decimate_quanta",     # REAL audio decimation through mapInPandas
     "weighted_sample_orders",  # deterministic weighted sampling (ES priorities)

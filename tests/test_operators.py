@@ -2577,6 +2577,65 @@ def test_hll_rejects_bad_precision(spark):
             assert "[4, 16]" in str(e)
 
 
+def test_key_skew_profile_hand_computed(spark):
+    """Known distribution [6,2,1,1]: every field of the one-row profile
+    is checkable by hand, including the inverted-CDF quantile semantics
+    (p50 over per-key counts {1,1,2,6} is 1 — smallest count whose
+    cumulative key share reaches half)."""
+    from tsdisagg_spark.operators import profiling
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, ["k"])
+    r = profiling.key_skew_profile(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_per_key) == (10, 4, 6)
+    assert (r.q_1_2, r.q_9_10, r.q_99_100) == (1, 6, 6)
+    assert r.skew_ratio == 2.4
+
+
+def test_vocab_coverage_tie_break_and_rates(spark):
+    """The vocabulary boundary tie (three tokens at count 1, one slot
+    left) must resolve by token ascending — a total order, so the vocab
+    and the per-group OOV rates are fully determined."""
+    from tsdisagg_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [("g1", "x x y z"), ("g2", "x q q w")], ["source", "text"]
+    )
+    out = {
+        r.source: (r.n_tokens, r.n_in_vocab, r.oov_rate)
+        for r in profiling.vocab_coverage(df, vocab_size=3).collect()
+    }
+    # vocab = {x(3), q(2), w(1 — wins the y/z tie alphabetically)}
+    assert out["g1"] == (4, 2, 0.5)
+    assert out["g2"] == (4, 4, 0.0)
+    try:
+        profiling.vocab_coverage(df, vocab_size=0)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert ">= 1" in str(e)
+
+
+def test_cdf_distance_exact_ks(spark):
+    """Hand-computed KS: {1,2,3} vs {2,3,4} differ by exactly 1/3 at
+    every step; an identical group reports 0; the baseline itself is
+    excluded from the output."""
+    from tsdisagg_spark.operators import profiling
+
+    rows = (
+        [("base", v) for v in (1, 2, 3)]
+        + [("shift", v) for v in (2, 3, 4)]
+        + [("same", v) for v in (1, 2, 3)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {
+        r.g: (r.n, r.ks)
+        for r in profiling.cdf_distance(df, "v", "g", "base").collect()
+    }
+    assert set(out) == {"shift", "same"}
+    assert out["shift"] == (3, 0.333333)
+    assert out["same"] == (3, 0.0)
+
+
 def test_pagerank_large_graph_branch_identical_and_partitioned(spark):
     """broadcast_threshold=0 forces the large-graph physical strategy
     (hash-partitioned contribution vector, no coalesce(1)) on the same

@@ -1,0 +1,208 @@
+"""Corpus- and key-distribution diagnostics — the profiling pass a 100 TB
+pipeline runs BEFORE committing to a plan: which join keys are skewed
+enough to need salting, what vocabulary covers the token stream (OOV
+budget for a tokenizer), and whether a source's length distribution has
+drifted from the reference corpus.
+
+Everything here is exact integer arithmetic until a final scalar
+division, so every diagnostic is cross-engine hash-checkable: skew
+ratios and OOV rates are single divisions of exactly-aggregated counts,
+and the drift statistic is the exact Kolmogorov-Smirnov distance
+computed on cross-multiplied integer CDF numerators (no float CDFs at
+all until the one closing division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsdisagg_spark.operators.sketches import grid_quantiles
+from tsdisagg_spark.operators.text import words
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    quantiles: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """One-row skew diagnosis of a prospective join/shuffle key: ``(
+    n_rows, n_keys, max_per_key, q_* per-key-count quantiles,
+    skew_ratio)`` where ``skew_ratio = max_per_key / mean_per_key`` — the
+    multiplier by which the hottest partition-key exceeds the average,
+    i.e. the straggler factor a plain hash-shuffle on this key would
+    suffer and the number that decides between a vanilla join, AQE skew
+    handling, and explicit salting.
+
+    Scale shape: the per-key count is a map-side-combinable aggregate (a
+    skewed key burdens this profile far less than it would burden the
+    join being profiled — partials combine before the shuffle), the
+    quantiles ride :func:`~tsdisagg_spark.operators.sketches.grid_quantiles`
+    (per-key counts ARE an integer grid, so no sort and no interpolation),
+    and only two one-row frames cross-join at the end.  ``skew_ratio`` is
+    float division of exact counts (double multiply keeps 1e10-row x
+    1e10-key products out of int64 range), rounded at 6."""
+    sizes = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    qs = quantiles or [(1, 2), (9, 10), (99, 100)]
+    quants = grid_quantiles(sizes, "__cnt", qs).select(
+        F.col("n_rows").alias("n_keys"),
+        *[F.col(f"q_{n}_{d}") for n, d in qs],
+    )
+    totals = sizes.agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.max("__cnt").alias("max_per_key"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(quants))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_per_key",
+            *[f"q_{n}_{d}" for n, d in qs],
+            F.round(
+                F.col("max_per_key").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """Out-of-vocabulary budget per group: build the top-``vocab_size``
+    vocabulary by corpus frequency (ties broken by token ascending — a
+    TOTAL order, so the vocabulary is deterministic on any engine) and
+    report each group's token count, in-vocabulary count, and OOV rate.
+
+    This is the tokenizer-design question asked of real corpora — "what
+    fraction of the token stream does a V-entry vocabulary cover, and
+    which sources pay the OOV cost" — as two aggregates and one
+    broadcast: global token counts (map-side combinable), a distributed
+    top-V (``orderBy + limit`` plans as TakeOrderedAndProject — per-
+    partition heaps, never a global sort), and a per-group count join
+    against the broadcast vocabulary.  The OOV rate is one division of
+    exact counts, rounded at 6 (tie-free: see the jaccard/containment
+    exemption in the float-grid recipe)."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = docs.select(
+        F.col(group_col).alias("__g"),
+        F.explode(words(F.col(text_col))).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok")
+    )
+    per_group = (
+        toks.groupBy("__g", "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(
+            F.broadcast(vocab.withColumn("__in", F.lit(1))), "__tok", "left"
+        )
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(F.when(F.col("__in") == 1, F.col("__c")).otherwise(0)).alias(
+                "n_in_vocab"
+            ),
+        )
+    )
+    return per_group.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "n_in_vocab",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_in_vocab").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def cdf_distance(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline: str,
+) -> DataFrame:
+    """EXACT Kolmogorov-Smirnov distance of every group's ``value_col``
+    distribution from the ``baseline`` group's — the drift detector that
+    answers "has this source's length/score/size profile moved away from
+    the reference corpus" without sampling or binning error.
+
+    The statistic is ``max_v |F_g(v) - F_b(v)|`` over the UNION grid of
+    observed values; both CDFs are step functions, so evaluating at every
+    observed value is exact.  The comparison never touches float CDFs:
+    each step holds cumulative COUNTS, and the max runs over the cross-
+    multiplied integer numerator ``|cum_g * n_b - cum_b * n_g|``
+    accumulated in DECIMAL(38,0) (cum * n reaches ~1e22 at 1e11 rows —
+    past int64, nowhere near decimal range).  The single closing division
+    by ``n_g * n_b`` happens once per GROUP, on exact integers.
+
+    Plan shape: one count aggregate keyed on (group, value) — the only
+    shuffle that scales with data — then windows and joins over the
+    grid-sized (distinct-value x group) frame.  Returns ``(group_col,
+    n, ks)`` for every non-baseline group."""
+    counts = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    groups = counts.select("__g").distinct()
+    grid = counts.select("__v").distinct()
+    full = (
+        grid.crossJoin(F.broadcast(groups))
+        .join(counts, ["__g", "__v"], "left")
+        .fillna({"__c": 0})
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    cum = full.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n",
+        F.sum("__c").over(
+            Window.partitionBy("__g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    base = cum.filter(F.col("__g") == baseline).select(
+        "__v",
+        F.col("__cum").alias("__cum_b"),
+        F.col("__n").alias("__n_b"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        cum.filter(F.col("__g") != baseline)
+        .join(base, "__v")
+        .groupBy("__g")
+        .agg(
+            F.max("__n").alias("n"),
+            F.max(
+                F.abs(
+                    F.col("__cum").cast(dec) * F.col("__n_b").cast(dec)
+                    - F.col("__cum_b").cast(dec) * F.col("__n").cast(dec)
+                )
+            ).alias("__d"),
+            F.max(F.col("__n_b")).alias("__nb"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            F.round(
+                F.col("__d").cast("double")
+                / (
+                    F.col("n").cast("double") * F.col("__nb").cast("double")
+                ),
+                6,
+            ).alias("ks"),
+        )
+    )

@@ -6028,6 +6028,130 @@ def hll_distinct_users(spark, sf_dir):
 
 
 @query(
+    "order_custkey_skew",
+    oracle="""
+    WITH s AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),
+    hist AS (SELECT c, COUNT(*) AS k FROM s GROUP BY 1),
+    w AS (SELECT c, SUM(k) OVER (ORDER BY c) AS cumk,
+                 SUM(k) OVER () AS nk
+          FROM hist),
+    q AS (SELECT CAST(MIN(CASE WHEN 2 * cumk >= 1 * nk THEN c END)
+                      AS BIGINT) AS q_1_2,
+                 CAST(MIN(CASE WHEN 10 * cumk >= 9 * nk THEN c END)
+                      AS BIGINT) AS q_9_10,
+                 CAST(MIN(CASE WHEN 100 * cumk >= 99 * nk THEN c END)
+                      AS BIGINT) AS q_99_100
+          FROM w),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(c) AS BIGINT) AS max_per_key
+          FROM s)
+    SELECT t.n_rows, t.n_keys, t.max_per_key, q.q_1_2, q.q_9_10,
+           q.q_99_100,
+           ROUND(CAST(t.max_per_key AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+                 / CAST(t.n_rows AS DOUBLE), 6) AS skew_ratio
+    FROM t, q
+    """,
+)
+def order_custkey_skew(spark, sf_dir):
+    """Join-key skew diagnosis for orders.o_custkey — the profiling pass
+    that decides, BEFORE a 100 TB join runs, whether the key needs
+    salting/AQE skew handling: per-key count quantiles (p50/p90/p99 via
+    the sort-free integer-grid quantile machinery), the hottest key's
+    count, and the straggler factor max/mean
+    (operators/profiling.py:key_skew_profile).  All exact integers until
+    the one closing division; the per-key count aggregate is map-side
+    combinable, so profiling a skewed key is cheap even when joining on
+    it would not be."""
+    from tsdisagg_spark.operators import profiling
+
+    o = t(spark, sf_dir, "orders")
+    return profiling.key_skew_profile(o, "o_custkey")
+
+
+@query(
+    "vocab_oov_by_source",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS tk
+        FROM documents),
+    tok2 AS (SELECT source, tk FROM tok WHERE tk <> ''),
+    v AS (SELECT tk FROM (SELECT tk, COUNT(*) AS c FROM tok2 GROUP BY 1
+                          ORDER BY c DESC, tk LIMIT 16)),
+    g AS (SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN tk IN (SELECT tk FROM v)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+          FROM tok2 GROUP BY 1)
+    SELECT source, n_tokens, n_in_vocab,
+           ROUND(1.0 - CAST(n_in_vocab AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+    FROM g
+    """,
+)
+def vocab_oov_by_source(spark, sf_dir):
+    """Tokenizer vocabulary budget: build the top-16 vocabulary by corpus
+    frequency (total order: count desc, token asc — deterministic on any
+    engine) and report each source's out-of-vocabulary token rate
+    (operators/profiling.py:vocab_coverage).  The real-corpus question
+    "what does a V-entry vocab leave uncovered, and which sources pay" as
+    two map-side-combinable aggregates, a TakeOrderedAndProject top-V
+    (per-partition heaps, no global sort), and one broadcast join; the
+    OOV rate is a single exact-integer division rounded at 6
+    (tie-free)."""
+    from tsdisagg_spark.operators import profiling
+
+    docs = t(spark, sf_dir, "documents")
+    return profiling.vocab_coverage(docs, "text", "source", vocab_size=16)
+
+
+@query(
+    "doc_length_drift",
+    oracle="""
+    WITH c AS (SELECT source AS g, n_chars AS v, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT v FROM c),
+    grp AS (SELECT DISTINCT g FROM c),
+    filled AS (SELECT grp.g, grid.v, COALESCE(c.c, 0) AS c
+               FROM grid CROSS JOIN grp
+               LEFT JOIN c ON c.g = grp.g AND c.v = grid.v),
+    cum AS (SELECT g, v,
+                   SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+                   SUM(c) OVER (PARTITION BY g) AS n
+            FROM filled),
+    base AS (SELECT v, cum AS cum_b, n AS n_b FROM cum
+             WHERE g = 'src0'),
+    d AS (SELECT g, MAX(n) AS n,
+                 MAX(abs(CAST(cum AS HUGEINT) * CAST(n_b AS HUGEINT)
+                         - CAST(cum_b AS HUGEINT) * CAST(n AS HUGEINT)))
+                     AS dd,
+                 MAX(n_b) AS nb
+          FROM cum JOIN base USING (v)
+          WHERE g <> 'src0' GROUP BY 1)
+    SELECT g AS source, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(dd AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks
+    FROM d
+    """,
+)
+def doc_length_drift(spark, sf_dir):
+    """EXACT Kolmogorov-Smirnov drift of every source's document-length
+    distribution from the src0 reference corpus
+    (operators/profiling.py:cdf_distance) — the data-QA gate that
+    catches a scraper or filter change shifting a source's length
+    profile.  No sampling, no binning: the statistic is the max over the
+    union value grid of cross-multiplied integer CDF numerators
+    (DECIMAL(38,0) — cum x n reaches ~1e22 at 1e11 rows), divided once
+    per group at the end.  The only data-sized shuffle is the (source,
+    length) count; everything after runs on the grid-sized frame."""
+    from tsdisagg_spark.operators import profiling
+
+    docs = t(spark, sf_dir, "documents")
+    return profiling.cdf_distance(docs, "n_chars", "source", "src0")
+
+
+@query(
     "weighted_sample_orders",
     oracle="""
     WITH pri AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
