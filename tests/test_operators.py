@@ -2636,6 +2636,25 @@ def test_cdf_distance_exact_ks(spark):
     assert out["same"] == (3, 0.0)
 
 
+def test_join_cardinality_exact_and_empty(spark):
+    """sum_k cA(k)*cB(k) must equal the actual join's row count on a
+    hand-checkable case (keys a:2x3, b:1x1 -> 7 rows, top key 6/7); a
+    disjoint pair reports zeros rather than nulls or an empty frame."""
+    from tsdisagg_spark.operators import profiling
+
+    a = spark.createDataFrame([("a",), ("a",), ("b",), ("c",)], ["k"])
+    b = spark.createDataFrame([("a",)] * 3 + [("b",), ("z",)], ["k"])
+    r = profiling.join_cardinality(a, b, "k").collect()[0]
+    assert (r.est_rows, r.n_matching_keys, r.max_key_contrib) == (7, 2, 6)
+    assert r.top1_share == round(6 / 7, 6)
+    assert r.est_rows == a.join(b, "k").count()
+    z = profiling.join_cardinality(
+        a, spark.createDataFrame([("q",)], ["k"]), "k"
+    ).collect()[0]
+    assert (z.est_rows, z.n_matching_keys, z.max_key_contrib, z.top1_share) \
+        == (0, 0, 0, 0.0)
+
+
 def test_pagerank_large_graph_branch_identical_and_partitioned(spark):
     """broadcast_threshold=0 forces the large-graph physical strategy
     (hash-partitioned contribution vector, no coalesce(1)) on the same

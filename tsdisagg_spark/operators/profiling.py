@@ -131,6 +131,69 @@ def vocab_coverage(
     )
 
 
+def join_cardinality(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+) -> DataFrame:
+    """EXACT output cardinality of ``a JOIN b`` on an equi-key — computed
+    WITHOUT running the join: the per-key count tables meet in a
+    key-sized join and the output size is ``sum_k c_a(k) * c_b(k)``.
+    One row: ``(est_rows, n_matching_keys, max_key_contrib,
+    top1_share)``.
+
+    This is the pre-flight a 100 TB pipeline runs before a join it
+    cannot afford to discover is explosive: the count tables are
+    map-side-combined aggregates (key-sized, not row-sized), their join
+    shuffles keys-with-counts rather than rows, and a hot key shows up
+    as ``max_key_contrib`` BEFORE it becomes a straggler task.  For an
+    unfiltered equi-join the number is exact, not an estimate — the
+    sum-of-products IS the join cardinality, which is why the carrier
+    query's oracle can verify it by brute-force COUNTing the actual
+    join on the other engine (a semantically independent witness, not a
+    formula mirror).
+
+    Per-key products accumulate in DECIMAL(38,0): two 1e10-row inputs
+    concentrated on one key give 1e20 — past int64, trivial for
+    decimal.  ``top1_share`` is the one closing float division."""
+    ka, kb = key_a, key_b or key_a
+    ca = a.groupBy(F.col(ka).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__ca")
+    )
+    cb = b.groupBy(F.col(kb).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    dec = "decimal(38,0)"
+    prod = F.col("__ca").cast(dec) * F.col("__cb").cast(dec)
+    return (
+        ca.join(cb, "__k")
+        .agg(
+            F.sum(prod).alias("__est"),
+            F.count(F.lit(1)).alias("n_matching_keys"),
+            F.max(prod).alias("__max"),
+        )
+        .select(
+            F.coalesce(F.col("__est").cast("long"), F.lit(0)).alias(
+                "est_rows"
+            ),
+            "n_matching_keys",
+            F.coalesce(F.col("__max").cast("long"), F.lit(0)).alias(
+                "max_key_contrib"
+            ),
+            F.when(F.col("n_matching_keys") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("__max").cast("double")
+                    / F.col("__est").cast("double"),
+                    6,
+                )
+            )
+            .alias("top1_share"),
+        )
+    )
+
+
 def cdf_distance(
     df: DataFrame,
     value_col: str,

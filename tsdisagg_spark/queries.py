@@ -6152,6 +6152,40 @@ def doc_length_drift(spark, sf_dir):
 
 
 @query(
+    "partkey_selfjoin_cardinality",
+    oracle="""
+    WITH actual AS (SELECT CAST(COUNT(*) AS BIGINT) AS est_rows
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_partkey = b.l_partkey),
+    percnt AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+                     CAST(MAX(c * c) AS BIGINT) AS max_key_contrib
+              FROM percnt)
+    SELECT actual.est_rows, stats.n_matching_keys, stats.max_key_contrib,
+           ROUND(CAST(stats.max_key_contrib AS DOUBLE)
+                 / CAST(actual.est_rows AS DOUBLE), 6) AS top1_share
+    FROM actual, stats
+    """,
+)
+def partkey_selfjoin_cardinality(spark, sf_dir):
+    """Pre-flight cardinality of the candidate-pair self-join on
+    l_partkey — the explosive shape every blocking/dedup pipeline must
+    cost BEFORE running — computed exactly from the per-key count table
+    without materializing a single joined row
+    (operators/profiling.py:join_cardinality).  The oracle is a
+    semantically INDEPENDENT witness, not a formula mirror: DuckDB
+    brute-force COUNTs the actual self-join, so the hash match proves
+    sum-of-products == true join cardinality across paradigms.  Products
+    accumulate in DECIMAL(38,0) (a single hot key in two 1e10-row inputs
+    reaches 1e20); the long cast is display-layer and NULLs loudly on
+    overflow rather than wrapping."""
+    from tsdisagg_spark.operators import profiling
+
+    li = t(spark, sf_dir, "lineitem")
+    return profiling.join_cardinality(li, li, "l_partkey")
+
+
+@query(
     "weighted_sample_orders",
     oracle="""
     WITH pri AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
