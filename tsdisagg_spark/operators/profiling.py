@@ -237,15 +237,23 @@ def cdf_distance(
             )
         ),
     )
-    base = cum.filter(F.col("__g") == baseline).select(
-        "__v",
-        F.col("__cum").alias("__cum_b"),
-        F.col("__n").alias("__n_b"),
+    # attach the baseline CDF to every row via a per-value window instead
+    # of filter + self-join: a frame consumed by two projections plans its
+    # subtree TWICE, and the subtree here contains the only data-sized
+    # shuffle (the (group, value) count) — the window costs one extra
+    # grid-sized exchange and scans the data once
+    wv = Window.partitionBy("__v")
+    withbase = cum.withColumn(
+        "__cum_b",
+        F.max(F.when(F.col("__g") == baseline, F.col("__cum"))).over(wv),
+    ).withColumn(
+        "__n_b",
+        F.max(F.when(F.col("__g") == baseline, F.col("__n"))).over(wv),
     )
     dec = "decimal(38,0)"
     return (
-        cum.filter(F.col("__g") != baseline)
-        .join(base, "__v")
+        withbase.filter(F.col("__g") != baseline)
+        .filter(F.col("__cum_b").isNotNull())
         .groupBy("__g")
         .agg(
             F.max("__n").alias("n"),
