@@ -93,6 +93,7 @@ HEADLINE = [
     "vocab_oov_by_source",     # top-V vocabulary + per-source OOV budget
     "doc_length_drift",        # exact KS drift vs the reference source
     "partkey_selfjoin_cardinality",  # exact join size without the join
+    "daily_distinct_users",    # per-window HLL (streaming twin, batch mode)
     "nation_trade_pagerank",   # iterative graph: 5 power-iteration joins
     "wav_decimate_quanta",     # REAL audio decimation through mapInPandas
     "weighted_sample_orders",  # deterministic weighted sampling (ES priorities)

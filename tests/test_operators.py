@@ -708,6 +708,62 @@ def test_streaming_tumbling_window(spark, tmp_path):
     pd.testing.assert_frame_equal(got_s[exp_s.columns], exp_s)
 
 
+def test_streaming_windowed_distinct_matches_batch(spark, tmp_path):
+    """Streaming per-window HLL cardinality: parquet source -> watermarked
+    register aggregation -> memory sink; estimating the streamed
+    registers must reproduce the batch twin EXACTLY (identical registers
+    -> identical dyadic sums -> identical estimates), including across
+    users repeating in many windows."""
+    from tsdisagg_spark.operators.sketches import hll_estimate
+    from tsdisagg_spark.streaming import (
+        stream_windowed_distinct_registers,
+        windowed_distinct_counts,
+    )
+
+    src = str(tmp_path / "wd_src")
+    events = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-03-01", periods=600, freq="7min"),
+            "event_type": ["a", "b", "c"] * 200,
+            "user_id": [i % 37 for i in range(600)],
+        }
+    )
+    spark.createDataFrame(events).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    q = (
+        stream_windowed_distinct_registers(
+            stream, window_size="1 day", watermark="2 hours", p=5
+        )
+        .writeStream.format("memory")
+        .queryName("wd_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        hll_estimate(
+            spark.sql("select * from wd_regs"),
+            p=5,
+            group_cols=["event_type", "window_start", "window_end"],
+        )
+        .toPandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        windowed_distinct_counts(static, window_size="1 day", p=5)
+        .toPandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert len(exp) > 3  # several (type, day) windows actually exercised
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     """Same clustered regime as the LSH test: IVF with nprobe=3 of 8 lists
     must recover most true neighbors (clusters land in few lists)."""

@@ -6186,6 +6186,81 @@ def partkey_selfjoin_cardinality(spark, sf_dir):
 
 
 @query(
+    "daily_distinct_users",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS window_start,
+               (('0x' || substr(md5(user_id::VARCHAR || ':hll'), 1, 8))
+                ::BIGINT % 32) AS bucket,
+               ('0x' || substr(md5(user_id::VARCHAR || ':hll'), 9, 8))
+               ::BIGINT AS v
+        FROM events),
+    regs AS (
+        SELECT event_type, window_start, bucket,
+               MAX(CASE WHEN v = 0 THEN 33
+                        ELSE 33 - length(bin(v)) END) AS rho
+        FROM h GROUP BY 1, 2, 3),
+    est AS (
+        SELECT event_type, window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_occupied,
+               SUM(1.0 / (1::BIGINT << rho)) AS s
+        FROM regs GROUP BY 1, 2),
+    fin AS (
+        SELECT event_type, window_start, n_occupied,
+               ROUND(CASE WHEN 0.697 * 32 * 32 / (s + (32 - n_occupied))
+                               <= 2.5 * 32
+                           AND n_occupied < 32
+                          THEN 32.0 * ln(32.0 / (32 - n_occupied))
+                          ELSE 0.697 * 32 * 32 / (s + (32 - n_occupied))
+                      END, 6) AS est_distinct
+        FROM est),
+    truth AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+        FROM events GROUP BY 1, 2)
+    SELECT t.event_type, t.window_start,
+           t.window_start + INTERVAL 1 DAY AS window_end,
+           t.true_distinct, f.n_occupied, f.est_distinct
+    FROM truth t JOIN fin f USING (event_type, window_start)
+    """,
+)
+def daily_distinct_users(spark, sf_dir):
+    """Distinct users per event type per DAY via windowed HyperLogLog
+    registers (streaming/windows.py:windowed_distinct_counts) next to
+    the exact answer — the batch twin of the streaming per-window
+    cardinality operator (stream_windowed_distinct_registers adds only
+    the watermark; the logical plan is identical and the twin equality
+    is pinned by test).  The streaming story this certifies: exact
+    per-window COUNT DISTINCT holds every distinct key in state, while
+    register state is capped at keys x open windows x 32 small ints at
+    any event rate, and closed windows age out with the watermark.
+    Determinism per the HLL recipe: integer registers, dyadic estimator
+    sum, ln only in the linear-counting branch (scalar per window,
+    rounded at 6)."""
+    from tsdisagg_spark.streaming import windowed_distinct_counts
+
+    ev = t(spark, sf_dir, "events")
+    est = windowed_distinct_counts(
+        ev, window_size="1 day", key_col="event_type", user_col="user_id",
+        p=5,
+    )
+    truth = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("window_start"),
+    ).agg(F.countDistinct("user_id").alias("true_distinct"))
+    return truth.join(est, ["event_type", "window_start"]).select(
+        "event_type",
+        "window_start",
+        "window_end",
+        "true_distinct",
+        "n_occupied",
+        "est_distinct",
+    )
+
+
+@query(
     "weighted_sample_orders",
     oracle="""
     WITH pri AS (SELECT o_orderpriority, o_orderkey, o_totalprice,

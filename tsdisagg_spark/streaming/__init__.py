@@ -18,7 +18,10 @@ from tsdisagg_spark.streaming.windows import (
     stateful_sessions,
     stream_sliding_counts,
     stream_tumbling_counts,
+    stream_windowed_distinct_registers,
     tumbling_counts,
+    windowed_distinct_counts,
+    windowed_distinct_registers,
 )
 
 __all__ = [
@@ -31,7 +34,10 @@ __all__ = [
     "stream_probe_candidates",
     "stream_sliding_counts",
     "stream_tumbling_counts",
+    "stream_windowed_distinct_registers",
     "streaming_disaggregate",
     "tumbling_counts",
     "verify_probe_candidates",
+    "windowed_distinct_counts",
+    "windowed_distinct_registers",
 ]
