@@ -494,3 +494,67 @@ def test_stream_static_enrich_equals_batch(spark, tmp_path):
     # dimensionless events survive with null tier
     assert got[got.user_id >= 10].tier.isna().all()
     assert len(got[got.user_id >= 10]) > 0
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """ewma_series == pandas ewm(alpha=..., adjust=False) per series, in
+    order, including the s_0 = x_0 seed."""
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "series_id": np.repeat(["a", "b", "c"], 40),
+            "ts": np.tile(
+                pd.date_range("2020-01-31", periods=40, freq="ME"), 3
+            ),
+            "value": rng.uniform(-100, 100, 120).round(4),
+        }
+    )
+    got = (
+        timeseries.ewma_series(
+            spark.createDataFrame(pdf),
+            ["series_id"],
+            ord_col="ts",
+            value_col="value",
+            alpha=0.3,
+            round_to=9,
+        )
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.assign(
+            ewma=pdf.groupby("series_id")["value"].transform(
+                lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+            )
+        )
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["ewma"], exp["ewma"], rtol=0, atol=5e-10)
+    assert list(got.columns) == ["series_id", "ts", "ewma"]
+
+
+def test_ewma_single_row_series_and_unrounded(spark):
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["solo", "duo", "duo"],
+            "ts": pd.to_datetime(["2020-01-01", "2020-01-01", "2020-02-01"]),
+            "value": [42.0, 1.0, 3.0],
+        }
+    )
+    got = {
+        (r["series_id"], r["ts"].isoformat()): r["ewma"]
+        for r in timeseries.ewma_series(
+            spark.createDataFrame(pdf),
+            ["series_id"],
+            ord_col="ts",
+            value_col="value",
+            alpha=0.5,
+            round_to=None,
+        ).collect()
+    }
+    # seed is the first observation itself; 0.5*3 + 0.5*1 = 2 exactly
+    assert got[("solo", "2020-01-01T00:00:00")] == 42.0
+    assert got[("duo", "2020-01-01T00:00:00")] == 1.0
+    assert got[("duo", "2020-02-01T00:00:00")] == 2.0

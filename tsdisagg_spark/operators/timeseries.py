@@ -336,3 +336,86 @@ def indicator_corr(
     return df.groupBy(series_col).agg(
         F.count(F.lit(1)).alias("n_obs"), *aggs
     )
+
+
+def ewma_series(
+    df: DataFrame,
+    partition_cols: list[str],
+    ord_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-series exponentially weighted moving average, computed as a
+    SEQUENTIAL left fold: ``s_0 = x_0``, ``s_t = alpha*x_t +
+    (1-alpha)*s_{t-1}`` — the classic smoother a disaggregation user
+    applies to an indicator before regressing on it (the reference
+    delegates smoothing to pandas ``ewm``; see the pandas-alignment
+    surface around ts_disagg.py:298).
+
+    Determinism contract: the fold is a left-to-right reduction over the
+    list sorted by ``ord_col`` — there is NO summation-order freedom, so
+    two engines that fold the identically-ordered doubles with the same
+    IEEE ops produce bit-identical results (DuckDB's ``list_reduce`` over
+    a window-accumulated list is the oracle twin).  Sequential folds are
+    exempt from the float-grid corpus-size bound for that reason: ties in
+    the ``round_to`` grid can only arise if the *inputs* differ, never
+    from reassociation.  CAVEAT for dyadic ``alpha``: the fold values lie
+    exactly on a (10^-d / 2^t)-grid that intersects the decimal rounding
+    grid's half-points SYSTEMATICALLY, where Spark's HALF_UP (exact
+    binary expansion) and DuckDB's multiply-then-round disagree — pass
+    ``round_to=None`` and compare the raw bit-identical doubles instead
+    (measured: 1 flip in 1975 rows at sf0.01 with round_to=6; zero
+    unrounded at every tier).
+
+    Scale shape: one exchange on the series key, then each group folds
+    its own collected array (bounded by the series' timeline length — a
+    few hundred periods, never data-sized) inside a single projection.
+    No O(n^2) self-join, no Python UDF; the fold runs in the JVM's
+    higher-order-function evaluator.
+    """
+    a = float(alpha)
+    packed = df.groupBy(*partition_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ord_col).alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("seq")
+    )
+    # init = [first element as its own EWMA]; fold the rest, each step
+    # reading the running state from the tail of the accumulator array.
+    folded = packed.select(
+        *partition_cols,
+        F.aggregate(
+            F.slice("seq", F.lit(2), F.greatest(F.size("seq") - 1, F.lit(0))),
+            F.array(
+                F.struct(
+                    F.col("seq")[0]["o"].alias("o"),
+                    F.col("seq")[0]["x"].alias("e"),
+                )
+            ),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["o"].alias("o"),
+                        (
+                            F.lit(a) * x["x"]
+                            + F.lit(1.0 - a) * F.element_at(acc, -1)["e"]
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).alias("out"),
+    )
+    e = F.col("p.e")
+    if round_to is not None:
+        e = F.round(e, round_to)
+    return folded.select(*partition_cols, F.explode("out").alias("p")).select(
+        *partition_cols,
+        F.col("p.o").alias(ord_col),
+        e.alias("ewma"),
+    )

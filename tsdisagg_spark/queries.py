@@ -7538,6 +7538,71 @@ def seasonal_decomposition_exact(spark, sf_dir):
     )
 
 
+
+@query(
+    "nation_monthly_ewma",
+    oracle="""
+    WITH m AS (
+      SELECT n_name, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rc4
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT n_name, month, CAST(rc4 AS BIGINT) / 10000.0 AS x FROM m
+    ), pre AS (
+      SELECT n_name, month,
+             list(x) OVER (PARTITION BY n_name ORDER BY month
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      FROM s
+    )
+    SELECT n_name, month,
+           list_reduce(xs, (a, b) -> 0.5 * b + 0.5 * a) AS ewma
+    FROM pre
+    """,
+)
+def nation_monthly_ewma(spark, sf_dir):
+    """Per-nation EWMA (alpha=0.5) of monthly revenue — the indicator
+    smoother (operators/timeseries.py:ewma_series) certified cross-engine:
+    monthly revenue is summed in EXACT integer 10^-4-dollar units
+    (price x (1-discount) has 4 decimals; DECIMAL(38,0) accumulator per
+    the headroom rule), converted to double by ONE integer/10000.0
+    division both engines compute identically, then folded sequentially —
+    Spark's higher-order `aggregate` vs DuckDB's `list_reduce` over the
+    same month-ordered list, the same `0.5*x + 0.5*s` IEEE ops in the
+    same order.  The output is the RAW bit-identical double (no ROUND):
+    with dyadic alpha the fold values sit exactly on a dyadic-decimal
+    grid whose half-points systematically split Spark's HALF_UP from
+    DuckDB's multiply-round (1 flip in 1975 rows measured at sf0.01), so
+    the certification compares the identical binary values directly —
+    exact at any corpus size, no grid to tie on."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    m = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("decimal(38,0)")
+            ).alias("rc4")
+        )
+    )
+    s = m.select(
+        "n_name", "month", (F.col("rc4").cast("long") / F.lit(10000.0)).alias("x")
+    )
+    return timeseries.ewma_series(
+        s, ["n_name"], ord_col="month", value_col="x", alpha=0.5,
+        round_to=None,
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
