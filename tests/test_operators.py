@@ -3200,3 +3200,87 @@ def test_semantic_probe_gemm_backend_matches_expr(spark):
     ge = {(b, c): s for b, c, s in gemm}
     for b, c, s in expr:
         assert abs(ge[(b, c)] - s) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_exact — two-phase Misra–Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_matches_bruteforce(spark):
+    """Zipf-ish stream across many partitions: the two-phase plan returns
+    EXACTLY the keys with count > n/k, with exact counts, regardless of
+    partitioning (candidates are a superset by the pigeonhole bound; the
+    recount is exact)."""
+    from tsdisagg_spark.operators import sketches
+
+    rng = np.random.default_rng(11)
+    keys = [f"k{int(z)}" for z in rng.zipf(1.3, 20_000) if z < 5_000]
+    pdf = pd.DataFrame({"term": keys})
+    df = spark.createDataFrame(pdf).repartition(8)
+    for k in (5, 50, 400):
+        got = {
+            (r["term"], r["cnt"])
+            for r in sketches.heavy_hitters_exact(df, "term", k=k).collect()
+        }
+        vc = pdf["term"].value_counts()
+        n = len(pdf)
+        want = {
+            (term, int(c)) for term, c in vc.items() if c * k > n
+        }
+        assert got == want, f"k={k}: {got ^ want}"
+
+
+def test_heavy_hitters_candidate_state_is_bounded(spark):
+    """Phase-1 candidate output is <= k rows per partition even when the
+    distinct-key cardinality vastly exceeds k (the whole point: the
+    full vocabulary never crosses an exchange)."""
+    from tsdisagg_spark.operators import sketches
+
+    df = spark.range(0, 30_000, 1, 4).select(
+        F.concat(F.lit("u"), (F.col("id") % 25_000)).alias("term")
+    )
+    out_schema = df.schema
+    import pandas as pd_mod
+
+    # re-run only phase 1, counting its emitted rows per partition
+    k = 16
+    def mg_partition(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for key, c in pdf["term"].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > k:
+                kth = sorted(counts.values(), reverse=True)[k]
+                counts = {
+                    key: c - kth for key, c in counts.items() if c > kth
+                }
+        yield pd_mod.DataFrame({"term": list(counts.keys())})
+
+    cand_rows = df.mapInPandas(mg_partition, schema=out_schema).count()
+    assert cand_rows <= k * 4
+    # and the end-to-end answer on this near-uniform stream is empty
+    # (no key's count exceeds n/k), which must come back exact, not noisy
+    assert sketches.heavy_hitters_exact(df, "term", k=k).count() == 0
+
+
+def test_heavy_hitters_majority_and_validation(spark):
+    from tsdisagg_spark.operators import sketches
+
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.heavy_hitters_exact(
+            spark.createDataFrame(pd.DataFrame({"t": ["a"]})), "t", k=0
+        )
+    # k=2 is the strict-majority query (count > n/2): present -> found
+    maj = spark.createDataFrame(
+        pd.DataFrame({"t": ["a"] * 6 + ["b"] * 3 + ["c"] * 2})
+    ).repartition(3)
+    assert [
+        (r["t"], r["cnt"])
+        for r in sketches.heavy_hitters_exact(maj, "t", k=2).collect()
+    ] == [("a", 6)]
+    # exact 50/50 split: 5*2 > 10 is false -> no majority, exactly empty
+    split = spark.createDataFrame(
+        pd.DataFrame({"t": ["a"] * 5 + ["b"] * 5})
+    ).repartition(3)
+    assert sketches.heavy_hitters_exact(split, "t", k=2).count() == 0

@@ -510,3 +510,72 @@ def grid_quantiles(
             ).alias(f"q_{num}_{den}")
         )
     return cum.groupBy(*gcols).agg(*aggs)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACT phi-heavy-hitters — every key whose count strictly exceeds
+    ``n/k`` — without ever shuffling the full key cardinality.
+
+    The naive plan (``groupBy(key).count()`` then filter) shuffles one
+    row per DISTINCT key: at 100 TB of tokens that is the vocabulary —
+    billions of shuffle rows to find the few hundred frequent ones.  This
+    is the classic two-phase mergeable-summary plan instead:
+
+    1. **Candidates** — each partition folds its local stream through a
+       Misra–Gries summary with ``k`` counters (``mapInPandas``; dict
+       state bounded by ``k`` regardless of partition size).  Arrow
+       batches are absorbed via the MG *merge* step: add the batch's
+       exact counts, then subtract the (k+1)-th largest count from every
+       counter and drop the non-positives — the decrement total is
+       bounded, so any key with local count > n_p/(k+1) survives
+       (Misra & Gries 1982; Agarwal et al., "Mergeable Summaries",
+       PODS'12).
+    2. **Pigeonhole union** — a key with GLOBAL count C > n/k must have
+       C_p > n_p/k on at least one partition (if C_p <= n_p/k for every
+       p, summing gives C <= n/k, contradiction), and n_p/k >
+       n_p/(k+1), so it survives phase 1 somewhere.  The candidate union
+       is <= k x n_partitions rows — sketch-sized, independent of data.
+    3. **Exact recount** — broadcast the candidate set, hash-semi-join
+       the stream (a map-side filter: non-candidate rows are dropped
+       before the exchange), exact groupBy count, keep
+       ``cnt * k > n``.  The only data-sized aggregation left shuffles
+       candidate keys only.
+
+    Output ``(key_col, cnt)`` is exact and deterministic — independent
+    of partitioning, batch boundaries, and MG eviction order — because
+    phase 1 only ever proposes a superset and phase 3 recounts exactly.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pandas as pd
+
+    out_schema = df.select(key_col).schema
+
+    def mg_partition(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > k:
+                kth = sorted(counts.values(), reverse=True)[k]
+                counts = {
+                    key: c - kth for key, c in counts.items() if c > kth
+                }
+        yield pd.DataFrame({key_col: list(counts.keys())})
+
+    candidates = df.select(key_col).mapInPandas(
+        mg_partition, schema=out_schema
+    ).distinct()
+    n_df = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_df))
+        .filter(F.col("cnt") * k > F.col("__n"))
+        .select(key_col, "cnt")
+    )

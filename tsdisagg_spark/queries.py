@@ -7603,6 +7603,41 @@ def nation_monthly_ewma(spark, sf_dir):
     )
 
 
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n_tok FROM toks)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks CROSS JOIN n
+    GROUP BY term, n_tok
+    HAVING COUNT(*) * 400 > n_tok
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Exact token heavy-hitters (count > n/400) over the Zipfian corpus
+    token stream via the two-phase Misra-Gries plan
+    (operators/sketches.py:heavy_hitters_exact): per-partition bounded-
+    state candidate generation + broadcast-semi-join exact recount.  The
+    naive groupBy shuffles the whole VOCABULARY (data-sized at 100 TB);
+    this plan's only full-cardinality structure is k counters per
+    partition, and the recount aggregation sees candidate-key rows only.
+    The oracle is the brute-force exact count with the same n/k
+    threshold — the two-phase plan is provably a pure optimization
+    (candidate superset + exact recount), so the hash must match."""
+    from tsdisagg_spark.operators import sketches
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term")
+    )
+    return sketches.heavy_hitters_exact(toks, "term", k=400)
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
