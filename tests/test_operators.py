@@ -3284,3 +3284,55 @@ def test_heavy_hitters_majority_and_validation(spark):
         pd.DataFrame({"t": ["a"] * 5 + ["b"] * 5})
     ).repartition(3)
     assert sketches.heavy_hitters_exact(split, "t", k=2).count() == 0
+
+
+def test_jaccard_prefix_equals_bruteforce_posting_join(spark):
+    """jaccard_pairs_prefix == uncapped jaccard_pairs exactly, across
+    thresholds (including a non-dyadic one that exercises the exact
+    rational prefix arithmetic) — prefix filtering is a pure candidate
+    optimization, never a semantics change."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [
+        " ".join(rng.choice(vocab, size=rng.integers(8, 25)))
+        for _ in range(40)
+    ]
+    docs = list(base)
+    # planted near-dups: tail-mutated copies
+    for i in range(0, 20, 2):
+        words = base[i].split()
+        words[-1] = "mutated"
+        docs.append(" ".join(words))
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    df = spark.createDataFrame(pdf).repartition(5)
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.jaccard_pairs_prefix(df, threshold=t).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.jaccard_pairs(df, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}: {got ^ want}"
+        if t == 0.5:
+            assert got, "planted near-dups must be found"
+    spark.catalog.clearCache()
+
+
+def test_jaccard_prefix_skips_frequent_shingles_and_validates(spark):
+    """A boilerplate shingle shared by every document must not appear in
+    any prefix (it has maximal df, so it sorts to every suffix) — the
+    candidate join stays small even with 100%-df shingles present; and
+    the result still counts that shared evidence exactly."""
+    boiler = "the quick brown fox says"
+    docs = [f"{boiler} unique{i} tail{i} extra{i}" for i in range(12)]
+    docs.append(f"{boiler} unique0 tail0 extra0")  # exact dup of doc 0
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    df = spark.createDataFrame(pdf)
+    got = dedup.jaccard_pairs_prefix(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 12)}
+    assert got[0]["jaccard"] == 1.0
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.jaccard_pairs_prefix(df, threshold=0.0)
+    spark.catalog.clearCache()

@@ -1042,3 +1042,124 @@ def window_dup_stats(
             F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_frac"),
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard >= ``threshold`` — the SAME
+    exact answer as :func:`jaccard_pairs` with no document-frequency cap —
+    via AllPairs/PPJoin PREFIX FILTERING (Bayardo et al., WWW'07; Xiao et
+    al., WWW'08) instead of the full posting self-join.
+
+    Why a second exact algorithm: the plain posting self-join grows as
+    sum(df^2) over shingles.  ``max_doc_freq`` bounds that by *discarding*
+    high-frequency evidence (a semantics change the caller must accept);
+    prefix filtering keeps EXACT semantics and still never joins on the
+    frequent shingles, because they sort to the END of each document's
+    frequency-ordered shingle list and the join only touches each
+    document's PREFIX:
+
+    * order every document's shingles by (global df asc, shingle asc) —
+      rarest first; any fixed total order preserves correctness;
+    * a pair with ``J >= t`` has ``|a ∩ b| >= ceil(t*|a|)`` (since
+      ``J >= t`` implies overlap ``>= t*max(|a|,|b|)``), so the first
+      ``|a| - ceil(t*|a|) + 1`` shingles of ``a`` must contain a common
+      shingle — in fact the globally-smallest common shingle ``w`` sits
+      inside BOTH prefixes (all shingles ordered before ``w`` in either
+      document are non-common by ``w``'s minimality, and each side has
+      at most ``|x| - overlap`` of them), so the prefix-to-prefix
+      equi-join finds every qualifying pair;
+    * candidates additionally pass the length filter
+      ``t * max(|a|,|b|) <= min(|a|,|b|)`` in exact integer arithmetic;
+    * each candidate pair is then VERIFIED exactly: both documents'
+      full sorted shingle arrays are joined in (bounded by document
+      length, never corpus size) and ``array_intersect`` recomputes the
+      true overlap, so false candidates die and the output equals the
+      brute-force definition bit-for-bit.
+
+    Scale shape: the only data-sized exchanges are the df window (keyed
+    on shingle), the per-document rank window (keyed on id), and the
+    prefix self-join — whose per-shingle fan-out is df-of-PREFIX
+    occurrences, concentrated on rare shingles by construction.  The
+    threshold is parsed as an exact rational (``Fraction(str(t))``), so
+    prefix lengths and length filters involve no float rounding.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    if not (0 < frac <= 1):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    postings = shingle_postings(df, id_col, text_col, n).persist()
+    w_df = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy(id_col).orderBy("df", "shingle")
+    w_sz = Window.partitionBy(id_col)
+    ranked = (
+        postings.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_sz))
+        .withColumn("rn", F.row_number().over(w_doc))
+    )
+    # ceil(t * n_sh) in exact integers: (num*n_sh + den - 1) div den.
+    # The quotient fits a double exactly (inputs < 2^53), so floor(x/y)
+    # after an exact-integer division is the true integer quotient.
+    ceil_tn = F.floor(
+        (F.lit(num) * F.col("n_sh") + F.lit(den - 1)) / F.lit(den)
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - ceil_tn + 1
+    ).select(id_col, "shingle", "n_sh")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # exact-integer length filter: t*max <= min
+        .filter(
+            (F.lit(num) * F.col("a.n_sh") <= F.lit(den) * F.col("b.n_sh"))
+            & (F.lit(num) * F.col("b.n_sh") <= F.lit(den) * F.col("a.n_sh"))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    arrays = postings.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    return (
+        cand.join(
+            arrays.select(
+                F.col(id_col).alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrays.select(
+                F.col(id_col).alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

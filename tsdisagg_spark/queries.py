@@ -7638,6 +7638,49 @@ def heavy_hitter_tokens(spark, sf_dir):
     return sketches.heavy_hitters_exact(toks, "term", k=400)
 
 
+
+@query(
+    "jaccard_prefix_near_dups",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
+    """,
+)
+def jaccard_prefix_near_dups(spark, sf_dir):
+    """Exact UNCAPPED shingle-Jaccard pairs (threshold 0.5) via AllPairs
+    prefix filtering (operators/dedup.py:jaccard_pairs_prefix) — the
+    scale path that keeps exact semantics where `jaccard_near_dups`
+    trades them for the max_doc_freq prune: frequent shingles sort to
+    the suffix of every document's df-ordered list and never enter the
+    candidate join; candidates are re-verified against the full sorted
+    shingle arrays, so the output equals the brute-force definition.
+    The oracle IS that brute force (no df-cap CTE).  Float grid: one
+    integer/integer division per emitted pair — tie-free at any corpus
+    size."""
+    return dedup.jaccard_pairs_prefix(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
