@@ -3336,3 +3336,71 @@ def test_jaccard_prefix_skips_frequent_shingles_and_validates(spark):
     with pytest.raises(ValueError, match="threshold"):
         dedup.jaccard_pairs_prefix(df, threshold=0.0)
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# kcore — exact iterative peeling
+# ---------------------------------------------------------------------------
+
+
+def _peel_reference(edge_list, k):
+    """Brute-force confluent peel: the unique k-core as {node: degree}."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in edge_list:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {x for x in alive if len(adj[x] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {x: len(adj[x] & alive) for x in alive}
+
+
+def test_kcore_matches_bruteforce_peel(spark):
+    from tsdisagg_spark.operators import graph
+
+    rng = np.random.default_rng(23)
+    edge_list = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 60, size=(600, 2))
+        if a != b
+    }
+    edges = spark.createDataFrame(
+        pd.DataFrame(edge_list, columns=["id_a", "id_b"])
+    ).repartition(4)
+    for k in (2, 5, 10, 15):
+        got = {
+            (r["node"], r["core_degree"])
+            for r in graph.kcore(edges, k=k).collect()
+        }
+        want = set(_peel_reference(edge_list, k).items())
+        assert got == want, f"k={k}"
+
+
+def test_kcore_cascade_and_edge_cases(spark):
+    from tsdisagg_spark.operators import graph
+
+    # a path cascades to nothing under k=2 (ends peel first, then inward)
+    path = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(9), "id_b": range(1, 10)})
+    )
+    assert graph.kcore(path, k=2).count() == 0
+    # a cycle IS its own 2-core, every degree exactly 2
+    cyc = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(6)), "id_b": [1, 2, 3, 4, 5, 0]})
+    )
+    rows = graph.kcore(cyc, k=2).collect()
+    assert {r["node"] for r in rows} == set(range(6))
+    assert all(r["core_degree"] == 2 for r in rows)
+    # cycle + pendant: pendant (and only it) is peeled
+    pend = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 2, 0], "id_b": [1, 2, 0, 99]})
+    )
+    assert {r["node"] for r in graph.kcore(pend, k=2).collect()} == {0, 1, 2}
+    with pytest.raises(ValueError, match="k must be"):
+        graph.kcore(path, k=0)

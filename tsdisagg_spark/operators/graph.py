@@ -341,3 +341,89 @@ def pagerank(
             )
         )
     return ranks
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-CORE of an undirected graph — the maximal subgraph in which
+    every node keeps degree >= k — as ``(node, core_degree)`` rows, with
+    ``core_degree`` the node's degree INSIDE the core (Seidman 1983;
+    Matula & Beck 1983 peeling).
+
+    A training-data pipeline reads cores off the near-dup / co-occurrence
+    graph to find the densely-interlinked clusters (template farms, SEO
+    mirror networks) that pairwise thresholds miss: a mirror network's
+    pages each resemble many siblings a little, not one sibling a lot.
+
+    Algorithm: iterative peeling to the exact fixpoint.  Each round
+    recomputes degrees (one hash aggregation keyed on node), keeps nodes
+    with degree >= k, and drops every edge touching a peeled node (two
+    node-keyed joins).  The result is the standard k-core regardless of
+    peel order — peeling is confluent — so the output is deterministic
+    and matches an unrolled-SQL oracle with any sufficient round count.
+
+    Scale shape: every structure is node- or edge-keyed and shuffles on
+    those keys; the only driver-side value is the per-round alive-node
+    COUNT (one scalar — the convergence test).  Round checkpoints
+    truncate the growing lineage and release the previous round's blocks
+    (same storage discipline as :func:`connected_components`): executor
+    storage holds at most two edge-list snapshots at any time.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sc = pairs.sparkSession.sparkContext
+    # canonical orientation BEFORE distinct: an input carrying both (a, b)
+    # and (b, a) must collapse to ONE undirected edge, or the symmetrized
+    # adjacency double-counts that neighbor's degree contribution
+    ua = F.col(id_a).cast("long")
+    ub = F.col(id_b).cast("long")
+    edges = (
+        pairs.select(
+            F.least(ua, ub).alias("u"), F.greatest(ua, ub).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = _both_directions(edges)
+
+    def _tracked_ckpt(df: DataFrame):
+        before = _persistent_rdd_ids(sc)
+        out = df.localCheckpoint(eager=False)
+        return out, _persistent_rdd_ids(sc) - before
+
+    live_ids: set = set()
+    prev_edges = -1
+    for _ in range(max_rounds):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.where(F.col("d") >= k).select("u")
+        adj_next, new_ids = _tracked_ckpt(
+            adj.join(alive, "u")
+            .join(alive.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+        )
+        # The convergence scalar is the NEW snapshot's edge count: edge
+        # count unchanged <=> no endpoint was peeled <=> fixpoint (degrees
+        # are a pure function of the edge set).  Counting adj_next — not
+        # `alive` — also MATERIALIZES its checkpoint first, so by the time
+        # the previous round's blocks are released below, the new
+        # snapshot's lineage is already truncated and no longer references
+        # them (releasing a lazy localCheckpoint's still-referenced parent
+        # would be unrecoverable — lineage is gone with the blocks).
+        n_edges = adj_next.count()
+        _release_checkpoint_blocks(sc, live_ids)
+        live_ids = new_ids
+        adj = adj_next
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+    return adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
