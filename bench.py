@@ -128,6 +128,10 @@ HEADLINE = [
     "order_value_grid_quantiles",  # exact histogram quantiles, sort-free
     "pq_codes",                # product-quantization encode (explode + broadcast codebook)
     "pq_adc_topk",             # asymmetric-distance top-k over 8-byte codes
+    "nation_monthly_ewma",     # sequential-fold EWMA (higher-order aggregate)
+    "heavy_hitter_tokens",     # Misra-Gries candidates + exact recount
+    "jaccard_prefix_near_dups",  # AllPairs prefix-filtered exact similarity join
+    "copurchase_kcore",        # iterative k-core peeling to fixpoint
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two
