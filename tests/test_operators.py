@@ -1641,6 +1641,59 @@ def test_chunk_documents_coverage_and_overlap(spark):
         text_ops.chunk_documents(df, size=10, stride=20)
 
 
+def test_remove_duplicate_chunks_exact(spark):
+    """Brute-force the global first-occurrence rule on a tiny corpus and
+    check verbatim reassembly, the empty-survivor case, and counts."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    blk_a = " ".join(f"a{i}" for i in range(4))
+    blk_b = " ".join(f"b{i}" for i in range(4))
+    blk_c = " ".join(f"c{i}" for i in range(4))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            # doc1: A B   doc2: B C (B dup)   doc3: A B (all dup -> empty)
+            # doc4: C + a 2-word tail block
+            "text": [
+                f"{blk_a} {blk_b}",
+                f"{blk_b} {blk_c}",
+                f"{blk_a} {blk_b}",
+                f"{blk_c} tail words",
+            ],
+        }
+    )
+    out = (
+        text_ops.remove_duplicate_chunks(
+            spark.createDataFrame(docs), size=4
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute force: first (doc_id, chunk_id) per block text wins
+    seen, want = {}, {}
+    for _, r in docs.iterrows():
+        w = r["text"].lower().split()
+        kept = []
+        for c, s in enumerate(range(0, len(w), 4)):
+            blk = " ".join(w[s : s + 4])
+            if blk not in seen:
+                seen[blk] = (r["doc_id"], c)
+                kept.append(blk)
+        want[r["doc_id"]] = " ".join(kept)
+    for doc_id, text in want.items():
+        assert out.loc[doc_id, "cleaned_text"] == text
+    assert out.loc[3, "cleaned_text"] == "" and out.loc[3, "n_chunks_kept"] == 0
+    assert out.loc[3, "n_chunks_removed"] == 2
+    assert out.loc[4, "n_chunks_kept"] == 1  # C removed (first seen in doc2), tail kept
+    # kept + removed == total blocks per doc
+    for doc_id, r in out.iterrows():
+        n_words = len(docs.set_index("doc_id").loc[doc_id, "text"].split())
+        assert r["n_chunks_kept"] + r["n_chunks_removed"] == -(-n_words // 4)
+    with pytest.raises(ValueError):
+        text_ops.remove_duplicate_chunks(spark.createDataFrame(docs), size=0)
+
+
 def test_quantize_embeddings_properties(spark):
     rng = np.random.default_rng(5)
     rows = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(20)]

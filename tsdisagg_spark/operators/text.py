@@ -573,3 +573,73 @@ def chunk_documents(
             F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
         )
     )
+
+
+def remove_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+) -> DataFrame:
+    """Cross-corpus exact span dedup — the REMOVAL pass that follows
+    boilerplate detection in a web-corpus pipeline (C4 / RefinedWeb style):
+    split each document into non-overlapping ``size``-word blocks, keep
+    only the globally FIRST occurrence of each block (ordered by
+    ``(id, chunk_id)``), delete every later occurrence, and rebuild the
+    surviving text in document order.
+
+    Returns one row per input document:
+    ``(id, cleaned_text, n_chunks_kept, n_chunks_removed)`` — a document
+    whose every block first occurred elsewhere survives with
+    ``cleaned_text = ''`` and ``n_chunks_kept = 0``.
+
+    Scale shape (the part that matters at corpus scale): the keep/remove
+    decision never moves chunk TEXT.  Blocks are reduced to a 32-char md5
+    digest on the map side, the first occurrence per digest is
+    ``min(struct(id, chunk_id))`` — an algebraic aggregate with map-side
+    partial combine, no sort window — and the per-document keep-list is a
+    second narrow aggregate of ``(id, chunk_id)`` pairs.  Document text
+    crosses exactly ONE exchange: the ``id``-keyed join of the original
+    docs against their keep-lists, after which reassembly is a pure
+    codegen array expression (``transform`` + ``slice`` over the word
+    array) riding map-side.  Compare the naive formulation (window over
+    digest carrying chunk text, then regroup by doc): that shuffles the
+    corpus text twice and sorts it once.
+    """
+    if size < 1:
+        raise ValueError(f"need size >= 1, got {size}")
+    chunks = chunk_documents(df, id_col, text_col, size=size, stride=size)
+    # first global occurrence per digest: algebraic min over (id, chunk_id)
+    firsts = (
+        chunks.select(
+            F.md5("chunk_text").alias("__digest"),
+            F.struct(F.col(id_col).alias("i"), F.col("chunk_id").alias("c")).alias("__occ"),
+        )
+        .groupBy("__digest")
+        .agg(F.min("__occ").alias("__first"))
+    )
+    keep_lists = (
+        firsts.select(F.col("__first.i").alias(id_col), F.col("__first.c").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("c")).alias("__kept"))
+    )
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    return (
+        base.join(keep_lists, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__kept"), F.expr("CAST(array() AS array<int>)")).alias("__k"),
+            F.col("__w"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"concat_ws(' ', flatten(transform(__k, c -> slice(__w, c * {size} + 1, {size}))))"
+            ).alias("cleaned_text"),
+            F.size("__k").cast("long").alias("n_chunks_kept"),
+            (
+                F.expr(f"(size(__w) + {size} - 1) div {size}").cast("long")
+                - F.size("__k")
+            ).alias("n_chunks_removed"),
+        )
+    )

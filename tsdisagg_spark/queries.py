@@ -7753,6 +7753,57 @@ def copurchase_kcore(spark, sf_dir):
     )
 
 
+@query(
+    "chunk_dedup_clean",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, CAST(len(w) - 1 AS BIGINT),
+                                      CAST(32 AS BIGINT))) AS s
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id, s // 32 AS chunk_id,
+               array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text,
+               md5(array_to_string(w[s + 1 : s + 32], ' ')) AS digest
+        FROM st
+    ),
+    rk AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               row_number() OVER (PARTITION BY digest
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                        FILTER (WHERE rn = 1), '') AS cleaned_text,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_chunks_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_chunks_removed
+    FROM rk GROUP BY doc_id
+    """,
+)
+def chunk_dedup_clean(spark, sf_dir):
+    """Cross-corpus exact span REMOVAL with document reassembly (the
+    C4/RefinedWeb-style pass that follows `boilerplate_chunks`' detection):
+    non-overlapping 32-word blocks, only the globally first occurrence of
+    each block survives, and documents are rebuilt from their surviving
+    blocks in order.  Exactly hashable — output text is deterministic
+    string surgery, the counts are integers, no float anywhere.  The
+    oracle recomputes the same first-occurrence rule through a window
+    rank, so keep-order ties, the empty-survivor case, and verbatim
+    reassembly are all hash-checked.  Scale shape: the keep decision
+    moves only digests (algebraic min with map-side combine), document
+    text crosses exactly one id-keyed exchange (see
+    operators/text.py:remove_duplicate_chunks)."""
+    return text.remove_duplicate_chunks(
+        t(spark, sf_dir, "documents"), size=32
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
