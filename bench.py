@@ -132,6 +132,7 @@ HEADLINE = [
     "heavy_hitter_tokens",     # Misra-Gries candidates + exact recount
     "jaccard_prefix_near_dups",  # AllPairs prefix-filtered exact similarity join
     "copurchase_kcore",        # iterative k-core peeling to fixpoint
+    "chunk_dedup_clean",       # exact span removal + document reassembly
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two
