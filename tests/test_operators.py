@@ -3457,3 +3457,73 @@ def test_kcore_cascade_and_edge_cases(spark):
     assert {r["node"] for r in graph.kcore(pend, k=2).collect()} == {0, 1, 2}
     with pytest.raises(ValueError, match="k must be"):
         graph.kcore(path, k=0)
+
+
+def test_ngram_novelty_brute_force(spark):
+    """Per-doc novel-gram fractions against a Python brute force, plus the
+    short-document NULL contract."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e",          # all grams novel
+                "a b c d e f",        # shares a prefix with doc 1
+                "x y",                # < 3 words: no grams
+                "a b c d e",          # exact dup of doc 1: zero novel
+            ],
+        }
+    )
+    out = (
+        text_ops.ngram_novelty(spark.createDataFrame(docs), n=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    seen: dict[str, int] = {}
+    for _, r in docs.sort_values("doc_id").iterrows():
+        w = r["text"].lower().split()
+        grams = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        for g in grams:
+            seen.setdefault(g, r["doc_id"])
+        n_novel = sum(1 for g in grams if seen[g] == r["doc_id"])
+        assert out.loc[r["doc_id"], "n_grams"] == len(grams)
+        assert out.loc[r["doc_id"], "n_novel"] == n_novel
+        if grams:
+            assert out.loc[r["doc_id"], "novelty"] == n_novel / len(grams)
+    assert out.loc[3, "n_grams"] == 0 and pd.isna(out.loc[3, "novelty"])
+    assert out.loc[4, "n_novel"] == 0 and out.loc[4, "novelty"] == 0.0
+    with pytest.raises(ValueError):
+        text_ops.ngram_novelty(spark.createDataFrame(docs), n=0)
+
+
+def test_group_ols_trend_matches_numpy(spark):
+    """Slope/intercept per group vs numpy lstsq on the same integer data;
+    degenerate groups (single point, vertical line) return NULL."""
+    from tsdisagg_spark.operators import timeseries as ts_ops
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in ("a", "b"):
+        for x in range(12):
+            rows.append((g, x, int(1000 + 50 * x + rng.integers(-20, 20))))
+    rows.append(("single", 5, 42))        # one point: den == 0
+    rows.append(("vertical", 3, 10))      # all x equal: den == 0
+    rows.append(("vertical", 3, 99))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "x", "y"]))
+    out = (
+        ts_ops.group_ols_trend(df, ["g"], "x", "y")
+        .toPandas()
+        .set_index("g")
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "x", "y"])
+    for g in ("a", "b"):
+        sub = pdf[pdf.g == g]
+        slope, intercept = np.polyfit(sub.x, sub.y, 1)
+        assert abs(out.loc[g, "slope"] - slope) < 1e-9
+        assert abs(out.loc[g, "intercept"] - intercept) < 1e-9
+        assert out.loc[g, "n_points"] == len(sub)
+    assert pd.isna(out.loc["single", "slope"])
+    assert pd.isna(out.loc["single", "intercept"])
+    assert pd.isna(out.loc["vertical", "slope"])

@@ -294,3 +294,43 @@ def test_driver_sample_window_core_plus_rotation():
     assert set(q) == set(QUERIES)
     assert set(entry_mod.oracle_sql()) == set(ORACLES)
     assert set(DRIVER_SAMPLE_ORDER) <= set(QUERIES)
+
+
+def test_order_pareto_frontier_invariants(spark):
+    """The frontier is a true skyline: sorted by date, min prices strictly
+    decrease across distinct dates, and no frontier point dominates
+    another (the property the grid decomposition must preserve)."""
+    rows = entry_mod.queries()["order_pareto_frontier"](spark, SF_DIR).collect()
+    assert rows
+    pts = sorted({(r["order_date"], r["price_c"]) for r in rows})
+    for (d0, p0), (d1, p1) in zip(pts, pts[1:]):
+        if d1 > d0:
+            assert p1 < p0, (d0, p0, d1, p1)
+        else:  # same date: only one price may survive per date
+            raise AssertionError(f"two frontier prices on one date: {pts}")
+
+
+def test_doc_novelty_invariants(spark):
+    """Novelty is a fraction, the first document (min doc_id with grams)
+    is fully novel, and total novel grams across the corpus equals the
+    global distinct-gram count."""
+    rows = entry_mod.queries()["doc_novelty"](spark, SF_DIR).collect()
+    assert rows
+    with_grams = [r for r in rows if r["n_grams"] > 0]
+    first = min(with_grams, key=lambda r: r["doc_id"])
+    assert first["novelty"] == 1.0
+    for r in with_grams:
+        assert 0.0 <= r["novelty"] <= 1.0, r
+        assert r["n_novel"] <= r["n_grams"], r
+    from tsdisagg_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_distinct = (
+        docs.select(
+            F.explode(text_ops.shingles(F.col("text"), 3)).alias("g")
+        )
+        .agg(F.countDistinct("g"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_novel"] for r in rows) == n_distinct

@@ -643,3 +643,61 @@ def remove_duplicate_chunks(
             ).alias("n_chunks_removed"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-order novelty score: for each document, the fraction of its
+    DISTINCT word n-grams whose globally FIRST occurrence (by ``id``) is
+    this document.  Low novelty = the document is mostly re-assembled from
+    earlier material — the per-document signal that drives "keep the first,
+    drop the echo" curation decisions, complementing pairwise dedup (which
+    prices pairs, not documents).
+
+    Returns one row per input document:
+    ``(id, n_grams, n_novel, novelty)`` with ``novelty = n_novel/n_grams``
+    (NULL for documents shorter than ``n`` words — no grams, no signal).
+
+    Scale shape: gram text never moves — grams reduce to md5 digests on
+    the map side.  The plan is three skinny aggregates, never a full
+    posting-list join: (1) distinct ``(id, digest)`` pairs; (2) per-doc
+    gram counts (groupBy id, map-side partial); (3) first-owner per digest
+    (algebraic ``min(id)``, map-side partial) whose OUTPUT — one row per
+    distinct gram in the corpus — is then counted by owner.  The only
+    frames joined are the two per-document count tables (corpus-row-sized,
+    not gram-sized).  Novelty is one integer/integer division: tie-free on
+    the hash grid at any corpus size."""
+    if n < 1:
+        raise ValueError(f"need n >= 1, got {n}")
+    grams = (
+        df.select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__g")
+        )
+        .select(F.col(id_col), F.md5("__g").alias("__d"))
+        .distinct()
+    )
+    per_doc = grams.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
+    novel = (
+        grams.groupBy("__d")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .join(novel, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_grams"),
+            ).alias("novelty"),
+        )
+    )

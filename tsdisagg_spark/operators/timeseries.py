@@ -419,3 +419,62 @@ def ewma_series(
         F.col("p.o").alias(ord_col),
         e.alias("ewma"),
     )
+
+
+def group_ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group simple OLS trend line from EXACT integer sufficient
+    statistics — the distributed "fit a slope per series" a disaggregation
+    user runs to rank indicator series before the full GLS regression
+    (the reference's single GLS fit is kernels.py's K6; this is its
+    embarrassingly-parallel per-group screening twin).
+
+    Contract: ``x_col`` and ``y_col`` must be INTEGER-valued (period index
+    and cents, say).  The five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) accumulate in DECIMAL(38,0), so the closed forms
+
+        slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    have EXACT integer numerators and denominators; overflow surfaces as
+    NULL, never a wrapped value (headroom: cents×index ~1e10/row leaves
+    1e28 of the 1e38 ceiling at 10^10 rows).  Both engines then perform
+    the identical scalar IEEE ops on identical integers, so the returned
+    doubles are bit-identical with no rounding grid and no float-tie
+    corpus bound.  Groups with a degenerate design (all x equal, or a
+    single point) return NULL slope/intercept rather than dividing by
+    zero.
+
+    Returns ``(group_cols..., n_points, slope, intercept)``.
+
+    Scale shape: one map-side-combinable aggregate — five algebraic sums
+    per group cross the shuffle, never the rows; the closed forms are a
+    scalar projection on the group-sized result.
+    """
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("n_points").cast(dec)
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    slope = F.when(den != 0, num / den)
+    intercept = (
+        F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")
+    ) / F.col("n_points").cast("double")
+    return agg.select(
+        *group_cols,
+        F.col("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

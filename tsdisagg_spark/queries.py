@@ -7804,6 +7804,186 @@ def chunk_dedup_clean(spark, sf_dir):
     )
 
 
+@query(
+    "doc_novelty",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+    firsts AS (SELECT shingle, MIN(doc_id) AS owner FROM sh GROUP BY 1),
+    novel AS (SELECT owner AS doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN COALESCE(s.n_grams, 0) > 0
+                THEN CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / s.n_grams
+           END AS novelty
+    FROM documents d
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN novel nv ON d.doc_id = nv.doc_id
+    """,
+)
+def doc_novelty(spark, sf_dir):
+    """Corpus-order novelty score: per document, the fraction of its
+    distinct 3-gram shingles whose globally FIRST occurrence (min doc_id)
+    is this document — the per-document "is this new material or an echo"
+    signal that drives keep-the-first curation, complementing pairwise
+    dedup (which prices pairs, not documents).  Exactly hashable: counts
+    are integers and novelty is ONE integer/integer division — both
+    engines divide identical integers, so the double is bit-identical and
+    tie-free at any corpus size (no float-grid bound needed).  Scale
+    shape: gram text reduces to md5 digests map-side; three skinny
+    aggregates (distinct pairs, per-doc counts, min-owner per gram) and
+    the only joins are per-document count tables
+    (operators/text.py:ngram_novelty)."""
+    return text.ngram_novelty(t(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "nation_monthly_trend",
+    oracle="""
+    WITH m AS (
+        SELECT n_name,
+               CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS x,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_points,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM m GROUP BY 1
+    ),
+    f AS (
+        SELECT n_name, n_points, sx, sy,
+               CASE WHEN n_points * sxx - sx * sx <> 0
+                    THEN CAST(n_points * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_points * sxx - sx * sx AS DOUBLE)
+               END AS slope
+        FROM s
+    )
+    SELECT n_name, n_points, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+               / CAST(n_points AS DOUBLE) AS intercept
+    FROM f
+    """,
+)
+def nation_monthly_trend(spark, sf_dir):
+    """Per-nation OLS trend of monthly revenue — the distributed "fit a
+    slope per series" screening a disaggregation user runs to rank
+    indicator series before the full GLS fit (the reference's single
+    in-memory GLS is kernels K6, ts_disagg.py:45-81; this is its
+    per-group embarrassingly-parallel twin).  Exact by construction: the
+    monthly series is integer cents on an integer month grid, the five
+    sufficient statistics accumulate in DECIMAL(38,0)/HUGEINT, and both
+    engines apply identical scalar IEEE ops to identical integers — the
+    slope/intercept doubles are bit-identical, no rounding grid, no
+    float-tie corpus bound.  Degenerate groups (one month) return NULL.
+    Scale shape: two map-side-combinable aggregates; only (nation, month)
+    partials and five sums per nation ever cross a shuffle
+    (operators/timeseries.py:group_ols_trend)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    m = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return timeseries.group_ols_trend(m, ["n_name"], x_col="x", y_col="y")
+
+
+@query(
+    "order_pareto_frontier",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    )
+    SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS order_date, price_c
+    FROM o a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM o b
+        WHERE b.o_orderdate <= a.o_orderdate
+          AND b.price_c <= a.price_c
+          AND (b.o_orderdate < a.o_orderdate OR b.price_c < a.price_c)
+    )
+    """,
+)
+def order_pareto_frontier(spark, sf_dir):
+    """2-D skyline: the Pareto-optimal orders under (earlier date, lower
+    price) — no other order is at-least-as-good in both dimensions and
+    strictly better in one.  Identical points all survive (neither
+    dominates).  The oracle is the maximally-independent quadratic
+    NOT-EXISTS dominance scan; the engine exploits the 2-D structure:
+    an order is on the frontier iff its price equals its DAY's min price
+    AND beats every strictly-earlier day's min.  Exactly hashable —
+    integer cents, no floats.  Scale shape: one map-side-combinable
+    min-per-day aggregate reduces N rows to a calendar-grid frame, the
+    running-min window runs on that grid (thousands of rows however large
+    the corpus), and the grid joins back to the facts as a broadcast —
+    fact rows never shuffle.  The O(N^2) dominance test is priced at
+    O(N + grid log grid)."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("order_date"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    per_day = orders.groupBy("order_date").agg(
+        F.min("price_c").alias("__day_min")
+    )
+    w = Window.orderBy("order_date").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_days = (
+        per_day.withColumn("__prior", F.min("__day_min").over(w))
+        .filter(
+            F.col("__prior").isNull() | (F.col("__day_min") < F.col("__prior"))
+        )
+        .select(
+            F.col("order_date").alias("__fd_date"),
+            F.col("__day_min").alias("__fd_min"),
+        )
+    )
+    return (
+        orders.join(
+            F.broadcast(frontier_days),
+            (F.col("order_date") == F.col("__fd_date"))
+            & (F.col("price_c") == F.col("__fd_min")),
+        )
+        .select(
+            "o_orderkey",
+            F.col("order_date").cast("timestamp").alias("order_date"),
+            "price_c",
+        )
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
