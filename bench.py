@@ -133,6 +133,9 @@ HEADLINE = [
     "jaccard_prefix_near_dups",  # AllPairs prefix-filtered exact similarity join
     "copurchase_kcore",        # iterative k-core peeling to fixpoint
     "chunk_dedup_clean",       # exact span removal + document reassembly
+    "doc_novelty",             # corpus-order novel-gram fraction per doc
+    "nation_monthly_trend",    # per-group exact-integer OLS screening
+    "order_pareto_frontier",   # 2-D skyline via grid decomposition
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two
