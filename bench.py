@@ -136,6 +136,8 @@ HEADLINE = [
     "doc_novelty",             # corpus-order novel-gram fraction per doc
     "nation_monthly_trend",    # per-group exact-integer OLS screening
     "order_pareto_frontier",   # 2-D skyline via grid decomposition
+    "nation_forecast_backtest",  # naive vs seasonal-naive exact MAE screen
+    "nation_revenue_cusum",    # two-sided CUSUM drift fold per series
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

@@ -3527,3 +3527,65 @@ def test_group_ols_trend_matches_numpy(spark):
     assert pd.isna(out.loc["single", "slope"])
     assert pd.isna(out.loc["single", "intercept"])
     assert pd.isna(out.loc["vertical", "slope"])
+
+
+def test_naive_backtest_brute_force(spark):
+    from tsdisagg_spark.operators import timeseries as ts_ops
+
+    rows = []
+    # seasonal series: period-4 pattern + drift -> seasonal lag must win
+    pat = [100, 500, 300, 900]
+    for i, x in enumerate([pat[i % 4] + i for i in range(16)]):
+        rows.append(("seasonal", i, x))
+    # smooth ramp -> naive (lag-1) must win
+    for i in range(16):
+        rows.append(("ramp", i, 1000 + 7 * i))
+    rows.append(("short", 0, 1))  # < seasons+1 points: drops out
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "p", "y"]))
+    out = (
+        ts_ops.naive_backtest(df, ["g"], ord_col="p", value_col="y", seasons=4)
+        .toPandas()
+        .set_index("g")
+    )
+    assert "short" not in out.index
+    pdf = pd.DataFrame(rows, columns=["g", "p", "y"])
+    for g in ("seasonal", "ramp"):
+        s = pdf[pdf.g == g].sort_values("p")["y"].reset_index(drop=True)
+        evals = range(4, len(s))
+        mae_n = np.mean([abs(s[i] - s[i - 1]) for i in evals])
+        mae_s = np.mean([abs(s[i] - s[i - 4]) for i in evals])
+        assert out.loc[g, "n_evals"] == len(s) - 4
+        assert abs(out.loc[g, "mae_naive"] - mae_n) < 1e-12
+        assert abs(out.loc[g, "mae_seasonal"] - mae_s) < 1e-12
+    assert out.loc["seasonal", "better_model"] == "seasonal"
+    assert out.loc["ramp", "better_model"] == "naive"
+
+
+def test_cusum_series_brute_force(spark):
+    """Fold values vs a Python replay; a planted level shift grows
+    cusum_pos while the pre-shift noise stays near zero."""
+    from tsdisagg_spark.operators import timeseries as ts_ops
+
+    rng = np.random.default_rng(11)
+    base = list(rng.normal(10.0, 0.5, 20)) + list(rng.normal(14.0, 0.5, 20))
+    rows = [("s1", i, float(x)) for i, x in enumerate(base)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "p", "x"]))
+    out = (
+        ts_ops.cusum_series(df, ["g"], ord_col="p", value_col="x", k=0.0)
+        .toPandas()
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+    target = 0.0
+    for x in base:
+        target += x
+    target /= len(base)
+    sp = sn = 0.0
+    for i, x in enumerate(base):
+        if i > 0:
+            sp = max(0.0, sp + (x - target - 0.0))
+            sn = max(0.0, sn - (x - target) - 0.0)
+        assert out.loc[i, "cusum_pos"] == sp, i
+        assert out.loc[i, "cusum_neg"] == sn, i
+    # the shift is detected: max positive CUSUM far above the noise floor
+    assert out["cusum_pos"].max() > 10 * out.loc[:19, "cusum_pos"].max() + 1

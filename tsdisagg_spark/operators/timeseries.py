@@ -478,3 +478,153 @@ def group_ols_trend(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def naive_backtest(
+    df: DataFrame,
+    group_cols: list[str],
+    ord_col: str = "month",
+    value_col: str = "y",
+    seasons: int = 12,
+) -> DataFrame:
+    """Per-series backtest of the two classical forecasting baselines —
+    naive (``yhat_t = y_{t-1}``) and seasonal-naive (``yhat_t =
+    y_{t-seasons}``) — the screening a disaggregation user runs to decide
+    whether an indicator series even carries seasonal structure worth a
+    Litterman/Chow-Lin fit.  Both models are scored on the IDENTICAL
+    evaluation set (rows where the seasonal lag exists), so the MAEs are
+    directly comparable.
+
+    Contract: ``value_col`` must be INTEGER-valued (cents); lags are ROW
+    lags within the ``ord_col``-sorted series (gaps are the caller's
+    concern — fill first with :func:`gap_fill` if the timeline is
+    sparse).  Absolute errors are integer-summed (DECIMAL(38,0)), each
+    MAE is ONE integer/integer division: bit-identical doubles, no
+    float-grid bound.
+
+    Returns ``(group_cols..., n_evals, mae_naive, mae_seasonal,
+    better_model)`` — ``better_model`` prefers the seasonal baseline on
+    ties (the richer model wins only by strict improvement).  Series too
+    short to evaluate (< seasons+1 points) drop out.
+
+    Scale shape: one window pass per series (the two lags share the same
+    sort) followed by a map-side-combinable aggregate; only per-series
+    sums cross the final shuffle."""
+    w = Window.partitionBy(*group_cols).orderBy(ord_col)
+    dec = "decimal(38,0)"
+    y = F.col(value_col).cast("long")
+    scored = df.select(
+        *group_cols,
+        y.alias("__y"),
+        F.lag(y, 1).over(w).alias("__l1"),
+        F.lag(y, seasons).over(w).alias("__ls"),
+    ).filter(F.col("__ls").isNotNull())
+    agg = scored.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_evals"),
+        F.sum(F.abs(F.col("__y") - F.col("__l1")).cast(dec)).alias("__en"),
+        F.sum(F.abs(F.col("__y") - F.col("__ls")).cast(dec)).alias("__es"),
+    )
+    mae_n = F.col("__en").cast("double") / F.col("n_evals").cast("double")
+    mae_s = F.col("__es").cast("double") / F.col("n_evals").cast("double")
+    return agg.select(
+        *group_cols,
+        F.col("n_evals"),
+        mae_n.alias("mae_naive"),
+        mae_s.alias("mae_seasonal"),
+        F.when(mae_n < mae_s, F.lit("naive"))
+        .otherwise(F.lit("seasonal"))
+        .alias("better_model"),
+    )
+
+
+def cusum_series(
+    df: DataFrame,
+    partition_cols: list[str],
+    ord_col: str = "ts",
+    value_col: str = "value",
+    k: float = 0.0,
+) -> DataFrame:
+    """Two-sided CUSUM drift detector per series: against the series'
+    own mean ``m``, the recurrences
+
+        s+_t = max(0, s+_{t-1} + (x_t - m - k))
+        s-_t = max(0, s-_{t-1} - (x_t - m) - k)
+
+    with ``s+ = s- = 0`` at the FIRST observation (the accumulators
+    start empty; the recurrence applies from the second point on).  A
+    sustained level shift grows one side linearly while noise is
+    absorbed by the ``max(0, .)`` reset — the classic mean-shift /
+    changepoint screen a disaggregation user runs on an indicator before
+    trusting a single AR(1) rho across the whole sample.
+
+    Determinism contract (same as :func:`ewma_series`): the fold is a
+    left-to-right reduction over the ``ord_col``-sorted list — no
+    summation-order freedom — so engines folding identically-ordered
+    identical doubles produce bit-identical raw outputs (DuckDB
+    ``list_reduce`` over struct accumulators is the oracle twin; no
+    rounding grid, no corpus bound).  The caller supplies ``value_col``
+    doubles born from exact-integer divisions so the fold INPUTS are
+    also bit-identical.
+
+    Returns one row per input observation:
+    ``(partition_cols..., ord_col, cusum_pos, cusum_neg)``.
+
+    Scale shape: one exchange on the series key; each group folds its
+    own collected array (timeline-length-bounded) inside a single
+    projection — JVM higher-order functions, no Python."""
+    kf = float(k)
+    packed = df.groupBy(*partition_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ord_col).alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("seq"),
+    )
+    # per-series mean: avg of doubles is order-dependent — recompute it
+    # as an exact pair (sum over the SORTED list, fold order pinned) so
+    # the target entering the recurrence is bit-identical cross-engine.
+    m = F.aggregate(
+        "seq", F.lit(0.0), lambda acc, e: acc + e["x"]
+    ) / F.size("seq").cast("double")
+    packed = packed.select(*partition_cols, "seq", m.alias("__target"))
+    folded = packed.select(
+        *partition_cols,
+        F.aggregate(
+            F.slice("seq", F.lit(2), F.greatest(F.size("seq") - 1, F.lit(0))),
+            F.array(
+                F.struct(
+                    F.col("seq")[0]["o"].alias("o"),
+                    F.lit(0.0).alias("sp"),
+                    F.lit(0.0).alias("sn"),
+                )
+            ),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        e["o"].alias("o"),
+                        F.greatest(
+                            F.lit(0.0),
+                            F.element_at(acc, -1)["sp"]
+                            + (e["x"] - F.col("__target") - F.lit(kf)),
+                        ).alias("sp"),
+                        F.greatest(
+                            F.lit(0.0),
+                            F.element_at(acc, -1)["sn"]
+                            - (e["x"] - F.col("__target"))
+                            - F.lit(kf),
+                        ).alias("sn"),
+                    )
+                ),
+            ),
+        ).alias("out"),
+    )
+    return folded.select(*partition_cols, F.explode("out").alias("p")).select(
+        *partition_cols,
+        F.col("p.o").alias(ord_col),
+        F.col("p.sp").alias("cusum_pos"),
+        F.col("p.sn").alias("cusum_neg"),
+    )

@@ -7984,6 +7984,152 @@ def order_pareto_frontier(spark, sf_dir):
     )
 
 
+@query(
+    "nation_forecast_backtest",
+    oracle="""
+    WITH m AS (
+        SELECT n_name, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT n_name, y,
+               lag(y, 1) OVER (PARTITION BY n_name ORDER BY month) AS l1,
+               lag(y, 12) OVER (PARTITION BY n_name ORDER BY month) AS ls
+        FROM m
+    ),
+    a AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_evals,
+               SUM(CAST(ABS(y - l1) AS HUGEINT)) AS en,
+               SUM(CAST(ABS(y - ls) AS HUGEINT)) AS es
+        FROM l WHERE ls IS NOT NULL GROUP BY 1
+    )
+    SELECT n_name, n_evals,
+           CAST(en AS DOUBLE) / CAST(n_evals AS DOUBLE) AS mae_naive,
+           CAST(es AS DOUBLE) / CAST(n_evals AS DOUBLE) AS mae_seasonal,
+           CASE WHEN CAST(en AS DOUBLE) / CAST(n_evals AS DOUBLE)
+                     < CAST(es AS DOUBLE) / CAST(n_evals AS DOUBLE)
+                THEN 'naive' ELSE 'seasonal' END AS better_model
+    FROM a
+    """,
+)
+def nation_forecast_backtest(spark, sf_dir):
+    """Per-nation backtest of the naive vs seasonal-naive forecasting
+    baselines on monthly revenue — the model screen a disaggregation user
+    runs to check whether an indicator even carries seasonal structure
+    before a Litterman/Chow-Lin fit.  Both baselines score on the
+    IDENTICAL evaluation rows (where the 12-month lag exists).  Exact:
+    cents are integers, absolute errors integer-sum in DECIMAL(38,0)/
+    HUGEINT, each MAE is one integer/integer division (bit-identical
+    doubles, tie-free at any size); better_model compares those identical
+    doubles.  Scale shape: the two lags share one window sort per series;
+    only per-series sums cross the final shuffle
+    (operators/timeseries.py:naive_backtest)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    m = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return timeseries.naive_backtest(
+        m, ["n_name"], ord_col="month", value_col="y", seasons=12
+    )
+
+
+@query(
+    "nation_revenue_cusum",
+    oracle="""
+    WITH m AS (
+        SELECT n_name, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rc
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    s AS (SELECT n_name, month, CAST(rc AS BIGINT) / 100.0 AS x FROM m),
+    tgt AS (
+        SELECT n_name,
+               list_reduce(list(x ORDER BY month), (a, b) -> a + b)
+                   / CAST(COUNT(*) AS DOUBLE) AS target
+        FROM s GROUP BY 1
+    ),
+    pre AS (
+        SELECT n_name, month,
+               list(x) OVER (PARTITION BY n_name ORDER BY month
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        FROM s
+    ),
+    folded AS (
+        SELECT p.n_name, p.month,
+               list_reduce(
+                   list_transform(p.xs, e -> {'x': e, 'sp': CAST(0.0 AS DOUBLE), 'sn': CAST(0.0 AS DOUBLE)}),
+                   (a, b) -> {
+                       'x': b.x,
+                       'sp': greatest(CAST(0.0 AS DOUBLE), a.sp + (b.x - t.target)),
+                       'sn': greatest(CAST(0.0 AS DOUBLE), a.sn - (b.x - t.target))
+                   }
+               ) AS r
+        FROM pre p JOIN tgt t USING (n_name)
+    )
+    SELECT n_name, month,
+           struct_extract(r, 'sp') AS cusum_pos,
+           struct_extract(r, 'sn') AS cusum_neg
+    FROM folded
+    """,
+)
+def nation_revenue_cusum(spark, sf_dir):
+    """Two-sided CUSUM drift screen per nation on monthly revenue — the
+    mean-shift/changepoint diagnostic a user runs on an indicator before
+    trusting one AR(1) rho across the whole sample (the reference fits a
+    single rho per series, ts_disagg.py:240; CUSUM flags series where
+    that is unsafe).  Cross-engine exact by the sequential-fold contract
+    (see nation_monthly_ewma): fold INPUTS are cents/100.0 single
+    divisions, the per-series target mean is itself a pinned-order
+    sequential sum over the sorted list divided once by the count, and
+    the s+/s- recurrences are identical scalar IEEE ops in identical
+    order — Spark higher-order `aggregate` vs DuckDB `list_reduce` over
+    struct accumulators, raw doubles compared with NO rounding grid (no
+    corpus bound).  Scale shape: one exchange on the series key; each
+    series folds its own timeline-bounded array in a single projection
+    (operators/timeseries.py:cusum_series)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    m = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("rc")
+        )
+        .select(
+            "n_name",
+            "month",
+            (F.col("rc").cast("double") / F.lit(100.0)).alias("x"),
+        )
+    )
+    return timeseries.cusum_series(
+        m, ["n_name"], ord_col="month", value_col="x", k=0.0
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
