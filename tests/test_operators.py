@@ -3589,3 +3589,42 @@ def test_cusum_series_brute_force(spark):
         assert out.loc[i, "cusum_neg"] == sn, i
     # the shift is detected: max positive CUSUM far above the noise floor
     assert out["cusum_pos"].max() > 10 * out.loc[:19, "cusum_pos"].max() + 1
+
+
+def test_theil_sen_trend_brute_force(spark):
+    """Median of pairwise slopes vs a numpy brute force; an injected
+    outlier month barely moves Theil-Sen while it wrecks OLS."""
+    from tsdisagg_spark.operators import timeseries as ts_ops
+
+    rng = np.random.default_rng(3)
+    rows = []
+    ys = {}
+    for g in ("clean", "outlier"):
+        y = [1000 + 37 * x + int(rng.integers(-5, 5)) for x in range(15)]
+        if g == "outlier":
+            y[7] += 100000
+        ys[g] = y
+        rows += [(g, x, y[x]) for x in range(15)]
+    rows.append(("lonely", 0, 5))  # single point: no pairs, drops out
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "x", "y"]))
+    out = (
+        ts_ops.theil_sen_trend(df, ["g"], "x", "y").toPandas().set_index("g")
+    )
+    assert "lonely" not in out.index
+    for g in ("clean", "outlier"):
+        y = ys[g]
+        slopes = sorted(
+            (y[j] - y[i]) / (j - i)
+            for i in range(15)
+            for j in range(i + 1, 15)
+        )
+        n = len(slopes)
+        med = (
+            slopes[n // 2]
+            if n % 2 == 1
+            else (slopes[n // 2 - 1] + slopes[n // 2]) / 2
+        )
+        assert out.loc[g, "n_slopes"] == n
+        assert out.loc[g, "theil_sen_slope"] == med
+    # robustness: the outlier series' Theil-Sen slope stays near 37
+    assert abs(out.loc["outlier", "theil_sen_slope"] - 37) < 40

@@ -628,3 +628,69 @@ def cusum_series(
         F.col("p.sp").alias("cusum_pos"),
         F.col("p.sn").alias("cusum_neg"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group Theil-Sen robust slope: the MEDIAN of all pairwise
+    slopes ``(y_j - y_i) / (x_j - x_i)`` over ``x_i < x_j`` — the
+    outlier-proof twin of :func:`group_ols_trend` (one wild month moves
+    OLS arbitrarily; Theil-Sen tolerates ~29% contamination), the robust
+    screen to run when an indicator series has level shifts a
+    disaggregation fit should not chase.
+
+    Contract: integer-valued ``x_col``/``y_col`` with ``x`` UNIQUE within
+    each group (a period grid).  Every pairwise slope is one
+    integer/integer division — both engines divide identical integers,
+    so each slope double is bit-identical; sorting identical doubles and
+    picking the middle (or averaging the two middles, one more identical
+    IEEE op) keeps the median bit-identical with no rounding grid and no
+    corpus-size bound.
+
+    Returns ``(group_cols..., n_slopes, theil_sen_slope)``; groups with
+    fewer than 2 points drop out (no pairs).
+
+    Scale shape: the O(grid^2) pair generation runs INSIDE one array
+    expression per group — a few thousand slopes for a monthly grid —
+    after a single exchange on the group key.  Fact rows are assumed
+    pre-aggregated to the grid (as with :func:`group_ols_trend`); the
+    quadratic blowup is bounded by the timeline, never the corpus."""
+    packed = df.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y"),
+                )
+            )
+        ).alias("__pts")
+    )
+    slopes = F.expr(
+        """
+        array_sort(flatten(transform(__pts, (p, i) ->
+            transform(filter(slice(__pts, i + 2, size(__pts)),
+                             q -> q.x > p.x),
+                      q -> (q.y - p.y) / (q.x - p.x)))))
+        """
+    )
+    out = packed.select(*group_cols, slopes.alias("__s")).filter(
+        F.size("__s") > 0
+    )
+    med = F.expr(
+        """
+        CASE WHEN size(__s) % 2 = 1
+             THEN element_at(__s, CAST((size(__s) + 1) div 2 AS INT))
+             ELSE (element_at(__s, CAST(size(__s) div 2 AS INT))
+                   + element_at(__s, CAST(size(__s) div 2 + 1 AS INT))) / 2.0
+        END
+        """
+    )
+    return out.select(
+        *group_cols,
+        F.size("__s").cast("long").alias("n_slopes"),
+        med.alias("theil_sen_slope"),
+    )

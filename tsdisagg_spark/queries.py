@@ -8130,6 +8130,69 @@ def nation_revenue_cusum(spark, sf_dir):
     )
 
 
+@query(
+    "nation_theil_sen",
+    oracle="""
+    WITH m AS (
+        SELECT n_name,
+               CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS x,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.n_name,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+        FROM m a JOIN m b ON a.n_name = b.n_name AND a.x < b.x
+    ),
+    s AS (SELECT n_name, list(sl ORDER BY sl) AS ss FROM p GROUP BY 1)
+    SELECT n_name, CAST(len(ss) AS BIGINT) AS n_slopes,
+           CASE WHEN len(ss) % 2 = 1 THEN ss[(len(ss) + 1) // 2]
+                ELSE (ss[len(ss) // 2] + ss[len(ss) // 2 + 1]) / 2.0
+           END AS theil_sen_slope
+    FROM s
+    """,
+)
+def nation_theil_sen(spark, sf_dir):
+    """Per-nation Theil-Sen robust slope of monthly revenue — the
+    outlier-proof twin of nation_monthly_trend (one wild month moves OLS
+    arbitrarily; the median of pairwise slopes tolerates ~29%
+    contamination).  Exact: every pairwise slope is one integer/integer
+    division of cents over month indices (bit-identical doubles), the
+    median sorts identical doubles and picks/averages the middles —
+    identical IEEE ops, no rounding grid, no corpus bound.  The oracle
+    generates pairs through an explicit grid self-join, independently of
+    the engine's in-array comprehension.  Scale shape: the O(grid^2)
+    pair set is built inside ONE array expression per nation after the
+    monthly aggregate — the quadratic term is bounded by the timeline
+    (~2.9k slopes per nation), never the corpus
+    (operators/timeseries.py:theil_sen_trend)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    m = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return timeseries.theil_sen_trend(m, ["n_name"], x_col="x", y_col="y")
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
