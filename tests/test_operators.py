@@ -3628,3 +3628,46 @@ def test_theil_sen_trend_brute_force(spark):
         assert out.loc[g, "theil_sen_slope"] == med
     # robustness: the outlier series' Theil-Sen slope stays near 37
     assert abs(out.loc["outlier", "theil_sen_slope"] - 37) < 40
+
+
+def test_novelty_probe_brute_force(spark):
+    """Batch-vs-index novelty against a Python brute force, including the
+    zero-gram batch document and a fully-seen document."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    corpus = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c d e", "x y z w v"]}
+    )
+    batch = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                "a b c d e",      # every gram already in corpus -> 0 new
+                "a b c q r s",    # mixed
+                "p q",            # < 3 words: no grams
+                "m n o p q",      # all new
+            ],
+        }
+    )
+    index = text_ops.novelty_index(spark.createDataFrame(corpus), n=3)
+    out = (
+        text_ops.novelty_probe(spark.createDataFrame(batch), index, n=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    corpus_grams = set()
+    for txt in corpus["text"]:
+        w = txt.lower().split()
+        corpus_grams |= {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    for _, r in batch.iterrows():
+        w = r["text"].lower().split()
+        grams = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        new = {g for g in grams if g not in corpus_grams}
+        assert out.loc[r["doc_id"], "n_grams"] == len(grams)
+        assert out.loc[r["doc_id"], "n_new"] == len(new)
+    assert out.loc[10, "n_new"] == 0 and out.loc[10, "novelty_vs_corpus"] == 0.0
+    assert pd.isna(out.loc[12, "novelty_vs_corpus"])
+    assert out.loc[13, "novelty_vs_corpus"] == 1.0
+    with pytest.raises(ValueError):
+        text_ops.novelty_probe(spark.createDataFrame(batch), index, n=0)

@@ -704,3 +704,80 @@ def ngram_novelty(
             F.coalesce("n_novel", F.lit(0)) / F.col("n_grams"),
         ).alias("novelty"),
     )
+
+
+def novelty_index(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Persistable gram index for continuous-ingest novelty scoring: the
+    distinct md5 digests of the corpus's word ``n``-grams, one column
+    ``gram_digest``.  At 100 TB the index is saved ``bucketBy(N,
+    gram_digest)`` (same recipe as the MinHash/SimHash band indexes,
+    dedup.py) so every future probe co-locates against it without
+    reshuffling the index."""
+    return (
+        df.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col(text_col), n), lambda s: F.md5(s)
+                    )
+                )
+            ).alias("gram_digest")
+        )
+        .distinct()
+    )
+
+
+def novelty_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Score an ingest batch against a :func:`novelty_index`: per batch
+    document, how many of its distinct ``n``-grams are NOT in the corpus
+    index — the "is this new material or an echo of what we already
+    hold" admission signal, the batch/stream twin of :func:`ngram_novelty`
+    (which scores a closed corpus against itself).
+
+    Returns ``(id, n_grams, n_new, novelty_vs_corpus)`` for every batch
+    document (zero-gram documents carry NULL novelty).  The ratio is one
+    integer/integer division — tie-free at any corpus size.
+
+    Scale shape: ingest cost is O(batch + probe) — the corpus text is
+    never touched, only its digest index; the batch's deduped gram
+    stream anti-joins the index on the digest key (co-located, not
+    reshuffled, when the index is bucketed as its docstring prescribes)
+    and nothing ever re-pairs corpus-vs-corpus.  Stateless enough to run
+    per micro-batch on a stream: the index is static within a batch and
+    unioned with the batch's own grams afterwards."""
+    if n < 1:
+        raise ValueError(f"need n >= 1, got {n}")
+    base = batch.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.md5(s))
+        ).alias("__g"),
+    )
+    per_doc = base.select(
+        F.col(id_col), F.size("__g").cast("long").alias("n_grams")
+    )
+    new = (
+        base.select(F.col(id_col), F.explode("__g").alias("gram_digest"))
+        .join(index, ["gram_digest"], "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    return per_doc.join(new, [id_col], "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.coalesce("n_new", F.lit(0)) / F.col("n_grams"),
+        ).alias("novelty_vs_corpus"),
+    )

@@ -8193,6 +8193,56 @@ def nation_theil_sen(spark, sf_dir):
     return timeseries.theil_sen_trend(m, ["n_name"], x_col="x", y_col="y")
 
 
+@query(
+    "incremental_novelty",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+    ),
+    corpus_grams AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 != 0),
+    batch AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM batch GROUP BY 1),
+    fresh AS (
+        SELECT b.doc_id, COUNT(*) AS n_new
+        FROM batch b LEFT JOIN corpus_grams c USING (shingle)
+        WHERE c.shingle IS NULL GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new,
+           CASE WHEN COALESCE(s.n_grams, 0) > 0
+                THEN CAST(COALESCE(f.n_new, 0) AS DOUBLE) / s.n_grams
+           END AS novelty_vs_corpus
+    FROM documents d
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN fresh f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def incremental_novelty(spark, sf_dir):
+    """Continuous-ingest novelty: an ingest batch (doc_id % 5 == 0) is
+    scored against a persistable gram INDEX of the held corpus
+    (doc_id % 5 != 0) — per batch document, the fraction of its distinct
+    3-grams the corpus has never seen.  The admission-gate twin of
+    doc_novelty (which scores a closed corpus against itself): ingest
+    cost is O(batch + probe), the corpus text is never touched, only its
+    digest index, and nothing re-pairs corpus-vs-corpus — the same
+    persistable-index discipline as incremental_minhash_dedup.  Exactly
+    hashable: counts are integers, the ratio one integer/integer
+    division (tie-free at any corpus size)
+    (operators/text.py:novelty_index/novelty_probe)."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = text.novelty_index(corpus, n=3)
+    return text.novelty_probe(batch, index, n=3)
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
