@@ -3671,3 +3671,47 @@ def test_novelty_probe_brute_force(spark):
     assert out.loc[13, "novelty_vs_corpus"] == 1.0
     with pytest.raises(ValueError):
         text_ops.novelty_probe(spark.createDataFrame(batch), index, n=0)
+
+
+def test_stream_novelty_probe_matches_batch(docs, tmp_path):
+    """novelty_probe is stateless per micro-batch (its docstring's
+    streaming claim): a parquet-source document stream scored against the
+    static gram index inside foreachBatch must reproduce the batch
+    result exactly."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    spark = docs.sparkSession
+    batch_pdf = pd.DataFrame(
+        [
+            (900, "the quick brown fox jumps over the lazy dog"),
+            (901, "entirely new content nothing like the corpus at all"),
+            (902, "xy"),
+        ],
+        columns=["doc_id", "text"],
+    )
+    batch_static = spark.createDataFrame(batch_pdf)
+    src = str(tmp_path / "novelty_stream")
+    batch_static.write.parquet(src)
+
+    index = text_ops.novelty_index(docs, n=3)
+    want = sorted(
+        map(tuple, text_ops.novelty_probe(batch_static, index, n=3).collect())
+    )
+    assert want and any(r[2] > 0 for r in want)  # 901 has new grams
+
+    got: list = []
+
+    def sink(micro, _epoch):
+        got.extend(
+            map(tuple, text_ops.novelty_probe(micro, index, n=3).collect())
+        )
+
+    q = (
+        spark.readStream.schema(batch_static.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == want
