@@ -140,6 +140,7 @@ HEADLINE = [
     "nation_revenue_cusum",    # two-sided CUSUM drift fold per series
     "nation_theil_sen",        # robust median-of-pairwise-slopes trend
     "incremental_novelty",     # batch-vs-index gram novelty probe
+    "purchase_touch_attribution",  # range-frame window attribution
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

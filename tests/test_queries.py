@@ -334,3 +334,51 @@ def test_doc_novelty_invariants(spark):
         .collect()[0][0]
     )
     assert sum(r["n_novel"] for r in rows) == n_distinct
+
+
+def test_purchase_touch_attribution_invariants(spark):
+    """Every purchase appears exactly once; zero-touch purchases carry
+    NULL first/last; with touches, first <= last in time is already
+    enforced by min/max — check type domain and count consistency against
+    a per-user recount on a sampled user."""
+    rows = entry_mod.queries()["purchase_touch_attribution"](spark, SF_DIR).collect()
+    purchases = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert len(rows) == purchases
+    assert len({r["event_id"] for r in rows}) == purchases
+    for r in rows:
+        if r["n_touches_7d"] == 0:
+            assert r["first_touch"] is None and r["last_touch"] is None
+        else:
+            assert r["first_touch"] in ("click", "view")
+            assert r["last_touch"] in ("click", "view")
+    # brute-force recount for the heaviest purchaser
+    import collections
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = collections.defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e)
+    heaviest = max(
+        (r for r in rows), key=lambda r: r["n_touches_7d"]
+    )
+    u = heaviest["user_id"]
+    touches = [
+        e for e in by_user[u] if e["event_type"] in ("click", "view")
+    ]
+    from datetime import timedelta
+
+    want = [
+        e
+        for e in touches
+        if heaviest["purchase_ts"] - timedelta(days=7)
+        <= e["ts"]
+        < heaviest["purchase_ts"]
+    ]
+    assert heaviest["n_touches_7d"] == len(want)
+    first = min(want, key=lambda e: (e["ts"], e["event_id"]))
+    last = max(want, key=lambda e: (e["ts"], e["event_id"]))
+    assert heaviest["first_touch"] == first["event_type"]
+    assert heaviest["last_touch"] == last["event_type"]

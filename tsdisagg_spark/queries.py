@@ -8243,6 +8243,94 @@ def incremental_novelty(spark, sf_dir):
     return text.novelty_probe(batch, index, n=3)
 
 
+@query(
+    "purchase_touch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(COUNT(tch.event_id) AS BIGINT) AS n_touches_7d,
+           struct_extract(
+               min({'k': epoch_us(tch.ts), 'i': tch.event_id,
+                    'e': tch.event_type}), 'e') AS first_touch,
+           struct_extract(
+               max({'k': epoch_us(tch.ts), 'i': tch.event_id,
+                    'e': tch.event_type}), 'e') AS last_touch
+    FROM p
+    LEFT JOIN tch ON p.user_id = tch.user_id
+        AND tch.ts < p.ts AND tch.ts >= p.ts - INTERVAL 7 DAY
+    GROUP BY 1, 2, 3
+    """,
+)
+def purchase_touch_attribution(spark, sf_dir):
+    """First-touch / last-touch marketing attribution: for every purchase,
+    the user's touch count and the first and last click/view in the
+    trailing 7 days.  The oracle is the naive user-keyed inequality join;
+    the engine never joins: purchases and touches UNION into one stream
+    and a single RANGE-frame window (ordered by microseconds) computes
+    count/min/max per purchase — rows through the exchange are |P| + |T|,
+    never |P| x |T| candidate pairs (the same union-not-join argument as
+    the as-of join, operators/timeseries.py:asof_join).  Deterministic
+    under timestamp ties: first/last are min/max over (micros, event_id,
+    type) STRUCTS, so equal-microsecond touches break by event_id
+    identically in both engines.  Exactly hashable — strings, integers,
+    timestamps, no floats.  The x100 stress tier densifies the fixed 2024
+    span on both sides (~10,000x the oracle's join pairs — the
+    events_in_incident_windows argument), so the hash gate runs at the
+    sf0.001/sf0.01 sweeps while the engine side is timed at every tier
+    (5.1s at x100, SCALING.md)."""
+    e = t(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("k"),
+            F.col("event_id").alias("i"),
+            F.col("event_type").alias("e"),
+        ),
+    )
+    tagged = e.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__k"),
+        (F.col("event_type") == "purchase").alias("__is_p"),
+        touch.alias("__t"),
+    )
+    seven_days_us = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__k")
+        .rangeBetween(-seven_days_us, -1)
+    )
+    return (
+        tagged.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "__is_p",
+            F.count("__t").over(w).alias("n_touches_7d"),
+            F.min("__t").over(w).alias("__first"),
+            F.max("__t").over(w).alias("__last"),
+        )
+        .filter(F.col("__is_p"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("n_touches_7d").cast("long").alias("n_touches_7d"),
+            F.col("__first.e").alias("first_touch"),
+            F.col("__last.e").alias("last_touch"),
+        )
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
