@@ -141,6 +141,7 @@ HEADLINE = [
     "nation_theil_sen",        # robust median-of-pairwise-slopes trend
     "incremental_novelty",     # batch-vs-index gram novelty probe
     "purchase_touch_attribution",  # range-frame window attribution
+    "embedding_gram",          # exact fixed-point Gram via batched GEMM
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

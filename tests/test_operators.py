@@ -3715,3 +3715,21 @@ def test_stream_novelty_probe_matches_batch(docs, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == want
+
+
+def test_gram_matrix_exact_vs_numpy(spark):
+    """The batched int64 GEMM equals a single numpy brute force on the
+    identical quantization, including symmetry-triangle completeness."""
+    rng = np.random.default_rng(21)
+    d = 8
+    rows = [(i, rng.standard_normal(d).astype(np.float32).tolist()) for i in range(57)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = similarity.gram_matrix(df, scale=1000).toPandas()
+    assert len(out) == d * (d + 1) // 2
+    arr = np.stack([np.array(v, dtype=np.float32) for _, v in rows]).astype(np.float64)
+    q = np.floor(arr * 1000.0 + 0.5).astype(np.int64)
+    want = q.T @ q
+    for _, r in out.iterrows():
+        assert r["gram_c"] == want[int(r["i"]), int(r["j"])]
+        assert r["gram"] == float(want[int(r["i"]), int(r["j"])])
+        assert r["i"] <= r["j"]

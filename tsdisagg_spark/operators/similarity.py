@@ -1035,3 +1035,65 @@ def pq_adc_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         id_col, "adc_d2", "rank"
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact fixed-point Gram matrix ``G = Q^T Q`` over the embedding
+    corpus, where ``Q`` is the embeddings quantized to integers by
+    ``floor(x * scale + 0.5)`` — the covariance/PCA/whitening precursor
+    (subtract the mean outer product downstream), computed as a certified
+    integer aggregate rather than an order-dependent float sum.
+
+    Returns the upper triangle: ``(i, j, gram_c, gram)`` with ``i <= j``,
+    ``gram_c`` the exact integer sum as BIGINT and ``gram`` the DOUBLE
+    cast of the SAME exact integer — so ``gram`` stays hash-exact at ANY
+    corpus size (both engines round the identical exact integer to the
+    nearest double), while ``gram_c``'s int64 projection is safe while
+    ``N * (scale * max|x|)^2 < 9.2e18`` (|x| <= 8 at scale=1000 ->
+    ~1.4e12 rows; the DECIMAL(38,0) accumulator itself never wraps —
+    overflow would surface as NULL, per the headroom rule).
+
+    Determinism: quantization multiplies the float32 lane in DOUBLE
+    (exact: 24-bit mantissa x 10-bit scale < 53 bits), adds 0.5 (exact at
+    these magnitudes) and floors — no round() tie semantics anywhere;
+    numpy applies the identical IEEE ops.
+
+    Scale shape: the classic distributed GEMM — each Arrow batch computes
+    its own ``q.T @ q`` partial in one int64 matrix multiply (batch
+    bound: 10k rows x 6.4e7/cell-row ~ 6.4e11, far inside int64), and
+    only d(d+1)/2 partial cells per batch cross the shuffle.  The corpus
+    never shuffles; driver sees nothing."""
+    dec = "decimal(38,0)"
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(arr * float(scale) + 0.5).astype(np.int64)
+            g = q.T @ q
+            iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int64),
+                    "j": iu[1].astype(np.int64),
+                    "partial": g[iu],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        gen, schema="i long, j long, partial long"
+    )
+    total = F.sum(F.col("partial").cast(dec))
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            total.cast("long").alias("gram_c"),
+            total.cast("double").alias("gram"),
+        )
+        .select("i", "j", "gram_c", "gram")
+    )

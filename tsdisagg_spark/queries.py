@@ -8331,6 +8331,38 @@ def purchase_touch_attribution(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_gram",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS gram_c,
+           CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS DOUBLE) AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram(spark, sf_dir):
+    """Exact fixed-point Gram matrix over the embedding corpus — the
+    covariance/PCA/whitening precursor certified as an integer aggregate
+    instead of an order-dependent float sum.  The engine runs one int64
+    GEMM per Arrow batch (q.T @ q inside mapInPandas) and shuffles only
+    d(d+1)/2 partial cells per batch; the oracle re-derives every cell
+    through a lane-exploded self-join — the hash match proves the batched
+    GEMM decomposition equals the naive pairwise sum.  `gram` is the
+    DOUBLE cast of the exact integer, hash-exact at any corpus size
+    (operators/similarity.py:gram_matrix)."""
+    return similarity.gram_matrix(
+        t(spark, sf_dir, "embeddings"), vec_col="embedding", scale=1000
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
