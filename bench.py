@@ -142,6 +142,7 @@ HEADLINE = [
     "incremental_novelty",     # batch-vs-index gram novelty probe
     "purchase_touch_attribution",  # range-frame window attribution
     "embedding_gram",          # exact fixed-point Gram via batched GEMM
+    "embedding_pca_scores",    # PCA: exact-stat fit + Arrow GEMM project
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

@@ -3733,3 +3733,44 @@ def test_gram_matrix_exact_vs_numpy(spark):
         assert r["gram_c"] == want[int(r["i"]), int(r["j"])]
         assert r["gram"] == float(want[int(r["i"]), int(r["j"])])
         assert r["i"] <= r["j"]
+
+
+def test_pca_scores_matches_numpy(spark):
+    """The distributed fit+project pipeline reproduces single-node numpy
+    PCA on the identical quantized input (same sign convention), the
+    score covariance is diagonal, and per-component variances equal the
+    eigenvalues in descending order."""
+    rng = np.random.default_rng(17)
+    d, n, k = 12, 300, 4
+    # anisotropic cloud so components are well separated
+    basis = rng.standard_normal((d, d))
+    scales = np.linspace(6, 0.1, d)
+    data = (rng.standard_normal((n, d)) * scales) @ basis
+    rows = [(i, data[i].astype(np.float32).tolist()) for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = similarity.pca_scores(df, k=k, scale=1000).toPandas()
+    scores = (
+        out.pivot(index="vec_id", columns="comp", values="score")
+        .sort_index()
+        .to_numpy()
+    )
+    # numpy reference on the same quantization
+    q = np.floor(np.stack([np.array(v, np.float32) for _, v in rows]).astype(np.float64) * 1000.0 + 0.5)
+    c = np.cov(q, rowvar=False)
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    comps = comps * np.where(flips == 0, 1.0, flips)
+    want = (q - q.mean(axis=0)) @ comps
+    assert np.allclose(scores, want, rtol=1e-9, atol=1e-6)
+    # decorrelation + eigenvalue ordering
+    sc = np.cov(scores, rowvar=False)
+    off = sc - np.diag(np.diag(sc))
+    assert np.abs(off).max() < np.diag(sc).max() * 1e-9
+    assert (np.diff(np.diag(sc)) <= 1e-6).all()
+    assert np.allclose(np.diag(sc), w[order], rtol=1e-9)
+    with pytest.raises(ValueError):
+        similarity.pca_scores(df, k=0)
+    with pytest.raises(ValueError):
+        similarity.pca_scores(df, k=d + 1)

@@ -1097,3 +1097,93 @@ def gram_matrix(
         )
         .select("i", "j", "gram_c", "gram")
     )
+
+
+def pca_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed PCA: fit on the EXACT fixed-point second-moment
+    statistics (:func:`gram_matrix` plus an integer lane-sum for the
+    mean), eigendecompose the d x d covariance on the driver, and project
+    the corpus onto the top-``k`` components in one Arrow-batched GEMM
+    pass — the whitening / dimensionality-reduction step ahead of ANN
+    indexing and SemDeDup-style clustering.
+
+    Returns ``(id, comp, score)`` rows, ``comp`` in ``[0, k)`` ordered by
+    descending eigenvalue.  Sign convention: each component's
+    largest-|loading| entry is made positive, so the output is
+    deterministic (eigenvectors are otherwise defined only up to sign).
+
+    Exactness class: the SUFFICIENT STATISTICS are certified integers
+    (the `embedding_gram` oracle hash-checks the same G), but the
+    eigendecomposition is numpy-on-driver — not SQL-derivable, so the
+    registry carries this as a rows-only query; the math is pinned by
+    tests instead (scores decorrelate, variances match eigenvalues and
+    sort descending, and the whole pipeline reproduces a single-node
+    numpy PCA on the identical quantized input).
+
+    Scale shape: two integer aggregates whose outputs are d(d+1)/2 and d
+    cells (data-size-independent driver collects, per the bounded-collect
+    rule), then a map-only projection — the corpus crosses zero
+    shuffles."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    gram = gram_matrix(df, vec_col=vec_col, scale=scale).collect()
+    sums = (
+        df.select(
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.floor(
+                        x.cast("double") * float(scale) + F.lit(0.5)
+                    ).cast("long"),
+                )
+            ).alias("i", "q")
+        )
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    d = max(r["i"] for r in sums) + 1
+    n = sums[0]["n"]
+    if k > d:
+        raise ValueError(f"k={k} exceeds dimension {d}")
+    g = np.zeros((d, d))
+    for r in gram:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["gram"]
+    m = np.zeros(d)
+    for r in sums:
+        m[r["i"]] = r["s"] / n
+    cov = (g - n * np.outer(m, m)) / max(n - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order]  # (d, k)
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    comps = comps * np.where(flips == 0, 1.0, flips)
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(arr * float(scale) + 0.5)
+            scores = (q - m) @ comps  # (n, k)
+            n_rows = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    "comp": np.tile(np.arange(k, dtype=np.int64), n_rows),
+                    "score": scores.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} long, comp long, score double"
+    )

@@ -8363,6 +8363,23 @@ def embedding_gram(spark, sf_dir):
     )
 
 
+@query("embedding_pca_scores")
+def embedding_pca_scores(spark, sf_dir):
+    """Distributed PCA projection onto the top-8 components (no SQL
+    oracle — the eigendecomposition is numpy-on-driver, same rows-only
+    class as knn_ivf/knn_lsh; the SUFFICIENT STATISTICS are the
+    oracle-hash-checked `embedding_gram`, and the math is pinned by tests:
+    decorrelation, eigenvalue-ordered variances, and equality with a
+    single-node numpy PCA on the identical quantized input up to the
+    documented sign convention).  Scale shape: two bounded integer
+    aggregates (d(d+1)/2 + d driver cells) and a map-only Arrow GEMM
+    projection — the corpus crosses zero shuffles
+    (operators/similarity.py:pca_scores)."""
+    return similarity.pca_scores(
+        t(spark, sf_dir, "embeddings"), k=8, scale=1000
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
