@@ -3774,3 +3774,40 @@ def test_pca_scores_matches_numpy(spark):
         similarity.pca_scores(df, k=0)
     with pytest.raises(ValueError):
         similarity.pca_scores(df, k=d + 1)
+
+
+def test_token_budget_sample_brute_force(spark):
+    """Admission equals a Python replay of the md5-order prefix-sum rule;
+    budgets are reached-or-exceeded whenever material exists."""
+    import hashlib
+
+    from tsdisagg_spark.operators import sampling as sampling_ops
+
+    rows = [("en", i, 10 + (i % 7)) for i in range(30)]
+    rows += [("de", 100 + i, 50) for i in range(3)]   # tiny group
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lang", "doc_id", "n_tokens"]))
+    out = (
+        sampling_ops.token_budget_sample(
+            df, "lang", "doc_id", "n_tokens", budget=60
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for lang in ("en", "de"):
+        grp = [(d, w) for (l, d, w) in rows if l == lang]
+        order = sorted(
+            grp,
+            key=lambda t: hashlib.md5(f"{t[0]}budget".encode()).hexdigest()
+            + str(t[0]),
+        )
+        cum, want = 0, {}
+        for d, wt in order:
+            if cum < 60:
+                want[d] = cum
+            cum += wt
+        got = out[out.lang == lang]
+        assert dict(zip(got.doc_id, got.cum_before)) == want
+        kept_total = sum(w for d, w in grp if d in want)
+        assert kept_total >= min(60, sum(w for _, w in grp))
+    with pytest.raises(ValueError):
+        sampling_ops.token_budget_sample(df, "lang", "doc_id", "n_tokens", 0)

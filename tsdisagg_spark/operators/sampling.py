@@ -247,3 +247,59 @@ def shard_assignment(
     return df.withColumn(
         "shard", (hash_bucket(F.col(key_col), salt) % n_shards).cast("int")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Keep documents per group, in deterministic md5 order of the key,
+    until the group's cumulative ``weight_col`` (token count) EXCEEDS
+    ``budget`` — the token-budgeted mixture draw that assembles a
+    training epoch ("this language gets 1B tokens"), where a row-count
+    quota (:func:`quota_sample`) would over-sample short documents.
+
+    Boundary rule: a document is kept iff the cumulative tokens BEFORE it
+    is strictly under the budget, so the budget is always reached or
+    exceeded when the group has enough material (the final document may
+    overshoot; epochs want "at least B tokens", and truncation is the
+    tokenizer's job downstream).  Returns the kept rows with
+    ``cum_before`` (exact tokens admitted ahead of the row) — re-runnable
+    and partitioning-independent, same determinism contract as
+    :func:`quota_sample`.
+
+    Scale shape: one ordered window per group computes the exclusive
+    prefix sum in DECIMAL(38,0) (token counts x 10^10 rows stay inside
+    the headroom rule).  The window sorts only ``(group, hash, weight)``
+    projections, never document text; for web-scale skew (one language =
+    half the corpus) swap the single window for the hierarchical
+    prefix-sum decomposition proven in packing.py:sequence_packing — the
+    admission rule is unchanged."""
+    if budget < 1:
+        raise ValueError(f"need budget >= 1, got {budget}")
+    hkey = F.concat(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.col(key_col).cast("string"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(weight_col).cast("decimal(38,0)")).over(w),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    return (
+        df.withColumn("__h", hkey)
+        .withColumn("__cum", cum_before)
+        .filter(F.col("__cum") < budget)
+        .select(
+            *[c for c in df.columns],
+            F.col("__cum").cast("long").alias("cum_before"),
+        )
+    )

@@ -8465,6 +8465,54 @@ def signup_purchase_latency(spark, sf_dir):
     )
 
 
+@query(
+    "lang_token_budget_sample",
+    oracle="""
+    WITH d AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               md5(doc_id::VARCHAR || 'budget') || doc_id::VARCHAR AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM d
+    )
+    SELECT lang, doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+    FROM c WHERE cum_before < 2000
+    """,
+)
+def lang_token_budget_sample(spark, sf_dir):
+    """Token-budgeted epoch assembly: per language, keep documents in
+    deterministic md5 order until 2000 tokens are admitted — the
+    mixture draw that gives each language a TOKEN budget rather than a
+    document count (a row quota over-samples short documents).  A doc is
+    kept iff the cumulative tokens strictly before it are under budget,
+    so the budget is always reached when material exists; `cum_before`
+    makes the admission arithmetic itself part of the hash.  Exact:
+    token counts are integers, the prefix sum accumulates in
+    DECIMAL(38,0)/HUGEINT.  Scale shape: one ordered window per language
+    over (lang, hash, count) projections — text never sorts; web-scale
+    skew swaps in packing.py's hierarchical prefix sum, same rule
+    (operators/sampling.py:token_budget_sample)."""
+    from tsdisagg_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(text.words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return sampling.token_budget_sample(
+        d, group_col="lang", key_col="doc_id", weight_col="n_tokens",
+        budget=2000,
+    ).select("lang", "doc_id", "n_tokens", "cum_before")
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
