@@ -145,6 +145,7 @@ HEADLINE = [
     "embedding_pca_scores",    # PCA: exact-stat fit + Arrow GEMM project
     "signup_purchase_latency", # conversion-latency exact percentiles
     "lang_token_budget_sample",  # token-budgeted per-language epoch draw
+    "event_transition_matrix", # per-user Markov step census
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

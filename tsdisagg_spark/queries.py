@@ -8513,6 +8513,59 @@ def lang_token_budget_sample(spark, sf_dir):
     ).select("lang", "doc_id", "n_tokens", "cum_before")
 
 
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS row_n FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+    FROM c JOIN tot t USING (prev_type)
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition census over per-user event
+    sequences: counts and row-normalized probabilities of (prev_type ->
+    next_type) steps, ordered by (ts, event_id) within each user — the
+    behavioral-sequence fingerprint behind session modeling and anomaly
+    baselines.  Exact: counts are integers and each probability is ONE
+    division of exact integers (both engines divide identical values —
+    bit-identical doubles, tie-free at any size).  Scale shape: one
+    window sort per user computes the lag, then two map-side-combinable
+    aggregates over the 25-cell type grid; the events table reduces to
+    the grid before anything else touches it."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = steps.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_row).cast("double")
+        ).alias("p"),
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
