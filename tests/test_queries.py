@@ -382,3 +382,22 @@ def test_purchase_touch_attribution_invariants(spark):
     last = max(want, key=lambda e: (e["ts"], e["event_id"]))
     assert heaviest["first_touch"] == first["event_type"]
     assert heaviest["last_touch"] == last["event_type"]
+
+
+def test_event_transition_matrix_invariants(spark):
+    """Each row of the transition matrix sums to ~1, counts sum to
+    (events - distinct users with events), and probabilities are in
+    (0, 1]."""
+    rows = entry_mod.queries()["event_transition_matrix"](spark, SF_DIR).collect()
+    assert rows
+    import collections
+    by_prev = collections.defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0, r
+        by_prev[r["prev_type"]] += r["p"]
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-9, (prev, s)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
