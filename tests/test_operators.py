@@ -3811,3 +3811,72 @@ def test_token_budget_sample_brute_force(spark):
         assert kept_total >= min(60, sum(w for _, w in grp))
     with pytest.raises(ValueError):
         sampling_ops.token_budget_sample(df, "lang", "doc_id", "n_tokens", 0)
+
+
+def test_stream_cusum_matches_batch_across_microbatches(spark, tmp_path):
+    """stream_cusum must equal the fixed-target batch fold BIT-FOR-BIT,
+    including state carried across micro-batch boundaries
+    (maxFilesPerTrigger=1 forces one file per batch)."""
+    from tsdisagg_spark.operators import timeseries as ts_ops
+    from tsdisagg_spark.streaming import stream_cusum
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for uid in (1, 2):
+        level = 10.0 if uid == 1 else 14.0  # user 2 drifts above target
+        for i in range(40):
+            rows.append(
+                (
+                    uid,
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                    float(level + rng.normal(0, 0.3)),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"]).sort_values("ts")
+    half = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=20)
+    src = tmp_path / "cusum_stream"
+    src.mkdir()
+    spark.createDataFrame(pdf[pdf.ts < half]).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    spark.createDataFrame(pdf[pdf.ts >= half]).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    want = (
+        ts_ops.cusum_series(
+            spark.createDataFrame(pdf), ["user_id"], "ts", "value",
+            k=0.0, target=10.0,
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    got: list = []
+
+    def sink(batch, _epoch):
+        got.extend(map(tuple, batch.collect()))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(pdf).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream_cusum(stream, target=10.0)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_df = (
+        pd.DataFrame(got, columns=["user_id", "ts", "cusum_pos", "cusum_neg"])
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got_df) == len(want)
+    assert (got_df["cusum_pos"].to_numpy() == want["cusum_pos"].to_numpy()).all()
+    assert (got_df["cusum_neg"].to_numpy() == want["cusum_neg"].to_numpy()).all()
+    # the drifting user actually alarms
+    assert want[want.user_id == 2]["cusum_pos"].max() > 50

@@ -543,9 +543,12 @@ def cusum_series(
     ord_col: str = "ts",
     value_col: str = "value",
     k: float = 0.0,
+    target: float | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM drift detector per series: against the series'
-    own mean ``m``, the recurrences
+    own mean ``m`` (or a FIXED reference ``target`` when given — the
+    known-process-level mode, and the batch twin of the streaming
+    operator, streaming/windows.py:stream_cusum), the recurrences
 
         s+_t = max(0, s+_{t-1} + (x_t - m - k))
         s-_t = max(0, s-_{t-1} - (x_t - m) - k)
@@ -586,9 +589,13 @@ def cusum_series(
     # per-series mean: avg of doubles is order-dependent — recompute it
     # as an exact pair (sum over the SORTED list, fold order pinned) so
     # the target entering the recurrence is bit-identical cross-engine.
-    m = F.aggregate(
-        "seq", F.lit(0.0), lambda acc, e: acc + e["x"]
-    ) / F.size("seq").cast("double")
+    # A fixed `target` skips the mean entirely (streaming-twin mode).
+    if target is None:
+        m = F.aggregate(
+            "seq", F.lit(0.0), lambda acc, e: acc + e["x"]
+        ) / F.size("seq").cast("double")
+    else:
+        m = F.lit(float(target))
     packed = packed.select(*partition_cols, "seq", m.alias("__target"))
     folded = packed.select(
         *partition_cols,

@@ -16,6 +16,7 @@ from tsdisagg_spark.streaming.windows import (
     sliding_counts,
     stream_exact_dedup,
     stateful_sessions,
+    stream_cusum,
     stream_sliding_counts,
     stream_tumbling_counts,
     stream_windowed_distinct_registers,
@@ -30,6 +31,7 @@ __all__ = [
     "rowwise_minhash_signatures",
     "sliding_counts",
     "stateful_sessions",
+    "stream_cusum",
     "stream_exact_dedup",
     "stream_probe_candidates",
     "stream_sliding_counts",

@@ -390,3 +390,97 @@ def stream_tumbling_counts(
         key_col,
         value_col,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("cusum_pos", T.DoubleType()),
+        T.StructField("cusum_neg", T.DoubleType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sp", T.DoubleType()),
+        T.StructField("sn", T.DoubleType()),
+        T.StructField("started", T.BooleanType()),
+    ]
+)
+
+
+def stream_cusum(
+    events: DataFrame,
+    target: float,
+    k: float = 0.0,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming two-sided CUSUM against a FIXED reference level
+    ``target`` — the continuous drift monitor whose batch twin is
+    ``operators/timeseries.py:cusum_series(..., target=...)``; the
+    stream==batch equality (including state carry-over across
+    micro-batches) is test-pinned.
+
+    Convention matches the batch operator: ``s+ = s- = 0`` at a key's
+    FIRST observation ever (tracked in state via ``started``), the
+    recurrence applies from the second observation on — across
+    micro-batch boundaries, which is exactly what the persistent
+    per-key state buys.
+
+    State per key is O(1) (two doubles + a flag), so the state store is
+    bounded by the number of distinct keys, not event volume.  Rows
+    inside a micro-batch are folded in (ts) order (stable sort, so
+    equal-timestamp rows keep arrival order); ordering ACROSS
+    micro-batches is the source's contract — replayable file/Kafka
+    sources deliver per-key in-order streams, and a late row after its
+    key's state has advanced is folded when it arrives (CUSUM is a
+    monitoring diagnostic: the alarm sequence, not a reorder buffer,
+    is the product)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tgt, kf = float(target), float(k)
+
+    def update(key, pdf_iter, state: GroupState):
+        (kid,) = key
+        frames = list(pdf_iter)
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+        pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
+        xs = pdf[value_col].to_numpy(dtype=np.float64)
+        sp, sn, started = state.get if state.exists else (0.0, 0.0, False)
+        sps, sns = [], []
+        for x in xs:
+            if started:
+                sp = max(0.0, sp + (x - tgt - kf))
+                sn = max(0.0, sn - (x - tgt) - kf)
+            else:
+                started = True
+            sps.append(sp)
+            sns.append(sn)
+        state.update((sp, sn, started))
+        yield pd.DataFrame(
+            {
+                "user_id": [kid] * len(xs),
+                "ts": pdf[ts_col],
+                "cusum_pos": sps,
+                "cusum_neg": sns,
+            }
+        )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
