@@ -3880,3 +3880,62 @@ def test_stream_cusum_matches_batch_across_microbatches(spark, tmp_path):
     assert (got_df["cusum_neg"].to_numpy() == want["cusum_neg"].to_numpy()).all()
     # the drifting user actually alarms
     assert want[want.user_id == 2]["cusum_pos"].max() > 50
+
+
+def test_stream_ewma_matches_batch_across_microbatches(spark, tmp_path):
+    """stream_ewma equals ewma_series(round_to=None) bit-for-bit with
+    state carried across micro-batches."""
+    from tsdisagg_spark.operators import timeseries as ts_ops
+    from tsdisagg_spark.streaming import stream_ewma
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for uid in (1, 2):
+        for i in range(30):
+            rows.append(
+                (
+                    uid,
+                    pd.Timestamp("2024-02-01") + pd.Timedelta(minutes=i),
+                    float(rng.normal(5 * uid, 1.0)),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"]).sort_values("ts")
+    half = pd.Timestamp("2024-02-01") + pd.Timedelta(minutes=15)
+    src = tmp_path / "ewma_stream"
+    src.mkdir()
+    spark.createDataFrame(pdf[pdf.ts < half]).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(pdf[pdf.ts >= half]).coalesce(1).write.parquet(str(src / "b1"))
+
+    want = (
+        ts_ops.ewma_series(
+            spark.createDataFrame(pdf), ["user_id"], "ts", "value",
+            alpha=0.5, round_to=None,
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    got: list = []
+
+    def sink(batch, _epoch):
+        got.extend(map(tuple, batch.collect()))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(pdf).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream_ewma(stream, alpha=0.5)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_df = (
+        pd.DataFrame(got, columns=["user_id", "ts", "ewma"])
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got_df) == len(want)
+    assert (got_df["ewma"].to_numpy() == want["ewma"].to_numpy()).all()

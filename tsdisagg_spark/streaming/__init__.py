@@ -17,6 +17,7 @@ from tsdisagg_spark.streaming.windows import (
     stream_exact_dedup,
     stateful_sessions,
     stream_cusum,
+    stream_ewma,
     stream_sliding_counts,
     stream_tumbling_counts,
     stream_windowed_distinct_registers,
@@ -32,6 +33,7 @@ __all__ = [
     "sliding_counts",
     "stateful_sessions",
     "stream_cusum",
+    "stream_ewma",
     "stream_exact_dedup",
     "stream_probe_candidates",
     "stream_sliding_counts",

@@ -484,3 +484,64 @@ def stream_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType([T.StructField("s", T.DoubleType())])
+
+
+def stream_ewma(
+    events: DataFrame,
+    alpha: float = 0.5,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-key EWMA — the continuous twin of
+    ``operators/timeseries.py:ewma_series`` with the identical fold
+    convention (``s_0 = x_0``; ``s_t = alpha*x_t + (1-alpha)*s_{t-1}``),
+    carried across micro-batches in O(1) state per key (one double).
+    The stream==batch bit-for-bit equality is test-pinned, same contract
+    as :func:`stream_cusum`: identical IEEE ops over identically-ordered
+    inputs; cross-batch ordering is the replayable source's contract."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+
+    def update(key, pdf_iter, state: GroupState):
+        (kid,) = key
+        frames = list(pdf_iter)
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+        pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
+        xs = pdf[value_col].astype(float).tolist()
+        s = state.get[0] if state.exists else None
+        out = []
+        for x in xs:
+            s = x if s is None else a * x + (1.0 - a) * s
+            out.append(s)
+        state.update((s,))
+        yield pd.DataFrame(
+            {"user_id": [kid] * len(xs), "ts": pdf[ts_col], "ewma": out}
+        )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
