@@ -442,3 +442,19 @@ def test_streaming_disaggregate_restart_upserts(spark, tmp_path, multi_series):
     # and it genuinely changed from batch 1
     s0_first = first[first.series_id == "s0"].sort_values("ts")["y_hat"].to_numpy()
     assert not np.allclose(s0_first, s0["y_hat"].to_numpy(), rtol=1e-6)
+
+
+def test_disagg_stress_tool_smoke(spark, monkeypatch):
+    """tools/disagg_stress.py is the many-series scale evidence — pin it
+    against bitrot by running its main() at toy size (the tool asserts
+    the distributed re-aggregation invariant itself)."""
+    import sys
+    import importlib
+
+    monkeypatch.setattr(sys, "argv", ["disagg_stress.py", "40", "3", "chow-lin"])
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        mod = importlib.import_module("disagg_stress")
+        mod.main()  # raises on invariant violation
+    finally:
+        sys.path.remove("/root/repo/tools")
