@@ -1,8 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line to stdout:
+Prints the full result as a JSON line to stdout:
 ``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+followed by a compact summary JSON line (same fields minus the per-query
+map) as the FINAL stdout line — the driver records only a ~2000-char tail
+of stdout, which decapitates the full line on long runs (BENCH_r04/r06
+``parsed: null``); the compact last line always fits and parses.  The full
+per-query map is also mirrored to ``bench_out.json``.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collection) after a warm-up of the session and file metadata.
@@ -229,6 +234,19 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s (min of {REPS})", file=sys.stderr)
 
+    # zero-leak gate (mirrors tools/oracle_sweep.py): after every headline
+    # query ran end-to-end with clearCache between reps, the session must
+    # hold no persisted RDDs — a nonzero residue means some operator pins
+    # storage that clearCache/release_all cannot see, which at 100 TB is an
+    # executor-memory leak, so the headline number would be a lie about
+    # steady-state cost.  Fail loudly rather than report a tainted total.
+    from tsdisagg_spark.cacheutil import persistent_rdd_ids
+
+    leaked = persistent_rdd_ids(spark)
+    if leaked:
+        print(f"LEAKED_PERSISTENT_RDDS {leaked}", file=sys.stderr)
+        raise SystemExit(f"bench aborted: leaked persistent RDDs {leaked}")
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_query_wall_seconds",
@@ -285,6 +303,22 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass
+    # ... and the mirror protects only the repo's own record: the driver's
+    # BENCH_r{N}.json keeps just the last ~2000 chars of stdout, so the full
+    # line above loses its head (metric/value) whenever the per-query map is
+    # long — BENCH_r04 and BENCH_r06 both came back `parsed: null`.  Emit a
+    # compact summary (no per-query map) as the FINAL stdout line so the
+    # headline total survives any tail window and parses standalone.
+    print(json.dumps({
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "reps": result["reps"],
+        "estimator": result["estimator"],
+        "n_queries": len(timings),
+        "queries_in": "bench_out.json",
+    }))
 
 
 if __name__ == "__main__":

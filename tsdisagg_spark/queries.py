@@ -8587,7 +8587,7 @@ def event_transition_matrix(spark, sf_dir):
 # Every window name is oracle-backed (the four rows-only-by-design queries
 # stay outside it so the driver's 50-sample is 50/50 hash-checkable); names
 # outside the window follow in registration order — nothing is dropped.
-DRIVER_ROUND = 6
+DRIVER_ROUND = 7
 DRIVER_WINDOW = 50
 
 DRIVER_CORE: tuple[str, ...] = (
@@ -8666,30 +8666,38 @@ DRIVER_SAMPLED_BEFORE: frozenset[str] = frozenset({
     "token_stats", "top_orders_per_segment", "top_revenue_orders",
     "user_quasi_diff", "user_running_total", "validation_checks",
     "wav_feature_quanta", "year_first_last_order",
+    # round-6 driver rows (CORRECTNESS_r06.json)
+    "bm25_search", "containment_near_dups", "domain_quota_sample",
+    "events_asof_purchase", "events_in_incident_windows",
+    "exact_substring_overlap", "incremental_minhash_dedup",
+    "incremental_semantic_dedup", "mixture_resample",
+    "order_snapshot_diff", "order_value_grid_quantiles",
+    "pq_adc_topk", "pq_codes", "tfidf_cosine_near_dups",
+    "training_shards",
 })
 
-# This round's judge-ordered rotation carriers, ahead of the shuffle: the
-# streaming as-of-join and state-machine families (VERDICT r05 #7) and the
-# newly-registered cosine-pair operator.
+# This round's judge-ordered rotation carriers, ahead of the shuffle
+# (VERDICT r06 #1): fifteen never-driver-sampled queries with standalone
+# value — sketches, skew/cardinality profiling, graph peeling, the
+# prefix-filtered exact similarity join, corpus-order novelty, chunk-level
+# dedup, robust trend screens, the exact Gram certifier, ingest audit, and
+# range-frame attribution.
 DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
-    "events_asof_purchase",
-    "session_windows",
-    "tfidf_cosine_near_dups",
-    "incremental_minhash_dedup",
-    # round-6 late additions: new surface should get an external hash row
-    # the round it lands (semantic_dedup yields its slot to its
-    # incremental sibling; it stays in the never-sampled shuffle pool)
-    "domain_quota_sample",
-    "training_shards",
-    "exact_substring_overlap",
-    "incremental_semantic_dedup",
-    "bm25_search",
-    "mixture_resample",
-    "order_snapshot_diff",
-    "events_in_incident_windows",
-    "order_value_grid_quantiles",
-    "pq_codes",
-    "pq_adc_topk",
+    "hll_distinct_users",
+    "order_custkey_skew",
+    "copurchase_kcore",
+    "jaccard_prefix_near_dups",
+    "heavy_hitter_tokens",
+    "doc_novelty",
+    "chunk_dedup_clean",
+    "nation_theil_sen",
+    "embedding_gram",
+    "daily_distinct_users",
+    "doc_length_drift",
+    "vocab_oov_by_source",
+    "partkey_selfjoin_cardinality",
+    "ingest_audit",
+    "purchase_touch_attribution",
 )
 
 
