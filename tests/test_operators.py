@@ -764,6 +764,70 @@ def test_streaming_windowed_distinct_matches_batch(spark, tmp_path):
     assert len(exp) > 3  # several (type, day) windows actually exercised
 
 
+def test_streaming_windowed_distinct_append_mode_watermark(spark, tmp_path):
+    """Append-mode regression pin for the watermark binding: grouping by
+    pre-extracted ``w.start``/``w.end`` fields strips the event-time
+    column's watermark metadata, making append mode fail with
+    "streaming aggregations without watermark" (and leaving update-mode
+    state unevictable).  Grouping by the window STRUCT and projecting
+    start/end after the aggregation must (a) start cleanly in append
+    mode and (b) emit exactly the batch twin's registers for windows the
+    final watermark has closed, withholding still-open ones."""
+    from tsdisagg_spark.streaming import (
+        stream_windowed_distinct_registers,
+        windowed_distinct_registers,
+    )
+
+    src = str(tmp_path / "wd_append_src")
+    # three calendar days, one parquet file per day written in order so
+    # maxFilesPerTrigger=1 advances the watermark day by day
+    for day in ("2024-03-01", "2024-03-02", "2024-03-03"):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.date_range(day, periods=120, freq="11min"),
+                "event_type": ["a", "b"] * 60,
+                "user_id": [i % 23 for i in range(120)],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    q = (
+        stream_windowed_distinct_registers(
+            stream, window_size="1 day", watermark="2 hours", p=5
+        )
+        .writeStream.format("memory")
+        .queryName("wd_regs_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from wd_regs_append").toPandas()
+    exp = windowed_distinct_registers(static, window_size="1 day", p=5).toPandas()
+
+    # day-1's window closed once day-2's batch advanced the watermark past
+    # its end; day-3's window end exceeds every observed watermark so it
+    # must be withheld (that withholding IS the bounded-state contract)
+    emitted_days = set(got["window_start"].dt.strftime("%Y-%m-%d"))
+    assert "2024-03-01" in emitted_days, emitted_days
+    assert "2024-03-03" not in emitted_days, emitted_days
+
+    key = ["event_type", "window_start", "bucket"]
+    for day in sorted(emitted_days):
+        g = got[got["window_start"].dt.strftime("%Y-%m-%d") == day]
+        e = exp[exp["window_start"].dt.strftime("%Y-%m-%d") == day]
+        pd.testing.assert_frame_equal(
+            g.sort_values(key).reset_index(drop=True)[e.columns],
+            e.sort_values(key).reset_index(drop=True),
+        )
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     """Same clustered regime as the LSH test: IVF with nprobe=3 of 8 lists
     must recover most true neighbors (clusters land in few lists)."""
@@ -3339,6 +3403,35 @@ def test_heavy_hitters_majority_and_validation(spark):
     assert sketches.heavy_hitters_exact(split, "t", k=2).count() == 0
 
 
+def test_heavy_hitters_null_key_counted(spark):
+    """A NULL key whose count exceeds n/k is a heavy hitter like any
+    other value (regression: pandas value_counts' default dropna=True
+    silently excluded nulls from the candidate phase, and the plain-
+    equality recount join could never match one)."""
+    from tsdisagg_spark.operators import sketches
+
+    # string key: 6 nulls, 5 'a', 2 'b' over 13 rows; k=3 -> threshold
+    # 13/3: null (6) and 'a' (5) qualify, 'b' does not
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"t": [None] * 6 + ["a"] * 5 + ["b"] * 2})
+    ).repartition(3)
+    got = {
+        r["t"]: r["cnt"]
+        for r in sketches.heavy_hitters_exact(sdf, "t", k=3).collect()
+    }
+    assert got == {None: 6, "a": 5}
+    # long key with nulls: same shape through the Arrow int path
+    ldf = spark.createDataFrame(
+        pd.DataFrame({"v": pd.array([None] * 6 + [7] * 5 + [9] * 2,
+                                    dtype="Int64")})
+    ).repartition(3)
+    got_l = {
+        r["v"]: r["cnt"]
+        for r in sketches.heavy_hitters_exact(ldf, "v", k=3).collect()
+    }
+    assert got_l == {None: 6, 7: 5}
+
+
 def test_jaccard_prefix_equals_bruteforce_posting_join(spark):
     """jaccard_pairs_prefix == uncapped jaccard_pairs exactly, across
     thresholds (including a non-dyadic one that exercises the exact
@@ -3457,6 +3550,28 @@ def test_kcore_cascade_and_edge_cases(spark):
     assert {r["node"] for r in graph.kcore(pend, k=2).collect()} == {0, 1, 2}
     with pytest.raises(ValueError, match="k must be"):
         graph.kcore(path, k=0)
+
+
+def test_kcore_rounds_budget_certification(spark):
+    """``rounds_budget`` is the unrolled-oracle certification: a budget
+    that covers the actual peel depth passes; one that doesn't raises
+    KCoreRoundBudgetExceeded BY NAME at build time (never a silent hash
+    mismatch downstream)."""
+    from tsdisagg_spark.operators import graph
+
+    # 9-node path under k=2 peels inward from both ends: 4 shrinking
+    # rounds to empty, so budget >= 4 passes and budget 2 must raise
+    path = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(9), "id_b": range(1, 10)})
+    )
+    assert graph.kcore(path, k=2, rounds_budget=8).count() == 0
+    with pytest.raises(graph.KCoreRoundBudgetExceeded, match="certified"):
+        graph.kcore(path, k=2, rounds_budget=2).count()
+    # already-at-fixpoint graph: one confirming pass fits any budget >= 1
+    cyc = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(6)), "id_b": [1, 2, 3, 4, 5, 0]})
+    )
+    assert graph.kcore(cyc, k=2, rounds_budget=1).count() == 6
 
 
 def test_ngram_novelty_brute_force(spark):
@@ -3939,3 +4054,83 @@ def test_stream_ewma_matches_batch_across_microbatches(spark, tmp_path):
     )
     assert len(got_df) == len(want)
     assert (got_df["ewma"].to_numpy() == want["ewma"].to_numpy()).all()
+
+
+def test_stream_stateful_custom_key_and_column_names(spark, tmp_path):
+    """The stateful pair's output/state schemas are DERIVED from the input
+    frame, not hardcoded: a STRING key under a non-default column name
+    (regression: previously any non-long key failed the Arrow cast and
+    output columns were mislabeled 'user_id'/'ts')."""
+    from tsdisagg_spark.operators import timeseries as ts_ops
+    from tsdisagg_spark.streaming import stream_cusum, stream_ewma
+
+    rng = np.random.default_rng(37)
+    rows = []
+    for dev in ("alpha", "beta"):
+        for i in range(20):
+            rows.append(
+                (
+                    dev,
+                    pd.Timestamp("2024-05-01") + pd.Timedelta(minutes=i),
+                    float(rng.normal(3.0, 1.0)),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["device", "seen_at", "reading"])
+    src = tmp_path / "custom_key_stream"
+    src.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "b0"))
+
+    schema = spark.createDataFrame(pdf).schema
+    for build, val_cols, batch in (
+        (
+            lambda s: stream_ewma(
+                s, alpha=0.25, ts_col="seen_at", key_col="device",
+                value_col="reading",
+            ),
+            ["ewma"],
+            lambda df: ts_ops.ewma_series(
+                df, ["device"], "seen_at", "reading", alpha=0.25,
+                round_to=None,
+            ),
+        ),
+        (
+            lambda s: stream_cusum(
+                s, target=3.0, ts_col="seen_at", key_col="device",
+                value_col="reading",
+            ),
+            ["cusum_pos", "cusum_neg"],
+            lambda df: ts_ops.cusum_series(
+                df, ["device"], "seen_at", "reading", k=0.0, target=3.0
+            ),
+        ),
+    ):
+        got: list = []
+
+        def sink(b, _epoch, got=got):
+            got.extend(map(tuple, b.collect()))
+
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        out_df = build(stream)
+        # output schema carries the INPUT's names and types
+        assert out_df.schema.fieldNames() == ["device", "seen_at"] + val_cols
+        assert out_df.schema["device"].dataType.simpleString() == "string"
+        q = (
+            out_df.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got_df = (
+            pd.DataFrame(got, columns=["device", "seen_at"] + val_cols)
+            .sort_values(["device", "seen_at"])
+            .reset_index(drop=True)
+        )
+        want = (
+            batch(spark.createDataFrame(pdf))
+            .toPandas()
+            .sort_values(["device", "seen_at"])
+            .reset_index(drop=True)
+        )
+        assert len(got_df) == len(want)
+        for c in val_cols:
+            assert (got_df[c].to_numpy() == want[c].to_numpy()).all(), c

@@ -343,12 +343,23 @@ def pagerank(
     return ranks
 
 
+class KCoreRoundBudgetExceeded(RuntimeError):
+    """Peeling needed more rounds than the caller certified for.
+
+    Raised by :func:`kcore` when ``rounds_budget`` is set and the
+    fixpoint took longer: an unrolled-SQL oracle is only exact if its
+    unroll depth covers the actual peel count, so exceeding the budget
+    must be a NAMED failure at build time — not a silent hash mismatch
+    discovered downstream."""
+
+
 def kcore(
     pairs: DataFrame,
     k: int,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 100,
+    rounds_budget: int | None = None,
 ) -> DataFrame:
     """The k-CORE of an undirected graph — the maximal subgraph in which
     every node keeps degree >= k — as ``(node, core_degree)`` rows, with
@@ -373,6 +384,13 @@ def kcore(
     truncate the growing lineage and release the previous round's blocks
     (same storage discipline as :func:`connected_components`): executor
     storage holds at most two edge-list snapshots at any time.
+
+    ``rounds_budget``: optional certification bound — raise
+    :class:`KCoreRoundBudgetExceeded` if the fixpoint is not reached
+    within that many peel rounds (the convergence-confirming round is
+    free).  Callers whose correctness oracle is an UNROLLED peel pass
+    their unroll depth here so an under-deep oracle fails loudly by
+    name instead of silently hash-mismatching.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -399,6 +417,7 @@ def kcore(
 
     live_ids: set = set()
     prev_edges = -1
+    rounds_used = 0
     for _ in range(max_rounds):
         deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         alive = deg.where(F.col("d") >= k).select("u")
@@ -421,6 +440,13 @@ def kcore(
         adj = adj_next
         if n_edges == prev_edges:
             break
+        rounds_used += 1
+        if rounds_budget is not None and rounds_used > rounds_budget:
+            raise KCoreRoundBudgetExceeded(
+                f"kcore(k={k}) still peeling after {rounds_budget} "
+                f"certified rounds — deepen the unrolled oracle (or raise "
+                f"rounds_budget) before trusting a hash comparison"
+            )
         prev_edges = n_edges
     else:
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")

@@ -558,21 +558,36 @@ def heavy_hitters_exact(
     def mg_partition(batches):
         counts: dict = {}
         for pdf in batches:
-            for key, c in pdf[key_col].value_counts().items():
+            # dropna=False so a NULL key competes for a counter like any
+            # other value (a null whose global count exceeds n/k is a
+            # heavy hitter too); normalize every NA representation to
+            # the single ``None`` object — pandas yields a fresh NaN per
+            # batch and NaN != NaN, so raw NaN dict keys would silently
+            # split one null key across many counters
+            for key, c in pdf[key_col].value_counts(dropna=False).items():
+                if pd.isna(key):
+                    key = None
                 counts[key] = counts.get(key, 0) + int(c)
             if len(counts) > k:
                 kth = sorted(counts.values(), reverse=True)[k]
                 counts = {
                     key: c - kth for key, c in counts.items() if c > kth
                 }
-        yield pd.DataFrame({key_col: list(counts.keys())})
+        yield pd.DataFrame({key_col: list(counts.keys())}, dtype=object)
 
     candidates = df.select(key_col).mapInPandas(
         mg_partition, schema=out_schema
     ).distinct()
     n_df = df.agg(F.count(F.lit(1)).alias("__n"))
+    # null-safe semi join (<=>): plain equality would drop a null
+    # candidate on the recount even after phase 1 proposed it
+    cand = candidates.withColumnRenamed(key_col, "__cand_key")
     return (
-        df.join(F.broadcast(candidates), key_col, "left_semi")
+        df.join(
+            F.broadcast(cand),
+            F.col(key_col).eqNullSafe(F.col("__cand_key")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(n_df))

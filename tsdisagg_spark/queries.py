@@ -7728,8 +7728,10 @@ def copurchase_kcore(spark, sf_dir):
     maximal subgraph with min-degree >= k), so the fixpoint matches the
     oracle's 8-round unrolled peel as long as 8 rounds suffice: measured
     5 rounds to fixpoint at sf0.01 (and denser scaled tiers peel in
-    FEWER rounds — degrees only grow); a round-count regression would
-    surface as a hash mismatch, not silence.  Output is integer
+    FEWER rounds — degrees only grow).  ``rounds_budget=8`` pins that
+    sufficiency AT BUILD TIME: a tier that needs a 9th peel raises
+    KCoreRoundBudgetExceeded by name instead of silently hash-
+    mismatching the under-unrolled oracle.  Output is integer
     (node, in-core degree) — no float grid at all."""
     from tsdisagg_spark.operators import graph
 
@@ -7747,7 +7749,7 @@ def copurchase_kcore(spark, sf_dir):
         )
         .distinct()
     )
-    return graph.kcore(pairs, k=80).select(
+    return graph.kcore(pairs, k=80, rounds_budget=8).select(
         F.col("node").alias("part_key"),
         F.col("core_degree"),
     )

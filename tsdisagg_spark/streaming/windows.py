@@ -307,20 +307,28 @@ def windowed_distinct_registers(
     from tsdisagg_spark.operators.sketches import hll_hash_cols
 
     bucket, rho = hll_hash_cols(user_col, p)
+    # Group by the window STRUCT itself, not pre-extracted start/end
+    # fields: extracting before the aggregation strips the event-time
+    # watermark metadata from the grouping column, so a watermarked
+    # stream would reject append mode ("streaming aggregations without
+    # watermark") and never evict closed-window state in update mode.
+    # Projecting start/end AFTER the aggregation keeps the same output
+    # schema while letting the state store bind the watermark.
     return (
-        events.select(
-            F.col(key_col),
-            F.window(F.col(ts_col), window_size).alias("w"),
-            bucket,
-            rho,
-        )
+        events.select(F.col(key_col), F.col(ts_col), bucket, rho)
         .groupBy(
+            key_col,
+            F.window(F.col(ts_col), window_size).alias("w"),
+            "bucket",
+        )
+        .agg(F.max("rho").alias("rho"))
+        .select(
             key_col,
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "bucket",
+            "rho",
         )
-        .agg(F.max("rho").alias("rho"))
     )
 
 
@@ -392,14 +400,28 @@ def stream_tumbling_counts(
     )
 
 
-CUSUM_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("cusum_pos", T.DoubleType()),
-        T.StructField("cusum_neg", T.DoubleType()),
-    ]
-)
+def _keyed_series_output_schema(
+    events: DataFrame, key_col: str, ts_col: str, value_names: list[str]
+) -> T.StructType:
+    """Output schema for a per-key stateful series operator, derived from
+    the INPUT frame's actual key/ts column types and names — a string key
+    or a date timeline must round-trip through the Arrow state boundary
+    unchanged, not be coerced to a hardcoded ``user_id:bigint``/
+    ``ts:timestamp`` contract."""
+    schema = {f.name: f for f in events.schema.fields}
+    for col in (key_col, ts_col):
+        if col not in schema:
+            raise ValueError(
+                f"column {col!r} not in input (have {sorted(schema)})"
+            )
+    return T.StructType(
+        [
+            T.StructField(key_col, schema[key_col].dataType),
+            T.StructField(ts_col, schema[ts_col].dataType),
+            *[T.StructField(n, T.DoubleType()) for n in value_names],
+        ]
+    )
+
 
 _CUSUM_STATE_SCHEMA = T.StructType(
     [
@@ -470,8 +492,8 @@ def stream_cusum(
         state.update((sp, sn, started))
         yield pd.DataFrame(
             {
-                "user_id": [kid] * len(xs),
-                "ts": pdf[ts_col],
+                key_col: [kid] * len(xs),
+                ts_col: pdf[ts_col],
                 "cusum_pos": sps,
                 "cusum_neg": sns,
             }
@@ -479,20 +501,14 @@ def stream_cusum(
 
     return events.groupBy(F.col(key_col)).applyInPandasWithState(
         update,
-        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        outputStructType=_keyed_series_output_schema(
+            events, key_col, ts_col, ["cusum_pos", "cusum_neg"]
+        ),
         stateStructType=_CUSUM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-
-EWMA_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("ewma", T.DoubleType()),
-    ]
-)
 
 _EWMA_STATE_SCHEMA = T.StructType([T.StructField("s", T.DoubleType())])
 
@@ -535,12 +551,14 @@ def stream_ewma(
             out.append(s)
         state.update((s,))
         yield pd.DataFrame(
-            {"user_id": [kid] * len(xs), "ts": pdf[ts_col], "ewma": out}
+            {key_col: [kid] * len(xs), ts_col: pdf[ts_col], "ewma": out}
         )
 
     return events.groupBy(F.col(key_col)).applyInPandasWithState(
         update,
-        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputStructType=_keyed_series_output_schema(
+            events, key_col, ts_col, ["ewma"]
+        ),
         stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
