@@ -3,21 +3,35 @@ evidence: the grouped kernel (spark/disagg.py:disaggregate) is
 embarrassingly parallel across series, so wall time should scale with
 (series x per-series solve) / cores and the driver should hold nothing.
 
-Usage::
+One-shot mode (generate + solve + verify in one process)::
 
     python tools/disagg_stress.py [n_series] [n_years] [method]
 
-Generates ``n_series`` synthetic yearly series (``n_years`` each, so
-12x as many monthly indicator rows), runs the distributed
-disaggregation, forces full materialization through the noop sink, and
-verifies the re-aggregation invariant (yearly sums reproduced) on every
-series via one aggregate — the same constraint the golden tests pin,
-checked distributed.
+Staged mode — resumable, for problem sizes whose end-to-end run exceeds
+a single command budget (the 1M-series tier).  Each stage is its own
+process and persists its result, so the measurement is a sum of
+independently-replayable commands::
 
-Deterministic: values are md5-derived, no RNG state.
+    python tools/disagg_stress.py gen    WORKDIR N_SERIES N_YEARS
+    python tools/disagg_stress.py solve  WORKDIR SHARD/OF [method]
+    python tools/disagg_stress.py verify WORKDIR
+
+``solve`` processes the series with ``series_id % OF == SHARD`` and
+appends its wall time to ``WORKDIR/solve_log.jsonl``; running the OF
+shards sequentially yields the single-node-equivalent solve wall (their
+sum), while on a real cluster the shards are pure width — disjoint
+series, no cross-shard communication — so the max shard wall is the
+cluster-mode estimate.  ``verify`` checks the re-aggregation invariant
+(yearly sums reproduced) over EVERY series-year of the union of shard
+outputs with one distributed aggregate, and prints the summary JSON.
+
+Both modes generate ``n_series`` synthetic yearly series (``n_years``
+each, so 12x as many monthly indicator rows).  Deterministic: values
+are md5-derived, no RNG state.
 """
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -25,26 +39,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    n_series = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    n_years = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    method = sys.argv[3] if len(sys.argv) > 3 else "chow-lin"
-
-    from pyspark.sql import functions as F
-
+def _get_spark(app_name: str):
     from tsdisagg_spark.spark.session import get_spark
-    from tsdisagg_spark.spark.disagg import disaggregate
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
-        app_name="disagg-stress",
+        app_name=app_name,
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    # yearly targets: value = 1200 + deterministic md5 jitter per (sid, yr)
+
+def _gen_frames(spark, n_series: int, n_years: int):
+    """Deterministic synthetic (low, ind): yearly targets 1200 + md5
+    jitter; monthly indicator = smooth trend + md5 noise."""
+    from pyspark.sql import functions as F
+
     low = (
         spark.range(n_series * n_years)
         .select(
@@ -60,7 +73,6 @@ def main() -> None:
             ).alias("y"),
         )
     )
-    # monthly indicator: smooth trend + md5 noise, one column
     ind = (
         spark.range(n_series * n_years * 12)
         .select(
@@ -81,19 +93,15 @@ def main() -> None:
             ).alias("x1"),
         )
     )
+    return low, ind
 
-    t0 = time.time()
-    out = disaggregate(
-        low, ind, method=method, agg_func="sum",
-        series_col="series_id", ts_col="ts", value_col="y",
-    )
-    out.write.format("noop").mode("overwrite").save()
-    wall = time.time() - t0
 
-    # distributed re-aggregation invariant: max |yearly sum - target| over
-    # EVERY series-year (one aggregate; only a scalar reaches the driver)
-    t1 = time.time()
-    reagg = (
+def _reagg_max_err(out, low):
+    """Distributed re-aggregation invariant: max |yearly sum of y_hat -
+    target| over EVERY series-year; only a scalar reaches the driver."""
+    from pyspark.sql import functions as F
+
+    return (
         out.groupBy("series_id", F.year("ts").alias("yr"))
         .agg(F.sum("y_hat").alias("s"))
         .join(
@@ -105,9 +113,25 @@ def main() -> None:
         .agg(F.max(F.abs(F.col("s") - F.col("t"))).alias("max_err"))
         .collect()[0]["max_err"]
     )
-    verify_wall = time.time() - t1
 
-    import json
+
+def _oneshot(n_series: int, n_years: int, method: str) -> None:
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    spark = _get_spark("disagg-stress")
+    low, ind = _gen_frames(spark, n_series, n_years)
+
+    t0 = time.time()
+    out = disaggregate(
+        low, ind, method=method, agg_func="sum",
+        series_col="series_id", ts_col="ts", value_col="y",
+    )
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+
+    t1 = time.time()
+    max_err = _reagg_max_err(out, low)
+    verify_wall = time.time() - t1
 
     print(
         json.dumps(
@@ -118,11 +142,115 @@ def main() -> None:
                 "monthly_rows_out": n_series * n_years * 12,
                 "solve_wall_sec": round(wall, 1),
                 "verify_wall_sec": round(verify_wall, 1),
-                "max_reagg_err": float(reagg),
+                "max_reagg_err": float(max_err),
             }
         )
     )
-    assert reagg < 1e-6, f"re-aggregation invariant violated: {reagg}"
+    assert max_err < 1e-6, f"re-aggregation invariant violated: {max_err}"
+
+
+def _stage_gen(workdir: str, n_series: int, n_years: int) -> None:
+    spark = _get_spark("disagg-stress-gen")
+    t0 = time.time()
+    low, ind = _gen_frames(spark, n_series, n_years)
+    low.write.mode("overwrite").parquet(os.path.join(workdir, "low.parquet"))
+    ind.write.mode("overwrite").parquet(os.path.join(workdir, "ind.parquet"))
+    with open(os.path.join(workdir, "meta.json"), "w") as fh:
+        json.dump({"n_series": n_series, "n_years": n_years}, fh)
+    print(json.dumps({
+        "stage": "gen", "n_series": n_series, "n_years": n_years,
+        "gen_wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _stage_solve(workdir: str, shard_spec: str, method: str) -> None:
+    from pyspark.sql import functions as F
+
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    shard, of = (int(p) for p in shard_spec.split("/"))
+    if not 0 <= shard < of:
+        raise SystemExit(f"bad shard spec {shard_spec!r} (want SHARD/OF, 0<=SHARD<OF)")
+    spark = _get_spark(f"disagg-stress-solve-{shard}-{of}")
+    low = spark.read.parquet(os.path.join(workdir, "low.parquet"))
+    ind = spark.read.parquet(os.path.join(workdir, "ind.parquet"))
+    if of > 1:
+        low = low.where(F.col("series_id") % of == shard)
+        ind = ind.where(F.col("series_id") % of == shard)
+
+    t0 = time.time()
+    out = disaggregate(
+        low, ind, method=method, agg_func="sum",
+        series_col="series_id", ts_col="ts", value_col="y",
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(workdir, f"out_{shard}_of_{of}.parquet")
+    )
+    wall = time.time() - t0
+    rec = {
+        "stage": "solve", "shard": shard, "of": of, "method": method,
+        "solve_wall_sec": round(wall, 1),
+    }
+    with open(os.path.join(workdir, "solve_log.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+def _stage_verify(workdir: str) -> None:
+    spark = _get_spark("disagg-stress-verify")
+    with open(os.path.join(workdir, "meta.json")) as fh:
+        meta = json.load(fh)
+    low = spark.read.parquet(os.path.join(workdir, "low.parquet"))
+    out = spark.read.parquet(os.path.join(workdir, "out_*_of_*.parquet"))
+
+    t0 = time.time()
+    n_out = out.count()
+    max_err = _reagg_max_err(out, low)
+    verify_wall = time.time() - t0
+
+    solves = []
+    with open(os.path.join(workdir, "solve_log.jsonl")) as fh:
+        solves = [json.loads(line) for line in fh if line.strip()]
+    # keep only the LAST run per (shard, of) — reruns supersede
+    latest: dict = {}
+    for rec in solves:
+        latest[(rec["shard"], rec["of"])] = rec
+    walls = [r["solve_wall_sec"] for r in latest.values()]
+
+    expected_rows = meta["n_series"] * meta["n_years"] * 12
+    summary = {
+        "stage": "verify",
+        "n_series": meta["n_series"],
+        "n_years": meta["n_years"],
+        "monthly_rows_out": n_out,
+        "n_shards": len(latest),
+        "solve_wall_sec_sum": round(sum(walls), 1),   # single-node sequential
+        "solve_wall_sec_max": round(max(walls), 1),   # cluster-width estimate
+        "verify_wall_sec": round(verify_wall, 1),
+        "max_reagg_err": float(max_err),
+    }
+    print(json.dumps(summary))
+    assert n_out == expected_rows, f"rows {n_out} != expected {expected_rows}"
+    assert max_err < 1e-6, f"re-aggregation invariant violated: {max_err}"
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if argv and argv[0] in {"gen", "solve", "verify"}:
+        stage = argv[0]
+        workdir = argv[1]
+        os.makedirs(workdir, exist_ok=True)
+        if stage == "gen":
+            _stage_gen(workdir, int(argv[2]), int(argv[3]))
+        elif stage == "solve":
+            _stage_solve(workdir, argv[2], argv[3] if len(argv) > 3 else "chow-lin")
+        else:
+            _stage_verify(workdir)
+        return
+    n_series = int(argv[0]) if len(argv) > 0 else 100_000
+    n_years = int(argv[1]) if len(argv) > 1 else 8
+    method = argv[2] if len(argv) > 2 else "chow-lin"
+    _oneshot(n_series, n_years, method)
 
 
 if __name__ == "__main__":
