@@ -4056,6 +4056,166 @@ def test_stream_ewma_matches_batch_across_microbatches(spark, tmp_path):
     assert (got_df["ewma"].to_numpy() == want["ewma"].to_numpy()).all()
 
 
+def test_stream_fold_out_of_order_arrival_is_arrival_order_fold(spark, tmp_path):
+    """Out-of-order FILE arrival for the no-watermark fold pair: the file
+    with LATER timestamps lands first, so the fold state advances past the
+    second file's rows.  Pinned semantics (module docstring): the result
+    is the deterministic fold of the ARRIVAL-order sequence — in-batch
+    (ts)-sorted, batches in arrival order — NOT the batch twin's fully
+    sorted fold."""
+    from tsdisagg_spark.streaming import stream_ewma
+
+    alpha = 0.5
+    base = pd.Timestamp("2024-06-01")
+    late_chunk = pd.DataFrame(  # earlier timestamps, arrives SECOND
+        {
+            "user_id": [1] * 5,
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(5)],
+            "value": [float(10 + i) for i in range(5)],
+        }
+    )
+    early_chunk = pd.DataFrame(  # later timestamps, arrives FIRST
+        {
+            "user_id": [1] * 5,
+            "ts": [base + pd.Timedelta(minutes=10 + i) for i in range(5)],
+            "value": [float(i) for i in range(5)],
+        }
+    )
+    src = tmp_path / "ooo_stream"
+    src.mkdir()
+    schema = spark.createDataFrame(early_chunk).schema
+    spark.createDataFrame(early_chunk).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(late_chunk).coalesce(1).write.parquet(str(src / "b1"))
+
+    got: list = []
+
+    def sink(batch, _epoch):
+        got.extend(map(tuple, batch.collect()))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream_ewma(stream, alpha=alpha)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # expected: fold over arrival order (early_chunk sorted, then
+    # late_chunk sorted), matched back to each row's timestamp
+    arrival = pd.concat(
+        [early_chunk.sort_values("ts"), late_chunk.sort_values("ts")],
+        ignore_index=True,
+    )
+    s, exp = None, {}
+    for _, r in arrival.iterrows():
+        s = r["value"] if s is None else alpha * r["value"] + (1 - alpha) * s
+        exp[r["ts"]] = s
+    got_map = {ts: v for _uid, ts, v in got}
+    assert len(got_map) == len(exp)
+    for ts, want in exp.items():
+        assert got_map[ts] == want, ts  # bit-exact, same IEEE fold
+    # and it genuinely differs from the fully-sorted batch fold
+    s = None
+    for _, r in arrival.sort_values("ts").iterrows():
+        s = r["value"] if s is None else alpha * r["value"] + (1 - alpha) * s
+    assert got_map[arrival["ts"].max()] != s
+
+
+def test_stateful_sessions_drops_late_events_behind_watermark(spark, tmp_path):
+    """stateful_sessions enforces the watermark itself: a late echo of an
+    already-closed session (older than the current watermark) is dropped
+    before the session fold — it neither reopens the closed session nor
+    spawns a phantom one — while late-but-live rows merge into the open
+    session.  The divergence from the batch twin (which would count the
+    echo) is the documented bounded-state contract."""
+    from tsdisagg_spark.streaming import stateful_sessions
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]) for r in rows],
+                "value": [float(r[2]) for r in rows],
+            }
+        )
+
+    # file A: two clear sessions for user 1 (gap 30 min, watermark 1 h)
+    file_a = mk([
+        (1, "2024-06-01 10:00", 1.0),
+        (1, "2024-06-01 10:05", 2.0),
+        (1, "2024-06-01 10:10", 3.0),
+        (1, "2024-06-01 14:00", 10.0),
+        (1, "2024-06-01 14:05", 20.0),
+        (1, "2024-06-01 14:10", 30.0),
+    ])
+    # file B: a late echo at 10:30 (watermark is 13:10 after file A ->
+    # dropped) plus live rows merging into the open 14:xx session
+    file_b = mk([
+        (1, "2024-06-01 10:30", 99.0),
+        (1, "2024-06-01 14:20", 40.0),
+        (1, "2024-06-01 14:25", 50.0),
+    ])
+    # files C/D: another user advances the watermark past the open
+    # session's gap deadline (14:55) so its event-time timeout fires
+    file_c = mk([(2, "2024-06-01 16:30", 0.0)])
+    file_d = mk([(2, "2024-06-01 17:30", 0.0)])
+
+    src = tmp_path / "late_sessions"
+    src.mkdir()
+    schema = spark.createDataFrame(file_a).schema
+    for i, pdf in enumerate([file_a, file_b, file_c, file_d]):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    got: list = []
+
+    def sink(batch, _epoch):
+        got.extend(batch.collect())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stateful_sessions(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    u1 = sorted(
+        (
+            (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+            for r in got
+            if r["user_id"] == 1
+        )
+    )
+    assert u1 == [
+        # morning session: the 10:30 echo was DROPPED (n=3, total=6, end
+        # pinned at 10:10+gap — a counted echo would have shown n=4 or a
+        # phantom 10:30 session)
+        (
+            pd.Timestamp("2024-06-01 10:00"),
+            pd.Timestamp("2024-06-01 10:40"),
+            3,
+            6.0,
+        ),
+        # afternoon session: late-but-live rows merged across batches
+        (
+            pd.Timestamp("2024-06-01 14:00"),
+            pd.Timestamp("2024-06-01 14:55"),
+            5,
+            150.0,
+        ),
+    ]
+
+
 def test_stream_stateful_custom_key_and_column_names(spark, tmp_path):
     """The stateful pair's output/state schemas are DERIVED from the input
     frame, not hardcoded: a STRING key under a non-default column name

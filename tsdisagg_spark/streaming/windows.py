@@ -6,6 +6,28 @@ The same logical plan serves both modes: ``tumbling_counts`` declares the
 windowed aggregation, and ``stream_tumbling_counts`` adds the watermark so
 state for closed windows is reclaimed.  At scale the watermark bound is the
 knob that caps state-store size: state ~ (#keys x #open windows).
+
+Out-of-order arrival semantics (test-pinned, tests/test_operators.py):
+
+* **Watermarked aggregations** (``stream_tumbling_counts``,
+  ``stream_windowed_distinct_registers``) follow Structured Streaming's
+  contract: rows later than the watermark but inside a still-open window
+  are absorbed; rows older than the watermark are dropped; append mode
+  emits each window exactly once after the watermark passes its end.
+* **``stateful_sessions``** enforces the watermark ITSELF (arbitrary
+  stateful operators receive late rows unfiltered): events older than
+  the current watermark are dropped before the session fold, so a late
+  echo of an already-closed session can neither reopen it nor spawn a
+  phantom session — the test pins the dropped-event divergence from the
+  batch twin explicitly.
+* **``stream_cusum`` / ``stream_ewma``** carry NO watermark (a fold's
+  value depends on every observation, so there is no principled
+  late-cutoff): rows are folded in (ts) order WITHIN a micro-batch and
+  in ARRIVAL order across micro-batches.  In-order sources reproduce
+  the batch fold bit-for-bit; an out-of-order source yields the fold of
+  the arrival-order sequence — deterministic and test-pinned, but
+  intentionally different from the batch twin (the alarm/smoothing
+  sequence is the product, not a reorder buffer).
 """
 
 from __future__ import annotations
