@@ -360,6 +360,7 @@ def kcore(
     id_b: str = "id_b",
     max_rounds: int = 100,
     rounds_budget: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """The k-CORE of an undirected graph — the maximal subgraph in which
     every node keeps degree >= k — as ``(node, core_degree)`` rows, with
@@ -391,6 +392,10 @@ def kcore(
     free).  Callers whose correctness oracle is an UNROLLED peel pass
     their unroll depth here so an under-deep oracle fails loudly by
     name instead of silently hash-mismatching.
+
+    ``stats``: optional dict the call fills with ``rounds_used`` (peel
+    rounds before the convergence-confirming pass) — observability for
+    stress runs correlating peel depth with graph density.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -450,6 +455,8 @@ def kcore(
         prev_edges = n_edges
     else:
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+    if stats is not None:
+        stats["rounds_used"] = rounds_used
     return adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
