@@ -181,6 +181,7 @@ ONLY = {
 
 def main() -> None:
     from tsdisagg_spark import queries as registry
+    from tsdisagg_spark.cacheutil import release_all
     from tsdisagg_spark.spark.session import get_spark
 
     spark = get_spark(
@@ -229,15 +230,23 @@ def main() -> None:
             # jaccard_near_dups' persisted pair list), so every headline
             # number is the query's standalone cost — comparable across
             # bench orderings, at the price of timing shared subplans
-            # twice.
-            spark.catalog.clearCache()
+            # twice.  Must be release_all, not bare clearCache(): the
+            # iterative graph queries (dedup_components,
+            # nation_trade_pagerank, copurchase_kcore) leave
+            # localCheckpoint blocks the catalog's cache manager cannot
+            # see (cacheutil module docstring), so clearCache alone made
+            # the end-of-run zero-leak gate below unsatisfiable and
+            # aborted the whole run (BENCH_r07 rc=1).  Safe here because
+            # each rep re-invokes ``fn`` for a fresh plan — no released
+            # checkpoint block is ever re-referenced.
+            release_all(spark)
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s (min of {REPS})", file=sys.stderr)
 
     # zero-leak gate (mirrors tools/oracle_sweep.py): after every headline
-    # query ran end-to-end with clearCache between reps, the session must
+    # query ran end-to-end with release_all between reps, the session must
     # hold no persisted RDDs — a nonzero residue means some operator pins
-    # storage that clearCache/release_all cannot see, which at 100 TB is an
+    # storage that even release_all cannot see, which at 100 TB is an
     # executor-memory leak, so the headline number would be a lie about
     # steady-state cost.  Fail loudly rather than report a tainted total.
     from tsdisagg_spark.cacheutil import persistent_rdd_ids

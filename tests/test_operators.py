@@ -917,6 +917,60 @@ def test_stateful_streaming_sessions(spark, tmp_path):
     assert list(u2["n_events"]) == [4]
 
 
+def test_stateful_sessions_string_key_schema_derived(spark, tmp_path):
+    """stateful_sessions must derive its output/state contract from the
+    INPUT frame's key column (name AND type) — the previous hardcoded
+    ``user_id: long`` structs mislabeled or Arrow-miscast any non-default
+    ``key_col`` (same bug class fixed for stream_cusum/ewma in round 7).
+    Here the session key is a STRING column named ``device``."""
+    from tsdisagg_spark.streaming.windows import stateful_sessions
+
+    src = str(tmp_path / "sess_str_src")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # device "a": two sessions split by a 2-hour gap; device "b": one
+    for i in range(4):
+        rows.append(("a", base + pd.Timedelta(minutes=5 * i), 1.0))
+    for i in range(2):
+        rows.append(("a", base + pd.Timedelta(hours=3, minutes=10 * i), 2.0))
+    for i in range(3):
+        rows.append(("b", base + pd.Timedelta(minutes=9 * i), 0.5))
+    rows.append(("zz", base + pd.Timedelta(days=2), 0.0))  # watermark mover
+    events = pd.DataFrame(rows, columns=["device", "ts", "value"])
+    spark.createDataFrame(events).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = stateful_sessions(
+        stream, gap_minutes=30, watermark="1 minute", key_col="device"
+    )
+    assert out.schema["device"].dataType.simpleString() == "string"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_str_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from sessions_str_out")
+        .toPandas()
+        .sort_values(["device", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == [
+        "device", "session_start", "session_end", "n_events", "total_value",
+    ]
+    assert len(got) == 3
+    a = got[got.device == "a"]
+    assert list(a["n_events"]) == [4, 2]
+    assert list(a["total_value"]) == [4.0, 4.0]
+    assert a.iloc[0]["session_start"] == base
+    assert a.iloc[0]["session_end"] == base + pd.Timedelta(minutes=15 + 30)
+    assert list(got[got.device == "b"]["n_events"]) == [3]
+
+
 def test_exact_dup_pairs_blocked_gemm(spark):
     """The blocked-GEMM all-pairs scorer must find exactly the planted
     near-duplicate pairs, independent of block count."""
@@ -2979,6 +3033,36 @@ def test_release_all_frees_pair_caches_and_checkpoint_blocks(spark):
     assert dedup.exact_groups(docs, key_cols=["text"]).count() > 0
     cacheutil.release_all(spark)
     assert cacheutil.persistent_rdd_ids(spark) == []
+
+
+def test_bench_cleanup_path_releases_graph_checkpoint_blocks(spark):
+    """bench.py's per-rep cleanup MUST be release_all, not clearCache: the
+    iterative graph headline queries return DataFrames backed by
+    localCheckpoint blocks invisible to the catalog's cache manager, so a
+    clearCache-only rep loop left residue that made the end-of-run
+    zero-leak gate unsatisfiable and aborted the whole run (BENCH_r07
+    rc=1, parsed:null).  This drives one graph headline query through the
+    exact bench rep loop — noop write, then release_all — and asserts the
+    gate's precondition holds."""
+    import os
+
+    from tsdisagg_spark import cacheutil
+    from tsdisagg_spark import queries as registry
+
+    sf_dir = os.environ.get("TSD_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for _ in range(2):  # two reps, like BENCH_REPS=2
+        registry.QUERIES["copurchase_kcore"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        # regression guard for the root cause: clearCache alone is NOT
+        # enough after a graph query — blocks must remain for release_all
+        spark.catalog.clearCache()
+        assert cacheutil.persistent_rdd_ids(spark), (
+            "copurchase_kcore no longer leaves localCheckpoint blocks past "
+            "clearCache — bench.py's release_all comment is stale, revisit"
+        )
+        cacheutil.release_all(spark)
+        assert cacheutil.persistent_rdd_ids(spark) == []
 
 
 def test_real_decoder_set_is_pinned():

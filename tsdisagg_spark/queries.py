@@ -8589,7 +8589,7 @@ def event_transition_matrix(spark, sf_dir):
 # Every window name is oracle-backed (the four rows-only-by-design queries
 # stay outside it so the driver's 50-sample is 50/50 hash-checkable); names
 # outside the window follow in registration order — nothing is dropped.
-DRIVER_ROUND = 7
+DRIVER_ROUND = 8
 DRIVER_WINDOW = 50
 
 DRIVER_CORE: tuple[str, ...] = (
@@ -8676,30 +8676,38 @@ DRIVER_SAMPLED_BEFORE: frozenset[str] = frozenset({
     "order_snapshot_diff", "order_value_grid_quantiles",
     "pq_adc_topk", "pq_codes", "tfidf_cosine_near_dups",
     "training_shards",
+    # round-7 driver rows (CORRECTNESS_r07.json — the 15 first-ever picks)
+    "chunk_dedup_clean", "copurchase_kcore", "daily_distinct_users",
+    "doc_length_drift", "doc_novelty", "embedding_gram",
+    "heavy_hitter_tokens", "hll_distinct_users", "ingest_audit",
+    "jaccard_prefix_near_dups", "nation_theil_sen", "order_custkey_skew",
+    "partkey_selfjoin_cardinality", "purchase_touch_attribution",
+    "vocab_oov_by_source",
 })
 
 # This round's judge-ordered rotation carriers, ahead of the shuffle
-# (VERDICT r06 #1): fifteen never-driver-sampled queries with standalone
-# value — sketches, skew/cardinality profiling, graph peeling, the
-# prefix-filtered exact similarity join, corpus-order novelty, chunk-level
-# dedup, robust trend screens, the exact Gram certifier, ingest audit, and
-# range-frame attribution.
+# (VERDICT r07 #2): fifteen never-driver-sampled queries with standalone
+# value — the time-series screen family (EWMA/CUSUM/backtest/trend),
+# incremental novelty + SimHash probes, exact-integer delta certification,
+# gap-fill interpolation, cohort retention, the bigram LM, Q2/Q22 join
+# shapes, the KMV set-overlap sketch, the Markov transition census, and
+# GROUPING SETS.
 DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
-    "hll_distinct_users",
-    "order_custkey_skew",
-    "copurchase_kcore",
-    "jaccard_prefix_near_dups",
-    "heavy_hitter_tokens",
-    "doc_novelty",
-    "chunk_dedup_clean",
-    "nation_theil_sen",
-    "embedding_gram",
-    "daily_distinct_users",
-    "doc_length_drift",
-    "vocab_oov_by_source",
-    "partkey_selfjoin_cardinality",
-    "ingest_audit",
-    "purchase_touch_attribution",
+    "incremental_novelty",
+    "nation_monthly_ewma",
+    "nation_revenue_cusum",
+    "nation_forecast_backtest",
+    "nation_monthly_trend",
+    "monthly_revenue_delta_exact",
+    "gap_fill_nation",
+    "cohort_retention",
+    "bigram_lm_scores",
+    "min_cost_supplier",
+    "kmv_buyer_overlap",
+    "idle_customers",
+    "event_transition_matrix",
+    "incremental_simhash_dedup",
+    "flag_status_grouping_sets",
 )
 
 

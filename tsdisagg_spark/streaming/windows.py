@@ -145,15 +145,28 @@ def stream_exact_dedup(
     return digested.dropDuplicates(["__digest"]).drop("__digest")
 
 
-SESSION_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
-    ]
-)
+def _session_output_schema(events: DataFrame, key_col: str) -> T.StructType:
+    """Session output schema derived from the INPUT frame's key column type
+    (same contract as :func:`_keyed_series_output_schema`): a string or
+    struct-typed session key must round-trip through the Arrow state
+    boundary unchanged, not be coerced to a hardcoded ``user_id:bigint``.
+    Session bounds are always timestamps (the operator's own event-time
+    arithmetic), counts/sums are fixed."""
+    fields = {f.name: f for f in events.schema.fields}
+    if key_col not in fields:
+        raise ValueError(
+            f"column {key_col!r} not in input (have {sorted(fields)})"
+        )
+    return T.StructType(
+        [
+            T.StructField(key_col, fields[key_col].dataType),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
 
 _SESSION_STATE_SCHEMA = T.StructType(
     [
@@ -189,13 +202,13 @@ def stateful_sessions(
     gap_us = gap_minutes * 60 * 1_000_000
 
     def update(key, pdf_iter, state: GroupState):
-        (user_id,) = key
+        (key_val,) = key
         if state.hasTimedOut:
             start_us, last_us, n, total = state.get
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id],
+                    key_col: [key_val],
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
                     "n_events": [n],
@@ -282,7 +295,7 @@ def stateful_sessions(
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(closed),
+                    key_col: [key_val] * len(closed),
                     "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
                     "session_end": [
                         pd.Timestamp(last + gap_us, unit="us")
@@ -298,7 +311,7 @@ def stateful_sessions(
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             update,
-            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputStructType=_session_output_schema(events, key_col),
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
