@@ -3516,6 +3516,30 @@ def test_heavy_hitters_null_key_counted(spark):
     assert got_l == {None: 6, 7: 5}
 
 
+def test_heavy_hitters_double_key_nan_vs_null(spark):
+    """Double-typed keys: SQL NULL and the NaN VALUE are distinct keys in
+    Spark but indistinguishable at the pandas phase-1 boundary (both
+    arrive as NaN), so the None candidate stands for the class and the
+    recount join must admit NaN rows on it — previously NULL<=>NaN was
+    false and a NaN heavy hitter silently vanished (ADVICE r07).  The
+    exact recount then separates the two groups."""
+    from tsdisagg_spark.operators import sketches
+
+    nan = float("nan")
+    # 7 NaN, 6 NULL, 5x 1.5, 2x 2.5 over 20 rows; k=4 -> threshold 20/4=5:
+    # NaN (7) and NULL (6) qualify (strictly > 5), 1.5 (=5) and 2.5 do not
+    vals = [nan] * 7 + [None] * 6 + [1.5] * 5 + [2.5] * 2
+    df = spark.createDataFrame(
+        [(v,) for v in vals], schema="x double"
+    ).repartition(3)
+    rows = sketches.heavy_hitters_exact(df, "x", k=4).collect()
+    got = {
+        ("nan" if r["x"] is not None and r["x"] != r["x"] else r["x"]): r["cnt"]
+        for r in rows
+    }
+    assert got == {"nan": 7, None: 6}
+
+
 def test_jaccard_prefix_equals_bruteforce_posting_join(spark):
     """jaccard_pairs_prefix == uncapped jaccard_pairs exactly, across
     thresholds (including a non-dyadic one that exercises the exact
@@ -3649,8 +3673,15 @@ def test_kcore_rounds_budget_certification(spark):
         pd.DataFrame({"id_a": range(9), "id_b": range(1, 10)})
     )
     assert graph.kcore(path, k=2, rounds_budget=8).count() == 0
+    from tsdisagg_spark import cacheutil
+
+    cacheutil.release_all(spark)  # isolate the leak assertion below
     with pytest.raises(graph.KCoreRoundBudgetExceeded, match="certified"):
         graph.kcore(path, k=2, rounds_budget=2).count()
+    # the abandoned run must not orphan its edges/round checkpoints — a
+    # long-lived session would otherwise trip the sweep/bench zero-leak
+    # gates with a misleading signature (ADVICE r07)
+    assert cacheutil.persistent_rdd_ids(spark) == []
     # already-at-fixpoint graph: one confirming pass fits any budget >= 1
     cyc = spark.createDataFrame(
         pd.DataFrame({"id_a": list(range(6)), "id_b": [1, 2, 3, 4, 5, 0]})

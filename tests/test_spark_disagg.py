@@ -1,6 +1,8 @@
 """Distributed disaggregation parity: the Spark grouped-kernel path must
 reproduce the (golden-tested) single-series pandas API per series."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -456,5 +458,52 @@ def test_disagg_stress_tool_smoke(spark, monkeypatch):
     try:
         mod = importlib.import_module("disagg_stress")
         mod.main()  # raises on invariant violation
+    finally:
+        sys.path.remove("/root/repo/tools")
+
+
+def test_disagg_stress_staged_resume(spark, monkeypatch, tmp_path):
+    """The 1M-series measurement rests on the staged runner's resume logic:
+    every stage persists to WORKDIR and a later stage reconstructs the run
+    purely from disk, so killing between stages and resuming in a fresh
+    command must verify the same invariant.  Simulated here by invoking
+    each stage as an independent main() call (the stage handoff is 100%
+    file-based — no module state survives between calls either way), at
+    toy size with a 2-way shard split, including a shard RERUN (the log's
+    last-record-per-shard supersede) and the two guard rails: a
+    missing-shard verify and a stale-layout verify must both fail loudly
+    instead of blending runs (ADVICE r07)."""
+    import sys
+    import importlib
+
+    wd = str(tmp_path / "staged")
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        mod = importlib.import_module("disagg_stress")
+
+        def run(*argv):
+            monkeypatch.setattr(sys, "argv", ["disagg_stress.py", *argv])
+            mod.main()
+
+        run("gen", wd, "30", "3")
+        run("solve", wd, "0/2", "chow-lin")
+        # --- simulated kill: verify now must refuse (shard 1 missing) ---
+        with pytest.raises(SystemExit, match="missing shards \\[1\\]"):
+            run("verify", wd)
+        # --- resume in a "fresh command": finish shard 1, rerun shard 0 ---
+        run("solve", wd, "1/2", "chow-lin")
+        run("solve", wd, "0/2", "chow-lin")  # rerun supersedes in the log
+        run("verify", wd)  # asserts rows + re-aggregation invariant itself
+        import json as _json
+
+        with open(os.path.join(wd, "solve_log.jsonl")) as fh:
+            recs = [_json.loads(ln) for ln in fh if ln.strip()]
+        assert len(recs) == 3  # the rerun appended, not overwrote
+        # --- stale-layout guard: a 1-way rerun leaves the 2-way outputs
+        # behind; verify pins the LAST record's layout and must reject the
+        # now-extra shard dirs rather than union them into one measurement
+        run("solve", wd, "0/1", "chow-lin")
+        with pytest.raises(SystemExit, match="stale shard outputs"):
+            run("verify", wd)
     finally:
         sys.path.remove("/root/repo/tools")

@@ -197,31 +197,63 @@ def _stage_solve(workdir: str, shard_spec: str, method: str) -> None:
 
 
 def _stage_verify(workdir: str) -> None:
-    spark = _get_spark("disagg-stress-verify")
+    import glob as _glob
+
     with open(os.path.join(workdir, "meta.json")) as fh:
         meta = json.load(fh)
+
+    # Pin the shard layout from the solve log instead of globbing: a rerun
+    # with a different SHARD/OF split or method in the same WORKDIR used to
+    # leave stale out_*_of_*.parquet dirs that a glob silently unioned into
+    # one measurement.  The LAST solve record defines the run (of, method);
+    # verify requires complete shard coverage under exactly that layout and
+    # errors on any extra output directory.
+    with open(os.path.join(workdir, "solve_log.jsonl")) as fh:
+        solves = [json.loads(line) for line in fh if line.strip()]
+    if not solves:
+        raise SystemExit("verify: empty solve_log.jsonl — run solve first")
+    of, method = solves[-1]["of"], solves[-1]["method"]
+    latest: dict = {}  # last run per shard WITHIN the pinned layout
+    for rec in solves:
+        if rec["of"] == of and rec["method"] == method:
+            latest[rec["shard"]] = rec
+    missing = sorted(set(range(of)) - set(latest))
+    if missing:
+        raise SystemExit(
+            f"verify: layout {of}-way/{method} (from the last solve) is "
+            f"missing shards {missing} — finish the run or rerun them"
+        )
+    expected_dirs = {
+        os.path.join(workdir, f"out_{s}_of_{of}.parquet") for s in range(of)
+    }
+    extra = sorted(
+        set(_glob.glob(os.path.join(workdir, "out_*_of_*.parquet")))
+        - expected_dirs
+    )
+    if extra:
+        raise SystemExit(
+            f"verify: stale shard outputs from another layout in "
+            f"{workdir}: {[os.path.basename(p) for p in extra]} — remove "
+            f"them (they would otherwise blend two runs into one "
+            f"measurement)"
+        )
+    walls = [r["solve_wall_sec"] for r in latest.values()]
+
+    spark = _get_spark("disagg-stress-verify")
     low = spark.read.parquet(os.path.join(workdir, "low.parquet"))
-    out = spark.read.parquet(os.path.join(workdir, "out_*_of_*.parquet"))
+    out = spark.read.parquet(*sorted(expected_dirs))
 
     t0 = time.time()
     n_out = out.count()
     max_err = _reagg_max_err(out, low)
     verify_wall = time.time() - t0
 
-    solves = []
-    with open(os.path.join(workdir, "solve_log.jsonl")) as fh:
-        solves = [json.loads(line) for line in fh if line.strip()]
-    # keep only the LAST run per (shard, of) — reruns supersede
-    latest: dict = {}
-    for rec in solves:
-        latest[(rec["shard"], rec["of"])] = rec
-    walls = [r["solve_wall_sec"] for r in latest.values()]
-
     expected_rows = meta["n_series"] * meta["n_years"] * 12
     summary = {
         "stage": "verify",
         "n_series": meta["n_series"],
         "n_years": meta["n_years"],
+        "method": method,
         "monthly_rows_out": n_out,
         "n_shards": len(latest),
         "solve_wall_sec_sum": round(sum(walls), 1),   # single-node sequential

@@ -405,6 +405,7 @@ def kcore(
     # adjacency double-counts that neighbor's degree contribution
     ua = F.col(id_a).cast("long")
     ub = F.col(id_b).cast("long")
+    before_edges = _persistent_rdd_ids(sc)
     edges = (
         pairs.select(
             F.least(ua, ub).alias("u"), F.greatest(ua, ub).alias("v")
@@ -413,6 +414,11 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # tracked so the error paths below can release it: an exception that
+    # leaves the edges checkpoint (plus the current round's blocks) behind
+    # would later trip the sweep/bench zero-leak gates with a signature
+    # pointing at the wrong query
+    edges_ids = _persistent_rdd_ids(sc) - before_edges
     adj = _both_directions(edges)
 
     def _tracked_ckpt(df: DataFrame):
@@ -447,6 +453,11 @@ def kcore(
             break
         rounds_used += 1
         if rounds_budget is not None and rounds_used > rounds_budget:
+            # the result is abandoned, so nothing still references the
+            # live blocks — release them (and the edges checkpoint)
+            # before raising, or a long-lived session later fails the
+            # zero-leak gates on this dead residue
+            _release_checkpoint_blocks(sc, live_ids | edges_ids)
             raise KCoreRoundBudgetExceeded(
                 f"kcore(k={k}) still peeling after {rounds_budget} "
                 f"certified rounds — deepen the unrolled oracle (or raise "
@@ -454,6 +465,7 @@ def kcore(
             )
         prev_edges = n_edges
     else:
+        _release_checkpoint_blocks(sc, live_ids | edges_ids)
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
     if stats is not None:
         stats["rounds_used"] = rounds_used

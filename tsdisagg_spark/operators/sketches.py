@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: bits per packed word; bit 63 stays clear so `1 << bit` is portable
 WORD_BITS = 63
@@ -582,10 +583,23 @@ def heavy_hitters_exact(
     # null-safe semi join (<=>): plain equality would drop a null
     # candidate on the recount even after phase 1 proposed it
     cand = candidates.withColumnRenamed(key_col, "__cand_key")
+    join_cond = F.col(key_col).eqNullSafe(F.col("__cand_key"))
+    if isinstance(df.schema[key_col].dataType, (T.FloatType, T.DoubleType)):
+        # float keys: the pandas boundary hands BOTH SQL NULL and the NaN
+        # value to phase 1 as NaN, so the single ``None`` candidate stands
+        # for the NULL-or-NaN class (their conflated phase-1 count only
+        # over-proposes — superset property intact).  The recount must
+        # therefore let data NaN rows through on a NULL candidate too:
+        # NULL <=> NaN is false, so without this clause a NaN heavy
+        # hitter was silently dropped.  groupBy then separates the two
+        # exactly (Spark groups NaN with NaN, NULL with NULL).
+        join_cond = join_cond | (
+            F.isnan(F.col(key_col)) & F.col("__cand_key").isNull()
+        )
     return (
         df.join(
             F.broadcast(cand),
-            F.col(key_col).eqNullSafe(F.col("__cand_key")),
+            join_cond,
             "left_semi",
         )
         .groupBy(key_col)

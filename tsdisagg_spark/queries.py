@@ -7720,7 +7720,7 @@ def jaccard_prefix_near_dups(spark, sf_dir):
     FROM d8 GROUP BY u
     """,
 )
-def copurchase_kcore(spark, sf_dir):
+def copurchase_kcore(spark, sf_dir, stats=None):
     """The 80-core of the part co-purchase graph (parts adjacent when some
     order contains both) via exact iterative peeling
     (operators/graph.py:kcore) — the dense-cluster detector pairwise
@@ -7732,7 +7732,12 @@ def copurchase_kcore(spark, sf_dir):
     sufficiency AT BUILD TIME: a tier that needs a 9th peel raises
     KCoreRoundBudgetExceeded by name instead of silently hash-
     mismatching the under-unrolled oracle.  Output is integer
-    (node, in-core degree) — no float grid at all."""
+    (node, in-core degree) — no float grid at all.
+
+    ``stats``: optional dict filled with kcore's ``rounds_used`` —
+    per-tier peel-depth observability (SCALING.md's densification
+    evidence), a passthrough the (spark, sf_dir) registry contract
+    simply never sets."""
     from tsdisagg_spark.operators import graph
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -7749,7 +7754,7 @@ def copurchase_kcore(spark, sf_dir):
         )
         .distinct()
     )
-    return graph.kcore(pairs, k=80, rounds_budget=8).select(
+    return graph.kcore(pairs, k=80, rounds_budget=8, stats=stats).select(
         F.col("node").alias("part_key"),
         F.col("core_degree"),
     )
