@@ -1,0 +1,395 @@
+"""Sharded DuckDB oracles for ``chunk_dedup_clean`` and
+``exact_substring_overlap`` at tiers where the one-shot registry oracle
+exceeds a single command budget (the x1000 / 5M-doc tier) — the same
+technique proven on doc_novelty (tools/doc_novelty_shard_oracle.py): the
+global decision in each query is digest-local and ASSOCIATIVE across
+doc_id shards, so exact partials merge exactly, in integers end-to-end.
+
+* ``chunk`` (chunk_dedup_clean): the keep rule is "globally first
+  occurrence per 32-word-chunk digest", first = min (doc_id, chunk_id)
+  lexicographically.  Packed as ``doc_id * 1024 + chunk_id`` (a single
+  BIGINT whose order equals the tuple order while chunk_id < 1024 —
+  asserted per shard), the global owner is ``MIN over shards of the
+  shard-local MIN`` — associative.  Reassembly is doc-local, so each
+  shard rebuilds its own documents against the merged owner table.
+  Output certifies the verbatim reassembled text via md5 computed
+  INDEPENDENTLY inside each engine (the driver never ships full text).
+* ``sub`` (exact_substring_overlap): the census rule is "16-token window
+  digest repeats anywhere in the corpus" — global count per digest =
+  SUM of shard-local counts, associative.  Coverage union and the
+  per-doc fraction are doc-local.  ``dup_frac`` is one int/int division
+  of identical integers on both sides — tie-free at any corpus size.
+
+Stages (run shards as separate commands; WORKDIR persists the handoff)::
+
+    python tools/dedup_shard_oracle.py {chunk|sub} partial  WORKDIR S/OF [SF_DIR]
+    python tools/dedup_shard_oracle.py {chunk|sub} merge    WORKDIR [SF_DIR]
+    python tools/dedup_shard_oracle.py {chunk|sub} finalize WORKDIR S/OF [SF_DIR]
+    python tools/dedup_shard_oracle.py {chunk|sub} compare  WORKDIR [SF_DIR]
+
+``merge`` refuses mixed shard layouts in WORKDIR (stale partials from a
+different OF must be removed, not blended); ``compare`` runs the ENGINE
+query on the same SF_DIR and hash-compares order-insensitively with the
+sweep's exact canonicalization.
+"""
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF = "/root/repo/.scale_stress/x1000"
+
+#: chunk_id packing multiplier — doc_id * MULT + chunk_id must preserve
+#: (doc_id, chunk_id) order, so every shard asserts max(chunk_id) < MULT.
+#: 1024 chunks x 32 words = 32k-word docs; max doc_id ~1e12 keeps the
+#: packed key < 1.1e15, ~8000x inside int64.
+CHUNK_MULT = 1024
+
+
+def _docs_glob(sf_dir: str) -> str:
+    p = f"{sf_dir}/documents.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
+def _duck(workdir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET temp_directory='{workdir}/duck_tmp'")
+    con.execute("SET preserve_insertion_order=false")
+    return con
+
+
+def _parse_shard(spec: str) -> tuple[int, int]:
+    shard, of = (int(p) for p in spec.split("/"))
+    if not 0 <= shard < of:
+        raise SystemExit(f"bad shard spec {spec!r} (want SHARD/OF, 0<=SHARD<OF)")
+    return shard, of
+
+
+def _pinned_layout(workdir: str, prefix: str) -> int:
+    """The single OF of the ``{prefix}_S_of_OF.parquet`` partials in
+    WORKDIR; refuses mixed layouts and incomplete shard coverage."""
+    seen: dict[int, set[int]] = {}
+    for p in glob.glob(os.path.join(workdir, f"{prefix}_*_of_*.parquet")):
+        m = re.match(rf"{prefix}_(\d+)_of_(\d+)\.parquet$", os.path.basename(p))
+        if m:
+            seen.setdefault(int(m.group(2)), set()).add(int(m.group(1)))
+    if not seen:
+        raise SystemExit(f"no {prefix}_*_of_*.parquet partials in {workdir}")
+    if len(seen) > 1:
+        raise SystemExit(
+            f"mixed shard layouts for {prefix} in {workdir}: OF={sorted(seen)}"
+            " — remove the stale layout before merging"
+        )
+    (of, shards), = seen.items()
+    missing = sorted(set(range(of)) - shards)
+    if missing:
+        raise SystemExit(f"{prefix} layout {of}-way missing shards {missing}")
+    return of
+
+
+# --------------------------------------------------------------------------
+# chunk_dedup_clean
+# --------------------------------------------------------------------------
+
+_CHUNKS_CTE = """
+    w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM read_parquet('{docs}')
+        WHERE doc_id % {of} = {shard}
+    ),
+    st AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, CAST(len(w) - 1 AS BIGINT),
+                                      CAST(32 AS BIGINT))) AS s
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id, s // 32 AS chunk_id,
+               array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text,
+               md5(array_to_string(w[s + 1 : s + 32], ' ')) AS digest
+        FROM st
+    )
+"""
+
+
+def _chunk_partial(workdir: str, spec: str, sf_dir: str) -> None:
+    shard, of = _parse_shard(spec)
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        "CREATE TEMP TABLE ch AS WITH "
+        + _CHUNKS_CTE.format(docs=_docs_glob(sf_dir), of=of, shard=shard)
+        + " SELECT doc_id, chunk_id, digest FROM ch"
+    )
+    max_chunk = con.execute("SELECT COALESCE(MAX(chunk_id), 0) FROM ch").fetchone()[0]
+    assert max_chunk < CHUNK_MULT, (
+        f"chunk_id {max_chunk} >= {CHUNK_MULT}: packed owner key would not "
+        f"preserve (doc_id, chunk_id) order — raise CHUNK_MULT"
+    )
+    con.execute(
+        f"""COPY (SELECT digest,
+                         MIN(doc_id * {CHUNK_MULT} + chunk_id) AS owner_key
+                  FROM ch GROUP BY 1)
+            TO '{workdir}/cfirsts_{shard}_of_{of}.parquet'"""
+    )
+    n = con.execute("SELECT COUNT(*) FROM ch").fetchone()[0]
+    print(json.dumps({
+        "query": "chunk", "stage": "partial", "shard": shard, "of": of,
+        "chunk_rows": n, "max_chunk_id": int(max_chunk),
+        "wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _chunk_merge(workdir: str, sf_dir: str) -> None:
+    of = _pinned_layout(workdir, "cfirsts")
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        f"""COPY (SELECT digest, MIN(owner_key) AS owner_key
+                  FROM read_parquet('{workdir}/cfirsts_*_of_{of}.parquet')
+                  GROUP BY 1)
+            TO '{workdir}/cowners.parquet'"""
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{workdir}/cowners.parquet')"
+    ).fetchone()[0]
+    print(json.dumps({
+        "query": "chunk", "stage": "merge", "of": of, "distinct_digests": n,
+        "wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _chunk_finalize(workdir: str, spec: str, sf_dir: str) -> None:
+    shard, of = _parse_shard(spec)
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        "COPY (WITH "
+        + _CHUNKS_CTE.format(docs=_docs_glob(sf_dir), of=of, shard=shard)
+        + f""",
+        k AS (
+            SELECT ch.doc_id, ch.chunk_id, ch.chunk_text,
+                   (ch.doc_id * {CHUNK_MULT} + ch.chunk_id = o.owner_key)
+                       AS keep
+            FROM ch JOIN read_parquet('{workdir}/cowners.parquet') o
+                 USING (digest)
+        )
+        SELECT doc_id,
+               md5(COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                                FILTER (WHERE keep), '')) AS cleaned_md5,
+               CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_chunks_kept,
+               CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT)
+                   AS n_chunks_removed
+        FROM k GROUP BY doc_id
+        ) TO '{workdir}/cout_{shard}_of_{of}.parquet'"""
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{workdir}/cout_{shard}_of_{of}.parquet')"
+    ).fetchone()[0]
+    print(json.dumps({
+        "query": "chunk", "stage": "finalize", "shard": shard, "of": of,
+        "doc_rows": n, "wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _chunk_compare(workdir: str, sf_dir: str) -> None:
+    of = _pinned_layout(workdir, "cout")
+    from pyspark.sql import functions as F
+
+    from tsdisagg_spark.queries import QUERIES
+
+    spark = _compare_session("chunk-shard-compare")
+    t0 = time.time()
+    sdf = QUERIES["chunk_dedup_clean"](spark, sf_dir).select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_chunks_kept",
+        "n_chunks_removed",
+    )
+    _hash_compare(sdf, f"{workdir}/cout_*_of_{of}.parquet", t0, "chunk")
+
+
+# --------------------------------------------------------------------------
+# exact_substring_overlap
+# --------------------------------------------------------------------------
+
+_WINS_CTE = """
+    words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM read_parquet('{docs}')
+        WHERE doc_id % {of} = {shard}
+    ),
+    wins AS (
+        SELECT doc_id, i - 1 AS pos0,
+               md5(array_to_string(w[i:i+15], ' ')) AS dig
+        FROM words,
+        LATERAL (SELECT unnest(generate_series(1, len(w) - 15)) AS i) t
+    )
+"""
+
+
+def _sub_partial(workdir: str, spec: str, sf_dir: str) -> None:
+    shard, of = _parse_shard(spec)
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        "COPY (WITH "
+        + _WINS_CTE.format(docs=_docs_glob(sf_dir), of=of, shard=shard)
+        + f""" SELECT dig, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM wins GROUP BY 1)
+            TO '{workdir}/scounts_{shard}_of_{of}.parquet'"""
+    )
+    n = con.execute(
+        f"SELECT COALESCE(SUM(cnt), 0) FROM "
+        f"read_parquet('{workdir}/scounts_{shard}_of_{of}.parquet')"
+    ).fetchone()[0]
+    print(json.dumps({
+        "query": "sub", "stage": "partial", "shard": shard, "of": of,
+        "window_rows": int(n), "wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _sub_merge(workdir: str, sf_dir: str) -> None:
+    of = _pinned_layout(workdir, "scounts")
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        f"""COPY (SELECT dig
+                  FROM read_parquet('{workdir}/scounts_*_of_{of}.parquet')
+                  GROUP BY dig HAVING SUM(cnt) >= 2)
+            TO '{workdir}/srep.parquet'"""
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{workdir}/srep.parquet')"
+    ).fetchone()[0]
+    print(json.dumps({
+        "query": "sub", "stage": "merge", "of": of, "repeated_digests": n,
+        "wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _sub_finalize(workdir: str, spec: str, sf_dir: str) -> None:
+    shard, of = _parse_shard(spec)
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        "COPY (WITH "
+        + _WINS_CTE.format(docs=_docs_glob(sf_dir), of=of, shard=shard)
+        + f""",
+        cov AS (
+            SELECT DISTINCT doc_id, p
+            FROM wins JOIN read_parquet('{workdir}/srep.parquet') USING (dig),
+            LATERAL (SELECT unnest(generate_series(pos0, pos0 + 15)) AS p) q
+        ),
+        agg AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               ROUND(COALESCE(a.dup_tokens, 0) * 1.0 / len(w.w), 6) AS dup_frac
+        FROM words w LEFT JOIN agg a USING (doc_id)
+        ) TO '{workdir}/sout_{shard}_of_{of}.parquet'"""
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{workdir}/sout_{shard}_of_{of}.parquet')"
+    ).fetchone()[0]
+    print(json.dumps({
+        "query": "sub", "stage": "finalize", "shard": shard, "of": of,
+        "doc_rows": n, "wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _sub_compare(workdir: str, sf_dir: str) -> None:
+    of = _pinned_layout(workdir, "sout")
+    from tsdisagg_spark.queries import QUERIES
+
+    spark = _compare_session("sub-shard-compare")
+    t0 = time.time()
+    sdf = QUERIES["exact_substring_overlap"](spark, sf_dir)
+    _hash_compare(sdf, f"{workdir}/sout_*_of_{of}.parquet", t0, "sub")
+
+
+# --------------------------------------------------------------------------
+# shared compare plumbing
+# --------------------------------------------------------------------------
+
+def _compare_session(app_name: str):
+    from tsdisagg_spark.spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name=app_name,
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _hash_compare(sdf, oracle_glob: str, t0: float, tag: str) -> None:
+    import duckdb
+
+    from oracle_sweep import canon_rows
+
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    engine_wall = time.time() - t0
+
+    res = duckdb.sql(f"SELECT * FROM read_parquet('{oracle_glob}')")
+    dcols = list(res.columns)
+    drows = res.fetchall()
+
+    a = canon_rows(scols, srows)
+    b = canon_rows(dcols, drows)
+    ha = hashlib.sha256("\n".join(a).encode()).hexdigest()
+    hb = hashlib.sha256("\n".join(b).encode()).hexdigest()
+    verdict = "MATCH" if ha == hb else "VALUE_MISMATCH"
+    print(json.dumps({
+        "query": tag, "stage": "compare", "verdict": verdict,
+        "spark_rows": len(srows), "oracle_rows": len(drows),
+        "engine_wall_sec": round(engine_wall, 1),
+        "spark_hash": ha[:16], "oracle_hash": hb[:16],
+    }))
+    if verdict != "MATCH":
+        sb, sa = set(b), set(a)
+        print("spark-only:", [x for x in a if x not in sb][:3])
+        print("oracle-only:", [x for x in b if x not in sa][:3])
+        raise SystemExit(1)
+
+
+_STAGES = {
+    ("chunk", "partial"): _chunk_partial,
+    ("chunk", "merge"): _chunk_merge,
+    ("chunk", "finalize"): _chunk_finalize,
+    ("chunk", "compare"): _chunk_compare,
+    ("sub", "partial"): _sub_partial,
+    ("sub", "merge"): _sub_merge,
+    ("sub", "finalize"): _sub_finalize,
+    ("sub", "compare"): _sub_compare,
+}
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if len(argv) < 3 or (argv[0], argv[1]) not in _STAGES:
+        raise SystemExit(__doc__)
+    query, stage, workdir = argv[0], argv[1], argv[2]
+    os.makedirs(workdir, exist_ok=True)
+    fn = _STAGES[(query, stage)]
+    if stage in {"partial", "finalize"}:
+        fn(workdir, argv[3], argv[4] if len(argv) > 4 else DEFAULT_SF)
+    else:
+        fn(workdir, argv[3] if len(argv) > 3 else DEFAULT_SF)
+
+
+if __name__ == "__main__":
+    main()

@@ -1187,3 +1187,47 @@ def pca_scores(
     return df.select(id_col, vec_col).mapInPandas(
         project, schema=f"{id_col} long, comp long, score double"
     )
+
+
+def pca_parseval(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Parseval certification of :func:`pca_scores` — the SQL-checkable
+    half of the PCA math: project onto ALL ``d`` components (``k=d``) and
+    return each vector's rounded sum of squared scores in embedding units,
+    ``(id, sq_norm)``.
+
+    A full orthonormal projection preserves norms, so mathematically
+    ``sq_norm == ||q/scale - m/scale||^2`` — the centered squared norm an
+    oracle recomputes directly from the quantized lanes WITHOUT the
+    eigendecomposition.  A hash match therefore certifies, through the
+    numpy-on-driver step the registry cannot SQL-derive, that the fitted
+    basis is genuinely orthonormal and complete and the Arrow GEMM
+    projection applies it correctly — complementing the `embedding_gram`
+    oracle (which certifies the sufficient statistics feeding ``eigh``).
+    The invariant is basis-independent, so it stays exact even under
+    degenerate eigenvalues where individual scores are not unique.
+
+    Float-grid bound (verify SKILL rule): both engines compute the same
+    mathematical value through different float paths (rotated-coordinate
+    squares vs centered-lane squares), differing by ~d*ulp + the eigh
+    orthonormality defect ~ 1e-13 absolute at unit-norm embeddings; on
+    the 1e-6 grid that is ~2e-7 tie probability per row -> safe to
+    ~5e5 vectors (expected flips 0.1), far above every test tier; past
+    that, switch to an exact-integer twin on n^2-scaled centered lanes.
+    """
+    d = len(df.select(vec_col).first()[0])
+    inv = 1.0 / (float(scale) * float(scale))
+    return (
+        pca_scores(df, vec_col=vec_col, id_col=id_col, k=d, scale=scale)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("score") * F.col("score")) * inv, round_to
+            ).alias("sq_norm")
+        )
+    )

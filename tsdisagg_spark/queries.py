@@ -8370,12 +8370,53 @@ def embedding_gram(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_pca_parseval",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                    AS DOUBLE) AS qv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT i,
+               CAST(SUM(CAST(qv AS HUGEINT)) AS DOUBLE) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY 1
+    )
+    SELECT q.vec_id,
+           ROUND(SUM((q.qv - s.s / s.n) * (q.qv - s.s / s.n)) / 1000000.0, 6)
+               AS sq_norm
+    FROM q JOIN s USING (i)
+    GROUP BY 1
+    """,
+)
+def embedding_pca_parseval(spark, sf_dir):
+    """Parseval certification of the PCA pipeline (the partial oracle the
+    rows-only `embedding_pca_scores` could not carry): project onto ALL d
+    components and emit each vector's rounded sum of squared scores —
+    mathematically the centered squared norm, which the oracle recomputes
+    from the quantized lanes WITHOUT the eigendecomposition.  A hash match
+    certifies the driver-side eigh produced a genuinely orthonormal
+    complete basis and the Arrow GEMM applies it correctly; basis-
+    independent, so exact even under degenerate eigenvalues.  Float-grid
+    bound ~5e5 vectors (operators/similarity.py:pca_parseval docstring);
+    unit-norm embeddings keep sq_norm O(1) against the 1e-6 grid."""
+    return similarity.pca_parseval(
+        t(spark, sf_dir, "embeddings"), scale=1000
+    )
+
+
 @query("embedding_pca_scores")
 def embedding_pca_scores(spark, sf_dir):
     """Distributed PCA projection onto the top-8 components (no SQL
-    oracle — the eigendecomposition is numpy-on-driver, same rows-only
-    class as knn_ivf/knn_lsh; the SUFFICIENT STATISTICS are the
-    oracle-hash-checked `embedding_gram`, and the math is pinned by tests:
+    oracle — individual scores depend on the numpy-on-driver
+    eigendecomposition, same rows-only class as knn_ivf/knn_lsh; the
+    SUFFICIENT STATISTICS are the oracle-hash-checked `embedding_gram`,
+    the norm-preservation of the fitted basis is oracle-hash-checked by
+    `embedding_pca_parseval`, and the math is pinned by tests:
     decorrelation, eigenvalue-ordered variances, and equality with a
     single-node numpy PCA on the identical quantized input up to the
     documented sign convention).  Scale shape: two bounded integer
