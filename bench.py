@@ -151,6 +151,11 @@ HEADLINE = [
     "signup_purchase_latency", # conversion-latency exact percentiles
     "lang_token_budget_sample",  # token-budgeted per-language epoch draw
     "event_transition_matrix", # per-user Markov step census
+    "order_priority_pending",  # Q4 shape: correlated-EXISTS semi join
+    "supplier_cardinality_by_part",  # Q16 shape: distinct-pair cardinality + NOT IN
+    "disjunctive_part_revenue",  # Q19 shape: OR-of-conjunctions pushdown
+    "ship_lag_priority_mix",   # Q12 shape: CASE-aggregated fact-fact join
+    "embedding_pca_parseval",  # full-basis PCA norm-preservation certifier
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

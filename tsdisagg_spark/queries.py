@@ -7171,6 +7171,227 @@ def sole_late_supplier(spark, sf_dir):
 
 
 @query(
+    "order_priority_pending",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY 1
+    """,
+)
+def order_priority_pending(spark, sf_dir):
+    """TPC-H Q4 shape: orders placed in 1997 with at least one line item
+    shipped more than 45 days after the order date, counted by priority —
+    the correlated-EXISTS semi-join pattern (the reference's commit/receipt
+    lag, adapted to this schema's ship lag).
+
+    Plan shape: the date range pushes into the orders scan (one year of
+    the fact), and the EXISTS is a LEFT SEMI join on ``l_orderkey`` with
+    the lag predicate evaluated as a join residual — Spark stops probing
+    an order's lines at the first match, and no lineitem columns survive
+    the join.  The output is priority-cardinality sized (5 rows)."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    pending = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return pending.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "supplier_cardinality_by_part",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY 1, 2, 3
+    """,
+)
+def supplier_cardinality_by_part(spark, sf_dir):
+    """TPC-H Q16 shape: how many qualifying suppliers can provide parts of
+    each (brand, type, size) — distinct-supplier cardinality per part
+    class, excluding a supplier denylist (NOT IN; the reference's
+    complaints filter, here low-balance suppliers), with the part-supplier
+    relation derived from observed lineitem pairs.
+
+    Plan shape: lineitem reduces to DISTINCT (partkey, suppkey) pairs
+    FIRST (two key columns, map-side combine on the pair hash), the
+    denylist is a broadcast anti-join at dimension scale, the part
+    attributes broadcast onto the surviving pairs with both filters pushed
+    into the part scan, and the final COUNT(DISTINCT) groups pairs that
+    are already distinct — so it rewrites to a plain two-level aggregate,
+    never an expand."""
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excl = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                     * CAST(100 - ROUND(l_discount * 100) AS HUGEINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1  AND 15
+           AND l.l_quantity BETWEEN 1  AND 20)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 15 AND 35)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity BETWEEN 30 AND 50)
+    """,
+)
+def disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: discounted revenue from three DISJUNCTIVE
+    brand/size/quantity predicate groups — the pattern that exercises
+    OR-of-conjunctions planning (per-branch pushdown into both scans plus
+    a residual join filter, where a naive plan evaluates nothing until
+    after the join).
+
+    Exact-integer discipline: ``price x (1 - discount)`` is
+    cents x (100 - discount-in-percent) — BOTH factors exact integers
+    (discounts live on a 0.01 grid), summed in DECIMAL(38,0) and divided
+    by 10^4 only in the final projection, so the revenue double is
+    identical in both engines at any scale (same pattern as
+    pricing_summary_exact).  Plan shape: quantity conjuncts prune
+    lineitem, brand/size conjuncts prune the broadcast part side, and the
+    cross-branch residual evaluates on the join output."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("__pc"),
+        (100 - F.round(F.col("l_discount") * 100).cast("long")).alias("__dk"),
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(15, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(30, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    (F.col("__pc") * F.col("__dk")).cast("decimal(38,0)")
+                ).cast("double")
+                / 10000.0,
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "ship_lag_priority_mix",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                THEN 'fast'
+                WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                THEN 'normal' ELSE 'slow' END AS lag_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_prio_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_prio_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def ship_lag_priority_mix(spark, sf_dir):
+    """TPC-H Q12 shape: line items bucketed by ship lag (the reference's
+    shipmode, adapted to this schema), with the priority mix recovered via
+    conditional aggregation — the CASE-inside-SUM pattern over a fact-fact
+    join.
+
+    Plan shape: both facts project to two columns before the
+    ``orderkey``-keyed join (with the bucketed layout in sources.py the
+    nightly rerun joins zero-shuffle), the CASE expressions are pure
+    codegen, and the 3-row output aggregates map-side."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lag_bucket = (
+        F.when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            "fast",
+        )
+        .when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            "normal",
+        )
+        .otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(lag_bucket.alias("lag_bucket")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_prio_lines"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_prio_lines"),
+    )
+
+
+@query(
     "bloom_pruned_urgent_revenue",
     oracle="""
     SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
