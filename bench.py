@@ -156,6 +156,7 @@ HEADLINE = [
     "disjunctive_part_revenue",  # Q19 shape: OR-of-conjunctions pushdown
     "ship_lag_priority_mix",   # Q12 shape: CASE-aggregated fact-fact join
     "embedding_pca_parseval",  # full-basis PCA norm-preservation certifier
+    "media_features_exact",    # decode stats in exact integer quanta
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

@@ -1006,15 +1006,30 @@ def window_dup_stats(
             "n_tokens"
         ),
     )
+    # digest = TWO independent xxhash64 lanes (128 bits total, same
+    # collision budget as md5 — ~2e-22 expected colliding pairs at 1e9
+    # windows) instead of a 32-char md5 string: the census shuffles every
+    # window's digest, so 16 bytes of longs vs 32+ bytes of string halves
+    # the exchange, and xxhash64 is a single codegen'd pass over the gram
+    # while md5 allocates a hex string.  Flat at sf0.1 where the exchange
+    # is small (8.99 -> 8.86s min-of-2); 58.9 -> 53.2s warm single-rep at
+    # x100 where the census shuffle dominates — the win grows with scale.
+    # The digest never leaves this operator, so engine-internal hashing
+    # needs no oracle counterpart.
     wins = base.select(
         F.col(id_col), F.posexplode("grams").alias("pos0", "gram")
-    ).select(F.col(id_col), "pos0", F.md5("gram").alias("dig"))
+    ).select(
+        F.col(id_col),
+        "pos0",
+        F.xxhash64("gram").alias("d1"),
+        F.xxhash64("gram", F.lit(1)).alias("d2"),
+    )
     # census via a digest-partitioned window count, NOT groupBy + join-back:
-    # a join-back consumes `wins` twice, planning the shingle+md5 subtree
+    # a join-back consumes `wins` twice, planning the shingle+hash subtree
     # twice (the same double-plan class the containment operator hit); the
     # window form shuffles each digest row ONCE and reads the subtree once
     # (measured 14.9s -> 5.1s at sf0.1, identical output)
-    dig_w = Window.partitionBy("dig")
+    dig_w = Window.partitionBy("d1", "d2")
     # coverage union WITHOUT exploding window positions: flagged windows
     # all have length `window`, so sorted by start the union is
     # first -> window tokens, each successor -> min(window, start delta)

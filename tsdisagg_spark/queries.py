@@ -1994,8 +1994,9 @@ def media_features(spark, sf_dir):
     the gotcha class the verify notes document).  SAFE CORPUS BOUND for
     the 6-decimal ``avg_feature`` column (float-grid rule): summation
     skew eps ~ n_assets x ulp grows linearly, reaching the grid near
-    ~1e8 assets — switch to an exact-twin on integer lane sums beyond
-    ~1e7 assets."""
+    ~1e8 assets — `media_features_exact` (integer lane sums, single
+    exact division) supersedes this query for scale certification
+    beyond ~1e7 assets."""
     from tsdisagg_spark.operators import multimodal
 
     d = t(spark, sf_dir, "documents").select(
@@ -2013,6 +2014,72 @@ def media_features(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("v"), 6).alias("avg_feature"),
             F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
+@query(
+    "media_features_exact",
+    oracle="""
+    WITH h AS (SELECT doc_id AS asset_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                      sha256('image' || text) AS hx
+               FROM documents),
+    pos AS (SELECT unnest(generate_series(0, 15)) AS pos),
+    q AS (SELECT asset_id, n_bytes, pos,
+                 ('0x' || substr(hx, pos*4+1, 2))::BIGINT
+                 + 256 * ('0x' || substr(hx, pos*4+3, 2))::BIGINT AS q
+          FROM h CROSS JOIN pos)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS lane_sum,
+           CAST(CAST(SUM(q) AS DOUBLE) / (65535.0 * COUNT(*)) AS DOUBLE)
+               AS avg_feature,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM q GROUP BY 1
+    """,
+)
+def media_features_exact(spark, sf_dir):
+    """The exact-integer twin `media_features`' float-grid bound calls for
+    beyond ~1e7 assets: per-lane summaries over the INTEGER quanta
+    (value x 65535 recovers the exact uint16 — float32 lane precision
+    covers it), summed in a DECIMAL(38,0) accumulator.  ``lane_sum`` is
+    exact at any corpus size (quanta <= 65535/row: ~1.4e4x int64 slack
+    even at 1e10 assets x 16 lanes), and ``avg_feature`` is ONE division
+    of identical exact values on both sides (65535 * n stays under 2^53,
+    so the divisor double is exact too) — bit-identical, tie-free, no
+    corpus bound.  Same mapInPandas decode plumbing as the float query;
+    only the aggregation discipline differs."""
+    from tsdisagg_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(d, batch_size=256)
+    lane_sum = F.sum(
+        F.round(F.col("v") * 65535).cast("long").cast("decimal(38,0)")
+    ).cast("long")
+    return (
+        feats.select(
+            "asset_id", "n_bytes", F.posexplode("features").alias("pos0", "v")
+        )
+        .groupBy(F.col("pos0").cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            lane_sum.alias("lane_sum"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .select(
+            "pos",
+            "n",
+            "lane_sum",
+            (
+                F.col("lane_sum").cast("double")
+                / (F.lit(65535.0) * F.col("n"))
+            ).alias("avg_feature"),
+            "total_bytes",
         )
     )
 
