@@ -157,6 +157,7 @@ HEADLINE = [
     "ship_lag_priority_mix",   # Q12 shape: CASE-aggregated fact-fact join
     "embedding_pca_parseval",  # full-basis PCA norm-preservation certifier
     "media_features_exact",    # decode stats in exact integer quanta
+    "incremental_chunk_dedup", # batch span-removal probe vs chunk index
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

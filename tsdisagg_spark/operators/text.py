@@ -618,6 +618,22 @@ def remove_duplicate_chunks(
         .groupBy("__digest")
         .agg(F.min("__occ").alias("__first"))
     )
+    return _reassemble_from_firsts(df, firsts, id_col, text_col, size)
+
+
+def _reassemble_from_firsts(
+    df: DataFrame,
+    firsts: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+) -> DataFrame:
+    """Rebuild every ``df`` document from the chunks whose first
+    occurrence (``firsts``: one ``__first = struct(i, c)`` row per
+    surviving digest) lands in that document — the shared tail of
+    :func:`remove_duplicate_chunks` and :func:`chunk_probe_clean`.
+    Document text crosses exactly ONE exchange (the id-keyed keep-list
+    join); reassembly is a pure codegen array expression."""
     keep_lists = (
         firsts.select(F.col("__first.i").alias(id_col), F.col("__first.c").alias("c"))
         .groupBy(id_col)
@@ -643,6 +659,64 @@ def remove_duplicate_chunks(
             ).alias("n_chunks_removed"),
         )
     )
+
+
+def chunk_index(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 32,
+) -> DataFrame:
+    """Persistable chunk-digest index for continuous-ingest span removal:
+    the distinct md5 digests of the corpus's non-overlapping ``size``-word
+    blocks, one column ``chunk_digest``.  At 100 TB the index is saved
+    ``bucketBy(N, chunk_digest)`` (same recipe as the MinHash/SimHash band
+    and novelty-gram indexes) so every future probe co-locates against it
+    without reshuffling the index; after admitting a batch, union the
+    batch's own surviving digests in."""
+    return (
+        chunk_documents(df, "doc_id", text_col, size=size, stride=size)
+        .select(F.md5("chunk_text").alias("chunk_digest"))
+        .distinct()
+    )
+
+
+def chunk_probe_clean(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+) -> DataFrame:
+    """Incremental span removal: clean an ingest batch against a
+    :func:`chunk_index` of the held corpus — a batch chunk is dropped if
+    its digest is ALREADY IN the corpus index, or if an earlier batch
+    chunk (by the same ``(id, chunk_id)`` first-wins rule as
+    :func:`remove_duplicate_chunks`) owns the digest; survivors
+    reassemble in document order.  The admission-gate twin of
+    ``remove_duplicate_chunks`` (which cleans a closed corpus against
+    itself), completing the incremental family alongside the
+    MinHash/SimHash/semantic/novelty probes.
+
+    Returns the same shape as the batch variant:
+    ``(id, cleaned_text, n_chunks_kept, n_chunks_removed)`` — a batch
+    document whose every block the corpus already holds survives with
+    ``cleaned_text = ''``.
+
+    Scale shape: ingest cost is O(batch + probe) — corpus text is never
+    touched, only its digest index; the batch's chunk digests anti-join
+    the index (co-located, not reshuffled, when the index is bucketed as
+    its docstring prescribes), the within-batch keep decision is the same
+    algebraic min, and batch text crosses exactly one id-keyed exchange
+    for reassembly."""
+    if size < 1:
+        raise ValueError(f"need size >= 1, got {size}")
+    chunks = chunk_documents(batch, id_col, text_col, size=size, stride=size)
+    fresh = chunks.select(
+        F.md5("chunk_text").alias("chunk_digest"),
+        F.struct(F.col(id_col).alias("i"), F.col("chunk_id").alias("c")).alias("__occ"),
+    ).join(index, ["chunk_digest"], "left_anti")
+    firsts = fresh.groupBy("chunk_digest").agg(F.min("__occ").alias("__first"))
+    return _reassemble_from_firsts(batch, firsts, id_col, text_col, size)
 
 
 def ngram_novelty(

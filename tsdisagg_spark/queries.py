@@ -8551,6 +8551,71 @@ def incremental_novelty(spark, sf_dir):
 
 
 @query(
+    "incremental_chunk_dedup",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, CAST(len(w) - 1 AS BIGINT),
+                                      CAST(32 AS BIGINT))) AS s
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id, s // 32 AS chunk_id,
+               array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text,
+               md5(array_to_string(w[s + 1 : s + 32], ' ')) AS digest
+        FROM st
+    ),
+    corpus AS (SELECT DISTINCT digest FROM ch WHERE doc_id % 5 != 0),
+    batch AS (SELECT * FROM ch WHERE doc_id % 5 = 0),
+    fresh AS (
+        SELECT b.* FROM batch b LEFT JOIN corpus c USING (digest)
+        WHERE c.digest IS NULL
+    ),
+    rk AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               row_number() OVER (PARTITION BY digest
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM fresh
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                   FILTER (WHERE rn = 1) AS cleaned_text,
+               COUNT(*) FILTER (WHERE rn = 1) AS kept
+        FROM rk GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM batch GROUP BY 1)
+    SELECT t.doc_id,
+           COALESCE(a.cleaned_text, '') AS cleaned_text,
+           CAST(COALESCE(a.kept, 0) AS BIGINT) AS n_chunks_kept,
+           CAST(t.n_chunks - COALESCE(a.kept, 0) AS BIGINT)
+               AS n_chunks_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def incremental_chunk_dedup(spark, sf_dir):
+    """Continuous-ingest span removal: an ingest batch (doc_id % 5 == 0)
+    is cleaned against a persistable chunk-digest INDEX of the held
+    corpus (doc_id % 5 != 0) — batch chunks the corpus already holds are
+    removed, within-batch repeats keep only the first occurrence, and
+    the surviving blocks reassemble in order.  The admission-gate twin
+    of chunk_dedup_clean, completing the incremental family alongside
+    the MinHash/SimHash/semantic/novelty probes: ingest cost is
+    O(batch + probe), corpus text never moves, only 32-char digests.
+    Exactly hashable — verbatim reassembled text, integer counts, no
+    float anywhere (operators/text.py:chunk_index/chunk_probe_clean)."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = text.chunk_index(corpus, size=32)
+    return text.chunk_probe_clean(batch, index, size=32)
+
+
+@query(
     "purchase_touch_attribution",
     oracle="""
     WITH p AS (
