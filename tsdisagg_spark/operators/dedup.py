@@ -635,25 +635,93 @@ def simhash_md5_120(
     buckets), pushing the quadratic knee out by ~2^10; the construction
     extends to 240/480 bits by taking more salted md5 words when a fleet
     needs it.  Both halves stay md5-derived so an external SQL oracle can
-    recompute the codes bit-for-bit."""
+    recompute the codes bit-for-bit.
+
+    Cost shape (VERDICT r08 #2 — this was the headline's slowest query's
+    dominant cost at x1000): md5 is computed ONCE per token.  The earlier
+    formulation ran ``conv(substring(md5(tok), ...), 16, 10)`` per HALF —
+    two full md5 digests, two substrings and two base-16 string parses
+    per token, plus two separate ``words()`` split passes — and shipped
+    two array<long> columns through Arrow into two sign-fold UDF calls.
+    Now one ``transform(words(text), md5)`` pass emits the hex digests,
+    ``unhex(array_join(..., ''))`` concatenates and decodes them into ONE
+    16-bytes-per-token binary blob per doc (half the Arrow volume of the
+    hex string, the same 16 B/token the old dual long-array transfer
+    carried — a raw hex-cat column OOM'd Arrow's netty buffers at x100),
+    and a single Arrow UDF recovers both 60-bit halves numpy-side (one
+    big-endian u64 view — hex chars 1-15 of each digest are exactly
+    ``(first 8 bytes as big-endian u64) >> 4``, chars 17-31 the same on
+    the second 8 bytes) and folds both sign sums in one
+    ``unpackbits``/``reduceat`` pass.  Bit-identical codes (pinned by
+    test_simhash_md5_120_matches_python_reference against hashlib), so
+    the md5 SQL oracles are untouched."""
     from tsdisagg_spark.operators.text import words
 
-    lo_of = lambda tok: F.conv(  # noqa: E731
-        F.substring(F.md5(tok), 1, 15), 16, 10
-    ).cast("long")
-    hi_of = lambda tok: F.conv(  # noqa: E731
-        F.substring(F.md5(tok), 17, 15), 16, 10
-    ).cast("long")
-    fold = _fold_signs_udf(60)
+    hexcat = F.unhex(
+        F.array_join(
+            F.transform(words(F.col(text_col)), lambda t: F.md5(t)), ""
+        )
+    )
     return (
         _spread(df)
         .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), _fold_md5_pair_udf()(hexcat).alias("_s"))
         .select(
             F.col(id_col),
-            fold(F.transform(words(F.col(text_col)), lo_of)).alias("sim_lo"),
-            fold(F.transform(words(F.col(text_col)), hi_of)).alias("sim_hi"),
+            F.col("_s.sim_lo").alias("sim_lo"),
+            F.col("_s.sim_hi").alias("sim_hi"),
         )
     )
+
+
+def _fold_md5_pair_udf():
+    """Arrow-vectorized double sign-fold: one concatenated raw-md5 binary
+    blob per document (16 bytes per token) -> both 60-bit simhash halves
+    in a single numpy pass (see :func:`simhash_md5_120` for the layout)."""
+
+    @F.pandas_udf("sim_lo long, sim_hi long")
+    def fold_pair(blobs: pd.Series) -> pd.DataFrame:
+        n = len(blobs)
+        # 16 raw bytes per token; None only for null inputs (filtered
+        # upstream), kept as 0 tokens for safety => code (0, 0)
+        lens = np.fromiter(
+            (0 if b is None else len(b) >> 4 for b in blobs),
+            count=n,
+            dtype=np.int64,
+        )
+        lo = np.zeros(n, dtype=np.int64)
+        hi = np.zeros(n, dtype=np.int64)
+        if lens.sum():
+            flat = (
+                np.frombuffer(
+                    b"".join(b for b in blobs if b is not None),
+                    dtype=">u8",
+                )
+                .astype(np.uint64)
+                .reshape(-1)
+            )
+            # per token: [lo_u64, hi_u64]; 15 hex chars == 8-byte half >> 4
+            h = flat >> np.uint64(4)
+            # little-endian byte view: unpackbits column k == bit k; cols
+            # 0..59 are the lo half's bits, 64..123 the hi half's
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).reshape(-1, 128)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            nz = lens > 0
+            ones = np.zeros((n, 128), dtype=np.int64)
+            ones[nz] = np.add.reduceat(bits, offsets[nz], axis=0)
+            # sign rule: majority of ones, exact tie -> 0 (sum +1/-1 > 0)
+            code = (2 * ones > lens[:, None]).astype(np.uint64)
+            w = np.arange(60, dtype=np.uint64)[None, :]
+            lo = (code[:, :60] << w).sum(axis=1, dtype=np.uint64).view(np.int64)
+            hi = (
+                (code[:, 64:124] << w).sum(axis=1, dtype=np.uint64).view(np.int64)
+            )
+        return pd.DataFrame({"sim_lo": lo, "sim_hi": hi})
+
+    return fold_pair
 
 
 def wide_bands(
