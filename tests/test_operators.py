@@ -508,6 +508,59 @@ def test_simhash_probe_streams_statelessly(docs, tmp_path):
     assert sorted(got) == want
 
 
+def test_simhash_md5_120_matches_python_reference(spark):
+    """Bit-identity guard for the single-pass Arrow fold (dedup.py
+    ``_fold_md5_pair_udf``): recompute BOTH 60-bit halves in pure
+    hashlib/int arithmetic — tokenize on ``\\s+`` after trim+lower,
+    lo half = first 15 md5 hex chars, hi half = chars 17-31 (1-indexed,
+    the same substr(…,1,15)/substr(…,17,15) the DuckDB oracles use),
+    majority sign per bit with exact tie -> 0 — and assert equality with
+    ``simhash_md5_120().collect()``.  This is the test that would catch a
+    ``>>4`` / byte-order / bit-order layout bug in the numpy fold that
+    the Spark-vs-Spark self-consistency tests cannot see.  Corpus covers
+    the edge shapes: empty text (tokenizes to one empty-string token,
+    matching Spark's and DuckDB's regex-split semantics), whitespace-only
+    text, a single-token doc (code == that token's hash bits), an
+    even-token doc (exercises tie -> 0), repeated tokens, mixed case and
+    punctuation, and a long multi-token doc."""
+    import hashlib
+
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "solitary"),
+        (4, "alpha beta"),
+        (5, "alpha alpha alpha beta"),
+        (6, "The QUICK brown    Fox, jumps\tover THE lazy dog."),
+        (7, " ".join(f"tok{i}" for i in range(257))),
+        (8, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+
+    def ref_code(text):
+        toks = re.split(r"\s+", text.strip().lower())
+        halves = []
+        for sl in (slice(0, 15), slice(16, 31)):
+            vals = [int(hashlib.md5(t.encode()).hexdigest()[sl], 16) for t in toks]
+            code = 0
+            for k in range(60):
+                ones = sum((v >> k) & 1 for v in vals)
+                if 2 * ones > len(vals):  # strict majority; tie -> 0
+                    code |= 1 << k
+            halves.append(code)
+        return tuple(halves)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in dedup.simhash_md5_120(df).collect()
+    }
+    want = {i: ref_code(t) for i, t in rows}
+    assert got == want
+    # the single-token doc's code IS its token's hash bits (no fold slack)
+    h3 = hashlib.md5(b"solitary").hexdigest()
+    assert got[3] == (int(h3[0:15], 16), int(h3[16:31], 16))
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=8, n_bands=16).toPandas()
     found = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}

@@ -1093,8 +1093,9 @@ def window_dup_stats(
     # collide on d2 too, collapsing the pair to 64 bits (~0.03 expected
     # colliding pairs at 1e9 windows, O(1000) at 1e12).  With the literal
     # first, d2 = XXH64(gram, seed=XXH64(1L, 42)) is a different-seed
-    # hash of the gram, independent of d1 (re-certified hash-identical
-    # vs the md5 census at sf0.001/sf0.01 and at x100/x1000, SCALING.md).
+    # hash of the gram, independent of d1 (seed order pinned by
+    # test_census_digest_lanes_independent; certified vs the md5 census
+    # oracle at sf0.001/sf0.01 — scaled-tier re-certs live in SCALING.md).
     wins = base.select(
         F.col(id_col), F.posexplode("grams").alias("pos0", "gram")
     ).select(

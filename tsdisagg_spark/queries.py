@@ -9006,7 +9006,7 @@ def event_transition_matrix(spark, sf_dir):
 # Every window name is oracle-backed (the four rows-only-by-design queries
 # stay outside it so the driver's 50-sample is 50/50 hash-checkable); names
 # outside the window follow in registration order — nothing is dropped.
-DRIVER_ROUND = 9
+DRIVER_ROUND = 10
 DRIVER_WINDOW = 50
 
 DRIVER_CORE: tuple[str, ...] = (
@@ -9107,31 +9107,40 @@ DRIVER_SAMPLED_BEFORE: frozenset[str] = frozenset({
     "bigram_lm_scores", "min_cost_supplier", "kmv_buyer_overlap",
     "idle_customers", "event_transition_matrix",
     "incremental_simhash_dedup", "flag_status_grouping_sets",
+    # round-9 driver rows (CORRECTNESS_r09.json — the 15 first-ever picks)
+    "order_priority_pending", "supplier_cardinality_by_part",
+    "disjunctive_part_revenue", "ship_lag_priority_mix",
+    "media_features_exact", "embedding_pca_parseval",
+    "incremental_chunk_dedup", "part_basket_lift",
+    "bloom_pruned_urgent_revenue", "signup_purchase_latency",
+    "order_value_percentiles", "seasonal_decomposition_exact",
+    "revenue_rollup_exact", "sole_late_supplier", "peak_concurrency",
 })
 
 # This round's judge-ordered rotation carriers, ahead of the shuffle
-# (VERDICT r08 #1): fifteen never-driver-sampled queries with standalone
-# value — the seven round-8 additions (judge sf0.01-verified but still
-# without an external driver row), then the strongest long-timers from
-# the never-sampled pool: basket lift, Bloom-pruned scan, funnel latency,
-# exact percentiles, seasonal decomposition, ROLLUP, Q21-shape, and the
-# interval-overlap peak.
+# (VERDICT r09 #1): fifteen never-driver-sampled queries — lead with the
+# five the judge sf0.01-verified in the round-9 session (dedup_canonical,
+# pii_redaction, sql_market_share, user_activity_islands,
+# cross_modal_dup_audit), then the strongest remaining long-timers:
+# semantic dedup, PassJoin linkage, CUBE, PIVOT, rolling window, ranks,
+# exact histogram, seasonal decomposition, repetition stats, and the
+# weighted sampler.
 DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
-    "order_priority_pending",
-    "supplier_cardinality_by_part",
-    "disjunctive_part_revenue",
-    "ship_lag_priority_mix",
-    "media_features_exact",
-    "embedding_pca_parseval",
-    "incremental_chunk_dedup",
-    "part_basket_lift",
-    "bloom_pruned_urgent_revenue",
-    "signup_purchase_latency",
-    "order_value_percentiles",
-    "seasonal_decomposition_exact",
-    "revenue_rollup_exact",
-    "sole_late_supplier",
-    "peak_concurrency",
+    "dedup_canonical",
+    "pii_redaction",
+    "sql_market_share",
+    "user_activity_islands",
+    "cross_modal_dup_audit",
+    "semantic_dedup",
+    "similar_part_names",
+    "priority_status_cube",
+    "returnflag_pivot",
+    "rolling_revenue",
+    "customer_spend_ranks",
+    "order_value_histogram_exact",
+    "seasonal_decomposition",
+    "repetition_stats",
+    "weighted_sample_orders",
 )
 
 
