@@ -1867,6 +1867,105 @@ def test_remove_duplicate_chunks_exact(spark):
         text_ops.remove_duplicate_chunks(spark.createDataFrame(docs), size=0)
 
 
+def test_chunk_digest_lanes_independent(spark):
+    """Same pin as the substring census (ADVICE r08): the chunk family's
+    second xxhash64 lane must put the literal FIRST — ``xxhash64(1,
+    chunk_text, 42)`` in the analyzed plan — so it is a different-seed
+    hash of the text, not XXH64(1L, seed=d1) (which would collapse the
+    128-bit pair to 64 bits of collision resistance)."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    for frame in (
+        text_ops.remove_duplicate_chunks(df, size=2),
+        text_ops.chunk_index(df, size=2),
+        text_ops.chunk_probe_clean(df, text_ops.chunk_index(df, size=2), size=2),
+    ):
+        plan = frame._jdf.queryExecution().analyzed().toString()
+        assert "xxhash64(1, " in plan, plan
+        assert not re.search(r"xxhash64\(chunk_text#\d+, 1,", plan), plan
+
+
+def test_chunk_probe_rejects_v1_index(spark):
+    """A persisted v1 (md5-string ``chunk_digest``) index probed by the
+    v2 engine must fail loudly with the rebuild instruction, not as an
+    unresolved-column error inside the anti-join."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    batch = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    v1 = spark.createDataFrame([("deadbeef",)], "chunk_digest string")
+    with pytest.raises(ValueError, match="chunk_d1.*rebuilt|rebuilt"):
+        text_ops.chunk_probe_clean(batch, v1, size=2)
+
+
+def test_chunk_probe_clean_stream_equals_batch(spark, tmp_path):
+    """VERDICT r09 #7: the continuous-ingest claim, pinned.  Split an
+    ingest set into micro-batches, run chunk_probe_clean per micro-batch
+    through Structured Streaming foreachBatch — each batch probed against
+    the corpus index UNIONed with the digests of all previously admitted
+    batches' SURVIVING text — and assert the concatenated streamed output
+    is bit-identical to the one-shot batch probe over the whole ingest
+    set.  Identical requires ingest order to agree with the batch
+    first-wins rule, so micro-batches are cut on doc_id ranges."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    blk = lambda p: " ".join(f"{p}{i}" for i in range(4))
+    corpus = spark.createDataFrame(
+        [(1000, f"{blk('x')} {blk('y')}")], "doc_id long, text string"
+    )
+    ingest_rows = [
+        # doc 0: one corpus-dup block + one fresh; doc 1 repeats doc 0's
+        # fresh block (cross-batch dup); doc 2 all-dup -> empty; doc 3 fresh
+        (0, f"{blk('x')} {blk('f')}"),
+        (1, f"{blk('f')} {blk('g')}"),
+        (2, f"{blk('y')} {blk('g')}"),
+        (3, f"{blk('h')} tail words"),
+    ]
+    ingest = spark.createDataFrame(ingest_rows, "doc_id long, text string")
+    index = text_ops.chunk_index(corpus, size=4)
+    want = sorted(
+        tuple(r) for r in text_ops.chunk_probe_clean(ingest, index, size=4).collect()
+    )
+
+    src = str(tmp_path / "ingest_src")
+    # one file per doc_id => availableNow drains deterministically; cut
+    # micro-batches in doc_id order with maxFilesPerTrigger=1
+    for i, row in enumerate(ingest_rows):
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    got: list[tuple] = []
+    state = {"index": index}
+
+    def sink(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        cleaned = text_ops.chunk_probe_clean(
+            bdf.orderBy("doc_id"), state["index"], size=4
+        ).cache()
+        got.extend(tuple(r) for r in cleaned.orderBy("doc_id").collect())
+        # admit the batch: union the SURVIVING text's digests into the index
+        state["index"] = state["index"].unionByName(
+            text_ops.chunk_index(
+                cleaned.filter(F.col("cleaned_text") != "").select(
+                    "doc_id", F.col("cleaned_text").alias("text")
+                ),
+                size=4,
+            )
+        ).distinct().localCheckpoint()
+        cleaned.unpersist()
+
+    stream = spark.readStream.schema(ingest.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert sorted(got) == want and len(want) == 4
+
+
 def test_quantize_embeddings_properties(spark):
     rng = np.random.default_rng(5)
     rows = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(20)]
@@ -4492,3 +4591,38 @@ def test_pca_parseval_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty input"):
         similarity.pca_parseval(empty)
+
+
+def test_pca_parseval_exact_matches_numpy_and_certifies(spark):
+    """VERDICT r09 #5: the exact-integer twin's sq_norm_n2 must equal the
+    pure-integer numpy value SUM((n*q - s)^2) computed from the identical
+    quantization, and parseval_ok must be 1 everywhere (the fitted basis
+    is orthonormal and complete, so the rotated float norm reproduces the
+    exact integer within the 1e-9 gate).  Includes a vector equal to
+    another (zero centered distance still > 0 unless it equals the MEAN)
+    and small magnitudes near the quantization boundary."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 6)).astype(np.float32)
+    vecs[7] = vecs[3]  # duplicate vector
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(40, dtype=np.int64), "embedding": list(map(list, vecs))}
+        )
+    )
+    out = (
+        similarity.pca_parseval_exact(df, scale=1000)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    q = np.floor(vecs.astype(np.float64) * 1000.0 + 0.5).astype(object)
+    n = len(vecs)
+    s = q.sum(axis=0)  # exact python ints via object dtype
+    want = [(sum(int(n * q[r, i] - s[i]) ** 2 for i in range(q.shape[1]))) for r in range(n)]
+    got = out["sq_norm_n2"].to_numpy()
+    assert np.array_equal(got, np.array([float(w) for w in want]))
+    assert (out["parseval_ok"] == 1).all()
+    with pytest.raises(ValueError, match="empty input"):
+        similarity.pca_parseval_exact(
+            spark.createDataFrame([], "vec_id long, embedding array<float>")
+        )

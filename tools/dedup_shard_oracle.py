@@ -19,6 +19,12 @@ doc_id shards, so exact partials merge exactly, in integers end-to-end.
   SUM of shard-local counts, associative.  Coverage union and the
   per-doc fraction are doc-local.  ``dup_frac`` is one int/int division
   of identical integers on both sides — tie-free at any corpus size.
+* ``touch`` (purchase_touch_attribution): the attribution decision is
+  USER-LOCAL (every purchase joins only its own user's touches), so
+  sharding both join sides by ``user_id % OF`` partitions the output
+  exactly — no merge stage at all; ``compare`` unions the per-shard
+  oracle outputs against the engine run.  This is the gate the direct
+  |P| x |T| inequality join cannot afford at the densified x100 tier.
 
 Stages (run shards as separate commands; WORKDIR persists the handoff)::
 
@@ -318,6 +324,74 @@ def _sub_compare(workdir: str, sf_dir: str) -> None:
 
 
 # --------------------------------------------------------------------------
+# purchase_touch_attribution (user-sharded, no merge: the decision is
+# user-local, so each shard's oracle output is already final)
+# --------------------------------------------------------------------------
+
+
+def _events_glob(sf_dir: str) -> str:
+    p = f"{sf_dir}/events.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
+_TOUCH_SQL = """
+    WITH ev AS (
+        SELECT event_id, user_id, ts, event_type
+        FROM read_parquet('{events}')
+        WHERE user_id % {of} = {shard}
+          AND event_type IN ('click', 'view', 'purchase')
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+    ),
+    tch AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM ev WHERE event_type IN ('click', 'view')
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(COUNT(tch.event_id) AS BIGINT) AS n_touches_7d,
+           struct_extract(
+               min({{'k': epoch_us(tch.ts), 'i': tch.event_id,
+                     'e': tch.event_type}}), 'e') AS first_touch,
+           struct_extract(
+               max({{'k': epoch_us(tch.ts), 'i': tch.event_id,
+                     'e': tch.event_type}}), 'e') AS last_touch
+    FROM p
+    LEFT JOIN tch ON p.user_id = tch.user_id
+        AND tch.ts < p.ts AND tch.ts >= p.ts - INTERVAL 7 DAY
+    GROUP BY 1, 2, 3
+"""
+
+
+def _touch_partial(workdir: str, spec: str, sf_dir: str) -> None:
+    shard, of = _parse_shard(spec)
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        "COPY ("
+        + _TOUCH_SQL.format(events=_events_glob(sf_dir), of=of, shard=shard)
+        + f") TO '{workdir}/tout_{shard}_of_{of}.parquet'"
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{workdir}/tout_{shard}_of_{of}.parquet')"
+    ).fetchone()[0]
+    print(json.dumps({
+        "query": "touch", "stage": "partial", "shard": shard, "of": of,
+        "purchase_rows": n, "wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _touch_compare(workdir: str, sf_dir: str) -> None:
+    of = _pinned_layout(workdir, "tout")
+    from tsdisagg_spark.queries import QUERIES
+
+    spark = _compare_session("touch-shard-compare")
+    t0 = time.time()
+    sdf = QUERIES["purchase_touch_attribution"](spark, sf_dir)
+    _hash_compare(sdf, f"{workdir}/tout_*_of_{of}.parquet", t0, "touch")
+
+
+# --------------------------------------------------------------------------
 # shared compare plumbing
 # --------------------------------------------------------------------------
 
@@ -375,6 +449,8 @@ _STAGES = {
     ("sub", "merge"): _sub_merge,
     ("sub", "finalize"): _sub_finalize,
     ("sub", "compare"): _sub_compare,
+    ("touch", "partial"): _touch_partial,
+    ("touch", "compare"): _touch_compare,
 }
 
 

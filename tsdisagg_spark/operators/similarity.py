@@ -1218,7 +1218,8 @@ def pca_parseval(
     orthonormality defect ~ 1e-13 absolute at unit-norm embeddings; on
     the 1e-6 grid that is ~2e-7 tie probability per row -> safe to
     ~5e5 vectors (expected flips 0.1), far above every test tier; past
-    that, switch to an exact-integer twin on n^2-scaled centered lanes.
+    that, :func:`pca_parseval_exact` (n^2-scaled centered integer lanes)
+    carries the certification with no residual tie probability.
     """
     row = df.select(vec_col).first()
     if row is None or row[0] is None:
@@ -1235,5 +1236,114 @@ def pca_parseval(
             F.round(
                 F.sum(F.col("score") * F.col("score")) * inv, round_to
             ).alias("sq_norm")
+        )
+    )
+
+
+def pca_parseval_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    rel_tol: float = 1e-9,
+    abs_tol: float = 1e-6,
+) -> DataFrame:
+    """Exact-integer twin of :func:`pca_parseval` — the certification
+    that stays hash-exact PAST the float-grid bound (~5e5 vectors) where
+    the rounded-double variant's residual tie probability accumulates.
+
+    Two outputs per vector:
+
+    * ``sq_norm_n2`` — the n^2-scaled centered squared norm
+      ``SUM_i (n*q_i - s_i)^2`` where ``q`` are the quantized integer
+      lanes, ``s`` the integer lane sums and ``n`` the corpus count.
+      Multiplying the centered lane ``q_i - s_i/n`` by ``n`` clears the
+      division, so every term is an EXACT INTEGER; accumulated in
+      DECIMAL(38,0) (engine) / HUGEINT (oracle) and cast to DOUBLE only
+      in the final projection, both engines round the IDENTICAL exact
+      integer to the nearest double — hash-exact at ANY corpus size, no
+      grid, no ties (the pricing_summary_exact discipline).
+    * ``parseval_ok`` — the PCA certification itself, engine-side: 1 iff
+      the ROTATED float norm (sum of squared :func:`pca_scores` scores
+      over all ``d`` components) agrees with the exact integer within
+      ``rel_tol`` + ``abs_tol``.  The fitted eigh basis being orthonormal
+      and complete makes the two equal up to ~d^2 ulp (~1e-12 relative);
+      a non-orthonormal or truncated basis moves the rotated norm by
+      O(1) relative — six decades past the gate, so the flag is
+      tolerance-robust.  The oracle emits the CONSTANT 1: any vector
+      whose rotation broke Parseval hash-mismatches.
+
+    Headroom (per the integer-aggregate rule): ``n * q_i`` <= 8e13 at
+    n = 1e10 rows and |q| <= 8000, so the int64 term has ~1e5x slack;
+    the DECIMAL(38,0) square-sum carries ~6e7x slack at the same tier
+    (overflow surfaces as NULL, never a wrapped value).
+
+    Scale shape: one bounded d+1-value driver collect (lane sums), a
+    map-only codegen pass for the exact lanes (literal ``s`` array, no
+    shuffle), the :func:`pca_scores` projection, and two narrow id-keyed
+    exchanges (the score regroup and the cert join)."""
+    sums = (
+        df.select(
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.floor(
+                        x.cast("double") * float(scale) + F.lit(0.5)
+                    ).cast("long"),
+                )
+            ).alias("i", "q")
+        )
+        .groupBy("i")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    if not sums:
+        raise ValueError(
+            "pca_parseval_exact: empty input — cannot fit a basis or "
+            f"infer the dimension from column {vec_col!r}"
+        )
+    d = max(r["i"] for r in sums) + 1
+    n = sums[0]["n"]
+    s_arr = [0] * d
+    for r in sums:
+        s_arr[r["i"]] = r["s"]
+    # exact per-row integer: zip the quantized lanes with the literal
+    # lane-sum array, term = n*q - s (int64), square-sum in DECIMAL(38,0)
+    s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s_arr])
+    q_lanes = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * float(scale) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    terms = F.zip_with(
+        q_lanes, s_lit, lambda q, s: (F.lit(int(n)) * q - s).cast("decimal(18,0)")
+    )
+    exact = df.select(
+        F.col(id_col),
+        F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, t: acc + t * t,
+        ).alias("__e"),
+    )
+    rotated = (
+        pca_scores(df, vec_col=vec_col, id_col=id_col, k=d, scale=scale)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("score") * F.col("score")).alias("__r"))
+    )
+    n2 = float(n) * float(n)
+    e_dbl = F.col("__e").cast("double")
+    return (
+        exact.join(rotated, [id_col])
+        .select(
+            F.col(id_col),
+            e_dbl.alias("sq_norm_n2"),
+            (
+                F.abs(F.col("__r") - e_dbl / F.lit(n2))
+                <= F.lit(rel_tol) * e_dbl / F.lit(n2) + F.lit(abs_tol)
+            )
+            .cast("long")
+            .alias("parseval_ok"),
         )
     )

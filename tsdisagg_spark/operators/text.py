@@ -594,28 +594,32 @@ def remove_duplicate_chunks(
     ``cleaned_text = ''`` and ``n_chunks_kept = 0``.
 
     Scale shape (the part that matters at corpus scale): the keep/remove
-    decision never moves chunk TEXT.  Blocks are reduced to a 32-char md5
-    digest on the map side, the first occurrence per digest is
-    ``min(struct(id, chunk_id))`` — an algebraic aggregate with map-side
-    partial combine, no sort window — and the per-document keep-list is a
-    second narrow aggregate of ``(id, chunk_id)`` pairs.  Document text
-    crosses exactly ONE exchange: the ``id``-keyed join of the original
-    docs against their keep-lists, after which reassembly is a pure
-    codegen array expression (``transform`` + ``slice`` over the word
-    array) riding map-side.  Compare the naive formulation (window over
-    digest carrying chunk text, then regroup by doc): that shuffles the
-    corpus text twice and sorts it once.
+    decision never moves chunk TEXT.  Blocks are reduced to two
+    independent flat xxhash64 lanes on the map side (see
+    :func:`_chunk_digests` for the lane layout and collision budget),
+    the first occurrence per digest is ``min(struct(id, chunk_id))`` —
+    an algebraic aggregate with map-side partial combine, no sort window
+    — and the per-document keep-list is a second narrow aggregate of
+    ``(id, chunk_id)`` pairs.  Document text crosses exactly ONE
+    exchange: the ``id``-keyed join of the original docs against their
+    keep-lists, after which reassembly is a pure codegen array
+    expression (``transform`` + ``slice`` over the word array) riding
+    map-side.  Compare the naive formulation (window over digest
+    carrying chunk text, then regroup by doc): that shuffles the corpus
+    text twice and sorts it once.
     """
     if size < 1:
         raise ValueError(f"need size >= 1, got {size}")
     chunks = chunk_documents(df, id_col, text_col, size=size, stride=size)
     # first global occurrence per digest: algebraic min over (id, chunk_id)
     firsts = (
-        chunks.select(
-            F.md5("chunk_text").alias("__digest"),
+        _chunk_digests(chunks)
+        .select(
+            "chunk_d1",
+            "chunk_d2",
             F.struct(F.col(id_col).alias("i"), F.col("chunk_id").alias("c")).alias("__occ"),
         )
-        .groupBy("__digest")
+        .groupBy("chunk_d1", "chunk_d2")
         .agg(F.min("__occ").alias("__first"))
     )
     return _reassemble_from_firsts(df, firsts, id_col, text_col, size)
@@ -661,21 +665,73 @@ def _reassemble_from_firsts(
     )
 
 
+# Persisted chunk-index format version.  v1 was a single 32-char md5
+# string column ``chunk_digest``; v2 (current) is the two flat xxhash64
+# lanes ``(chunk_d1, chunk_d2)`` below.  A v1 index read into a v2 probe
+# fails loudly in _require_chunk_index_v2 instead of silently joining on
+# missing columns; rebuild the index (or keep running the pinned v1
+# engine) — the digests are engine-internal, so no persisted USER data
+# changes shape, only this derived index.
+CHUNK_INDEX_FORMAT = 2
+_CHUNK_LANES = ("chunk_d1", "chunk_d2")
+
+
+def _chunk_digests(chunks: DataFrame) -> DataFrame:
+    """Append the chunk family's digest lanes to a :func:`chunk_documents`
+    frame: two INDEPENDENT xxhash64 lanes over ``chunk_text`` (128 bits
+    total — ~2e-16 expected colliding chunk pairs at the 100 TB design
+    scale of 1e12 blocks, same budget as the substring census).  The
+    second lane puts the literal FIRST: Spark's multi-arg xxhash64 chains
+    left-to-right with the running value as seed, so ``xxhash64(text,
+    lit(1))`` would be a deterministic function of lane 1 and collapse
+    the pair to 64 bits, while ``xxhash64(lit(1), text)`` is a
+    different-seed hash of the text (the census operator's lesson,
+    dedup.py window_dup_stats; lane layout pinned by
+    test_chunk_digest_lanes_independent).  vs the previous 32-char md5
+    string: 16 bytes of longs instead of 32+ bytes of string per chunk
+    through every digest exchange, and xxhash64 is a single codegen'd
+    pass while md5 allocates a hex string.  Digests never leave the
+    operators (oracles compare reassembled TEXT), so the change needs no
+    oracle counterpart."""
+    return chunks.select(
+        "*",
+        F.xxhash64("chunk_text").alias("chunk_d1"),
+        F.xxhash64(F.lit(1), "chunk_text").alias("chunk_d2"),
+    )
+
+
+def _require_chunk_index_v2(index: DataFrame) -> None:
+    """Loud format gate for persisted indexes: a v1 (md5-string) chunk
+    index probed by the v2 engine would otherwise surface as an opaque
+    unresolved-column error deep in the anti-join."""
+    missing = [c for c in _CHUNK_LANES if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"chunk index missing lane column(s) {missing}: expected the "
+            f"v{CHUNK_INDEX_FORMAT} (chunk_d1, chunk_d2) xxhash64-pair "
+            "format; a v1 md5-string index must be rebuilt with "
+            "chunk_index()"
+        )
+
+
 def chunk_index(
     df: DataFrame,
     text_col: str = "text",
     size: int = 32,
 ) -> DataFrame:
     """Persistable chunk-digest index for continuous-ingest span removal:
-    the distinct md5 digests of the corpus's non-overlapping ``size``-word
-    blocks, one column ``chunk_digest``.  At 100 TB the index is saved
-    ``bucketBy(N, chunk_digest)`` (same recipe as the MinHash/SimHash band
-    and novelty-gram indexes) so every future probe co-locates against it
-    without reshuffling the index; after admitting a batch, union the
-    batch's own surviving digests in."""
+    the distinct xxhash64-pair digests (format v2 — ``(chunk_d1,
+    chunk_d2)``, see :func:`_chunk_digests`) of the corpus's
+    non-overlapping ``size``-word blocks.  At 100 TB the index is saved
+    ``bucketBy(N, chunk_d1, chunk_d2)`` (same recipe as the
+    MinHash/SimHash band and novelty-gram indexes) so every future probe
+    co-locates against it without reshuffling the index; after admitting
+    a batch, union the batch's own surviving digests in."""
     return (
-        chunk_documents(df, "doc_id", text_col, size=size, stride=size)
-        .select(F.md5("chunk_text").alias("chunk_digest"))
+        _chunk_digests(
+            chunk_documents(df, "doc_id", text_col, size=size, stride=size)
+        )
+        .select(*_CHUNK_LANES)
         .distinct()
     )
 
@@ -710,12 +766,13 @@ def chunk_probe_clean(
     for reassembly."""
     if size < 1:
         raise ValueError(f"need size >= 1, got {size}")
+    _require_chunk_index_v2(index)
     chunks = chunk_documents(batch, id_col, text_col, size=size, stride=size)
-    fresh = chunks.select(
-        F.md5("chunk_text").alias("chunk_digest"),
+    fresh = _chunk_digests(chunks).select(
+        *_CHUNK_LANES,
         F.struct(F.col(id_col).alias("i"), F.col("chunk_id").alias("c")).alias("__occ"),
-    ).join(index, ["chunk_digest"], "left_anti")
-    firsts = fresh.groupBy("chunk_digest").agg(F.min("__occ").alias("__first"))
+    ).join(index, list(_CHUNK_LANES), "left_anti")
+    firsts = fresh.groupBy(*_CHUNK_LANES).agg(F.min("__occ").alias("__first"))
     return _reassemble_from_firsts(batch, firsts, id_col, text_col, size)
 
 

@@ -8611,7 +8611,8 @@ def incremental_chunk_dedup(spark, sf_dir):
     the surviving blocks reassemble in order.  The admission-gate twin
     of chunk_dedup_clean, completing the incremental family alongside
     the MinHash/SimHash/semantic/novelty probes: ingest cost is
-    O(batch + probe), corpus text never moves, only 32-char digests.
+    O(batch + probe), corpus text never moves, only 16-byte xxhash64
+    digest pairs (index format v2, operators/text.py:_chunk_digests).
     Exactly hashable — verbatim reassembled text, integer counts, no
     float anywhere (operators/text.py:chunk_index/chunk_probe_clean)."""
     docs = t(spark, sf_dir, "documents")
@@ -8774,8 +8775,51 @@ def embedding_pca_parseval(spark, sf_dir):
     complete basis and the Arrow GEMM applies it correctly; basis-
     independent, so exact even under degenerate eigenvalues.  Float-grid
     bound ~5e5 vectors (operators/similarity.py:pca_parseval docstring);
-    unit-norm embeddings keep sq_norm O(1) against the 1e-6 grid."""
+    unit-norm embeddings keep sq_norm O(1) against the 1e-6 grid.  Past
+    the bound, `embedding_pca_parseval_exact` carries the certification
+    on exact integers."""
     return similarity.pca_parseval(
+        t(spark, sf_dir, "embeddings"), scale=1000
+    )
+
+
+@query(
+    "embedding_pca_parseval_exact",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT i, CAST(SUM(qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY 1
+    )
+    SELECT q.vec_id,
+           CAST(SUM(CAST(s.n * q.qv - s.s AS HUGEINT)
+                    * CAST(s.n * q.qv - s.s AS HUGEINT)) AS DOUBLE)
+               AS sq_norm_n2,
+           CAST(1 AS BIGINT) AS parseval_ok
+    FROM q JOIN s USING (i)
+    GROUP BY 1
+    """,
+)
+def embedding_pca_parseval_exact(spark, sf_dir):
+    """Exact-integer Parseval certification of the PCA pipeline — the
+    twin that retires `embedding_pca_parseval`'s ~5e5-vector float-grid
+    bound: `sq_norm_n2` is the n^2-scaled centered squared norm
+    SUM((n*q - s)^2), an exact integer accumulated in DECIMAL(38,0)
+    (engine) / HUGEINT (oracle) and cast to DOUBLE last, hash-exact at
+    any corpus size; `parseval_ok` certifies engine-side that the
+    rotated float norm (all-d pca_scores) reproduces that exact value
+    within 1e-9 relative — the oracle emits the constant 1, so a
+    non-orthonormal or truncated basis hash-mismatches.  Together with
+    `embedding_gram` this fully certifies the eigendecomposition path
+    with no residual tie probability
+    (operators/similarity.py:pca_parseval_exact)."""
+    return similarity.pca_parseval_exact(
         t(spark, sf_dir, "embeddings"), scale=1000
     )
 
