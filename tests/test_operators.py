@@ -4626,3 +4626,73 @@ def test_pca_parseval_exact_matches_numpy_and_certifies(spark):
         similarity.pca_parseval_exact(
             spark.createDataFrame([], "vec_id long, embedding array<float>")
         )
+
+
+def test_pmi_bigrams_exact_counts_and_formula(spark):
+    """Brute-force PMI on a tiny corpus: counts are exact integers and
+    pmi equals ln(c_ab * N_tok^2 / (N_bi * c_a * c_b)) at 6 decimals;
+    the support cut is integer-exact (a pair at min_count-1 is absent)."""
+    import math
+
+    from tsdisagg_spark.operators import text as text_ops
+
+    docs = [
+        (1, "a b a b a b c"),
+        (2, "a b x y a b"),
+        (3, "c c c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = (
+        text_ops.pmi_bigrams(df, min_count=2)
+        .toPandas()
+        .set_index(["w1", "w2"])
+        .sort_index()
+    )
+    toks = [t for _, s in docs for t in s.split()]
+    bigrams = [
+        (w[i], w[i + 1])
+        for _, s in docs
+        for w in [s.split()]
+        for i in range(len(w) - 1)
+    ]
+    from collections import Counter
+
+    uni, bg = Counter(toks), Counter(bigrams)
+    n_tok, n_bi = len(toks), len(bigrams)
+    want = {p: c for p, c in bg.items() if c >= 2}
+    assert set(out.index) == set(want)
+    for (w1, w2), c in want.items():
+        row = out.loc[(w1, w2)]
+        assert row["pair_count"] == c
+        assert row["left_count"] == uni[w1]
+        assert row["right_count"] == uni[w2]
+        ref = math.log((c * n_tok * n_tok) / (n_bi * uni[w1] * uni[w2]))
+        assert abs(row["pmi"] - round(ref, 6)) < 1e-9
+    with pytest.raises(ValueError, match="min_count"):
+        text_ops.pmi_bigrams(df, min_count=0)
+
+
+def test_hybrid_rrf_fuses_leg_ranks(spark):
+    """The fused score must be exactly 1/(60+lex) + 1/(60+sem) of the
+    legs' own ranks (0-rank legs contribute nothing), fused_rank must be
+    a 1..10 permutation ordered by score then doc_id, and every row must
+    appear in at least one leg."""
+    from tsdisagg_spark.queries import QUERIES
+
+    out = (
+        QUERIES["hybrid_rrf_search"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("fused_rank")
+    )
+    assert list(out["fused_rank"]) == list(range(1, len(out) + 1))
+    assert len(out) == 10
+    for _, r in out.iterrows():
+        want = (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (60 + r["sem_rank"]) if r["sem_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+        assert r["n_legs"] == int(r["lex_rank"] > 0) + int(r["sem_rank"] > 0)
+        assert r["n_legs"] >= 1
+    # descending score, doc_id tiebreak
+    scores = list(zip(-out["rrf_score"], out["doc_id"]))
+    assert scores == sorted(scores)

@@ -912,3 +912,93 @@ def novelty_probe(
             F.coalesce("n_new", F.lit(0)) / F.col("n_grams"),
         ).alias("novelty_vs_corpus"),
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 20,
+) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information for
+    every word bigram occurring at least ``min_count`` times (Church &
+    Hanks 1990) — the classic "which token pairs travel together"
+    screen used to spot templated/boilerplate constructions and to seed
+    tokenizer merge candidates in a training-data pipeline.
+
+    ``PMI(a, b) = ln(P(ab) / (P(a) P(b)))`` with ``P(ab) = c(ab) /
+    N_bigrams`` and ``P(a) = c(a) / N_tokens`` — i.e. one ln of a single
+    ratio of exact integers: ``ln(c_ab * N_tok^2 / (N_bi * c_a * c_b))``.
+    Returns ``(w1, w2, pair_count, left_count, right_count, pmi)`` with
+    the counts exact BIGINTs and ``pmi`` rounded to 6 decimals; no rank
+    column, so the output is fully order-insensitive and float ordering
+    never decides membership.  Float grid: ONE ln per output row of a
+    ratio both engines build from identical integers — ~1e-9/row tie
+    probability at 6 decimals, safe to ~1e8 surviving collocations
+    (min_count makes the output support-bounded, far smaller).
+
+    Scale shape: bigram and unigram counts are map-side-combinable
+    aggregates over the token stream (the corpus' one wide exchange is
+    the (w1, w2) count — vocabulary-squared bounded, not corpus
+    bounded); the surviving collocation table is support-bounded and
+    broadcast back against the vocabulary-sized unigram counts, and the
+    two corpus totals arrive as one broadcast row.  Document text never
+    shuffles."""
+    if min_count < 1:
+        raise ValueError(f"need min_count >= 1, got {min_count}")
+    base = df.select(words(F.col(text_col)).alias("__w"))
+    toks = base.select(F.explode("__w").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    bg = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.col("__w"),
+                    F.slice(F.col("__w"), 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    totals = toks.agg(
+        F.count("*").alias("n_tok"),
+    ).crossJoin(
+        base.select(
+            F.greatest(F.size("__w") - 1, F.lit(0)).alias("__nb")
+        ).agg(F.sum("__nb").alias("n_bi"))
+    )
+    left = uni.select(F.col("tok").alias("w1"), F.col("c").alias("left_count"))
+    right = uni.select(F.col("tok").alias("w2"), F.col("c").alias("right_count"))
+    # bg is the support-bounded (small) side: broadcast it into the
+    # vocabulary-sized unigram table twice — the vocab never shuffles
+    with_left = left.join(F.broadcast(bg), ["w1"])
+    return (
+        right.join(F.broadcast(with_left), ["w2"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.col("left_count").cast("long").alias("left_count"),
+            F.col("right_count").cast("long").alias("right_count"),
+            F.round(
+                F.log(
+                    (
+                        F.col("pair_count").cast("double")
+                        * F.col("n_tok").cast("double")
+                        * F.col("n_tok").cast("double")
+                    )
+                    / (
+                        F.col("n_bi").cast("double")
+                        * F.col("left_count").cast("double")
+                        * F.col("right_count").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

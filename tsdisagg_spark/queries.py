@@ -4835,6 +4835,185 @@ def bm25_search(spark, sf_dir):
 
 
 @query(
+    "hybrid_rrf_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents WHERE doc_id != 0
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+        WHERE term IN ('hash', 'join', 'window', 'scan')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (stats.n_docs - dfreq.dft + 0.5)
+                        / (dfreq.dft + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                   AS part
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY SUM(part) DESC, doc_id ASC)
+                   AS lex_rank
+        FROM scored GROUP BY doc_id
+        QUALIFY lex_rank <= 50
+    ),
+    sem AS (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY list_cosine_similarity(
+                       q.qv, CAST(c.embedding AS DOUBLE[])) DESC,
+                   c.vec_id ASC) AS sem_rank
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0) q
+        CROSS JOIN embeddings c
+        WHERE c.vec_id != 0
+        QUALIFY sem_rank <= 50
+    ),
+    fused AS (
+        SELECT doc_id,
+               COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+                   + COALESCE(1.0 / (60 + s.sem_rank), 0.0) AS rrf,
+               CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+               CAST((l.lex_rank IS NOT NULL)::INT
+                    + (s.sem_rank IS NOT NULL)::INT AS BIGINT) AS n_legs
+        FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf_score, n_legs, lex_rank, sem_rank,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    K=60): the BM25 lexical top-50 for the query terms and the cosine
+    semantic top-50 for the query embedding (vec 0 against the rest —
+    documents and embeddings share ids) fuse as
+    sum(1 / (60 + rank)) over the legs a document appears in; top-10 by
+    fused score.  The standard lexical+vector blend of a retrieval /
+    data-curation stack, composed entirely from the engine's certified
+    legs (text.py:bm25_search, similarity.py:cosine_topk).  Exactness:
+    the fused score is a sum of <= 2 values from the exact rational set
+    {1/61..1/110} built from identical integer ranks on both engines —
+    no float-grid residual of its own; rank MEMBERSHIP inherits the
+    legs' float-ordering class (same as bm25_search / knn_bruteforce,
+    hash-verified at the swept SFs).  Scale shape: both legs end
+    support-bounded (top-50), the fusion join and final window touch
+    <= 100 rows — corpus cost is exactly the two legs', which never
+    materialize a quadratic candidate set."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = t(spark, sf_dir, "embeddings")
+    lex = text.bm25_search(docs, BM25_QUERY_TERMS, k=50).select(
+        "doc_id", F.col("rank").cast("long").alias("lex_rank")
+    )
+    sem = similarity.cosine_topk(
+        corpus=emb.filter(F.col("vec_id") != 0),
+        queries=emb.filter(F.col("vec_id") == 0),
+        k=50,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("sem_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0))
+    fused = lex.join(sem, ["doc_id"], "full_outer").select(
+        "doc_id",
+        rrf.alias("__rrf"),
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias("sem_rank"),
+        (
+            F.col("lex_rank").isNotNull().cast("int")
+            + F.col("sem_rank").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("n_legs"),
+    )
+    # single-partition window is safe: the fusion frame is <= 100 rows
+    # (two top-50 legs), data-size-independent
+    w = Window.orderBy(F.col("__rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.select(
+            "doc_id",
+            F.round(F.col("__rrf"), 6).alias("rrf_score"),
+            "n_legs",
+            "lex_rank",
+            "sem_rank",
+            F.row_number().over(w).cast("long").alias("fused_rank"),
+        )
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    uni AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1
+    ),
+    bg AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS pair_count
+        FROM toks,
+        LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 20
+    ),
+    totals AS (
+        SELECT (SELECT CAST(SUM(len(w)) AS BIGINT) FROM toks) AS n_tok,
+               (SELECT CAST(SUM(greatest(len(w) - 1, 0)) AS BIGINT)
+                FROM toks) AS n_bi
+    )
+    SELECT bg.w1, bg.w2,
+           CAST(bg.pair_count AS BIGINT) AS pair_count,
+           CAST(l.c AS BIGINT) AS left_count,
+           CAST(r.c AS BIGINT) AS right_count,
+           ROUND(ln((CAST(bg.pair_count AS DOUBLE) * n_tok * n_tok)
+                    / (CAST(n_bi AS DOUBLE) * l.c * r.c)), 6) AS pmi
+    FROM bg
+    JOIN uni l ON l.tok = bg.w1
+    JOIN uni r ON r.tok = bg.w2
+    CROSS JOIN totals
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Corpus collocations by pointwise mutual information (Church &
+    Hanks): every word bigram with >= 20 occurrences, scored
+    ln(P(ab) / (P(a) P(b))) — the templated-construction /
+    tokenizer-merge-candidate screen of a text pipeline.  Counts are
+    exact integers; pmi is ONE ln per output row of a ratio both
+    engines assemble from identical integers (~1e-9/row tie at 6
+    decimals — support-bounded output keeps expected flips ~0 at any
+    corpus size).  No rank column: membership is the integer support
+    cut, so float ordering never decides a row
+    (operators/text.py:pmi_bigrams)."""
+    return text.pmi_bigrams(t(spark, sf_dir, "documents"), min_count=20)
+
+
+@query(
     "customer_quartiles",
     oracle="""
     WITH q AS (
