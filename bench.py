@@ -158,6 +158,10 @@ HEADLINE = [
     "embedding_pca_parseval",  # full-basis PCA norm-preservation certifier
     "media_features_exact",    # decode stats in exact integer quanta
     "incremental_chunk_dedup", # batch span-removal probe vs chunk index
+    "hybrid_rrf_search",       # BM25 + cosine legs fused by reciprocal rank
+    "pmi_collocations",        # corpus bigram PMI collocation screen
+    "winnowing_fingerprints",  # MOSS winnowing: windowed-min gram hashes
+    "gopher_quality_filter",   # Gopher-rule admission audit per lang/source
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

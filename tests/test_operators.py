@@ -4696,3 +4696,113 @@ def test_hybrid_rrf_fuses_leg_ranks(spark):
     # descending score, doc_id tiebreak
     scores = list(zip(-out["rrf_score"], out["doc_id"]))
     assert scores == sorted(scores)
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Bit-identity guard for the winnowing selection (text.py
+    ``winnowing_fingerprints``): recompute the whole pipeline — 4-gram
+    md5 60-bit hashes, window-of-5 minimum, RIGHTMOST tie rule — in pure
+    hashlib/int arithmetic and assert every output column, including the
+    all-ties repeated-token doc that only the rightmost rule gets right
+    (a leftmost selection yields the same n_fp here ONLY by accident of
+    ties; position sets differ and density tests below would drift)."""
+    import hashlib
+
+    K, W = 4, 5
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (2, "a b c d"),  # exactly one gram -> one window
+        (3, "one two three"),  # < k words -> no row
+        (4, "x " * 40),  # every hash equal -> rightmost-tie stress
+        (5, ""),
+        (6, "alpha beta gamma delta alpha beta gamma delta alpha beta"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def pyref(s):
+        w = re.split(r"\s+", s.strip().lower())
+        if len(w) < K:
+            return None
+        hs = [
+            int(
+                hashlib.md5(" ".join(w[i : i + K]).encode()).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(w) - K + 1)
+        ]
+        ng = len(hs)
+        sel = set()
+        for i in range(max(ng - W + 1, 1)):
+            win = hs[i : min(i + W, ng)]
+            m = min(win)
+            sel.add(max(j for j in range(i, min(i + W, ng)) if hs[j] == m))
+        fph = [hs[j] for j in sel]
+        return (
+            ng,
+            max(ng - W + 1, 1),
+            len(sel),
+            len(set(fph)),
+            min(fph),
+            max(fph),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_windows"],
+            r["n_fp"],
+            r["n_distinct_fp"],
+            r["min_fp"],
+            r["max_fp"],
+        )
+        for r in text.winnowing_fingerprints(df, k=K, window=W).collect()
+    }
+    for doc_id, s in docs:
+        assert got.get(doc_id) == pyref(s), f"doc {doc_id}"
+
+
+def test_winnowing_density_guarantee(spark):
+    """The paper's contract on real corpus text: every window selects a
+    fingerprint, so n_fp is in [ceil(n_windows / window), n_windows] and
+    the expected density ~2/(w+1) puts n_fp well under n_grams."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+    )
+    rows = text.winnowing_fingerprints(docs, k=4, window=5).collect()
+    assert rows
+    for r in rows:
+        assert r["n_windows"] == max(r["n_grams"] - 4, 1)
+        assert r["n_fp"] <= r["n_windows"]
+        # every window of 5 consecutive positions holds >= 1 selection,
+        # so selections are at most `window` apart: count >= ceil(nw / w)
+        assert r["n_fp"] >= (r["n_windows"] + 4) // 5
+        assert 0 < r["n_distinct_fp"] <= r["n_fp"]
+        assert 0 <= r["min_fp"] <= r["max_fp"] < 1 << 60
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a purpose-built toy doc and the flags
+    are exact integer predicates (no float ratio anywhere)."""
+    long_ok = ("the be to of and that have with " + "lexeme " * 50).strip()
+    docs = [
+        (1, long_ok),  # passes every rule
+        (2, "the be to of"),  # too short
+        (3, ("aa " * 60 + "the be").strip()),  # mean word length < 3
+        (4, ("the be " + "12345 " * 60).strip()),  # alpha fraction < 0.8
+        (5, ("lexeme " * 60).strip()),  # < 2 distinct stopwords
+        (6, ("the be " + "#tag " * 60).strip()),  # symbol ratio > 0.1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in text.gopher_quality(df).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["words_ok"] and not out[2]["passes"]
+    assert not out[3]["mwl_ok"] and out[3]["words_ok"]
+    assert not out[4]["alpha_ok"] and out[4]["words_ok"]
+    assert not out[5]["stop_ok"] and out[5]["words_ok"]
+    assert not out[6]["sym_ok"] and out[6]["words_ok"]
+    # keep= passthrough used by the registry rollup
+    kept = text.gopher_quality(
+        df.withColumn("lang", F.lit("en")), keep=("lang",)
+    ).columns
+    assert kept[:2] == ["doc_id", "lang"]

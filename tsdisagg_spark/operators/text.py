@@ -177,6 +177,169 @@ def fingerprints(
     )
 
 
+#: Gopher-rule stopword set (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", table A1 repetition/
+#: quality filters): a document must contain at least two of these to pass
+#: the stopword rule.  Kept verbatim so the rule is the published one.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document Gopher quality-rule flags (Rae et al. 2021, §A1.1) —
+    the standard pre-training corpus admission gate, restated as EXACT
+    integer predicates so the verdict is reproducible on any engine:
+
+    - ``words_ok``:   50 <= n_words <= 100,000
+    - ``mwl_ok``:     mean word length in [3, 10]  (as ``3n <= sum_len``
+      and ``sum_len <= 10n`` — integer cross-multiplication, no division)
+    - ``alpha_ok``:   >= 80%% of words contain an ASCII letter
+      (``5 * n_alpha >= 4 * n``)
+    - ``stop_ok``:    contains >= 2 distinct GOPHER_STOPWORDS
+    - ``sym_ok``:     hash/ellipsis-token ratio <= 0.1
+      (``10 * n_sym <= n``)
+    - ``passes``:     conjunction of all five
+
+    Single projection, no shuffle, no UDF: every rule is a
+    ``size(filter(...))`` / ``aggregate`` column expression inside
+    whole-stage codegen.  At 100 TB this is a map-only scan whose output
+    feeds the curation sampler; the flags (not just the verdict) are kept
+    so rejection-reason dashboards need no second pass."""
+    w = words(F.col(text_col))
+    n = F.size(w)
+    sum_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(w, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    n_sym = F.size(
+        F.filter(w, lambda t: t.startswith("#") | (t == "...") | (t == "…"))
+    )
+    words_ok = (n >= 50) & (n <= 100000)
+    mwl_ok = (sum_len >= 3 * n.cast("long")) & (sum_len <= 10 * n.cast("long"))
+    alpha_ok = F.lit(5) * n_alpha >= F.lit(4) * n
+    stop_ok = n_stop >= 2
+    sym_ok = F.lit(10) * n_sym <= n
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        n.cast("long").alias("n_words"),
+        words_ok.alias("words_ok"),
+        mwl_ok.alias("mwl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        sym_ok.alias("sym_ok"),
+        (words_ok & mwl_ok & alpha_ok & stop_ok & sym_ok).alias("passes"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every word ``k``-gram, slide a ``window`` of
+    consecutive hashes over the sequence, and select the minimum hash in
+    each window (tie -> RIGHTMOST occurrence, the paper's rule).  The
+    selected set is the fingerprint — winnowing guarantees any shared
+    substring of ``k + window - 1`` words leaves at least one common
+    fingerprint, with expected density 2/(window+1), which is why it is
+    the MOSS / local-fingerprinting standard.
+
+    Hashes are the first 15 hex chars of md5 over the space-joined gram
+    (< 2^60, BIGINT-safe) so an external engine recomputes them
+    bit-for-bit — same idiom as the SimHash md5 mode (dedup.py).
+    Documents shorter than ``k`` words yield no row; documents with fewer
+    grams than ``window`` get a single window spanning all grams.
+
+    Everything runs inside ONE codegen projection per document: the
+    per-window min scan is O(grams x window) array arithmetic, no
+    explode, no shuffle — at 100 TB this is a map-only pass whose output
+    (per-doc fingerprint summaries, or the selected hashes for a
+    cross-doc census) is ~2/(window+1) the gram count.
+
+    Returns ``(id, n_grams, n_windows, n_fp, n_distinct_fp, min_fp,
+    max_fp)`` where ``n_fp`` counts selected POSITIONS and
+    ``n_distinct_fp`` the distinct selected hash VALUES."""
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    base = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).filter(F.size("__w") >= k)
+    # gram hashes: one md5 per k-gram, 60-bit prefix as BIGINT
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__w") - k),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i + 1, k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(F.encode(g, "utf-8")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    hb = base.select(F.col(id_col), hashes.alias("__h"))
+    n_g = F.size("__h")
+    n_win = F.greatest(n_g - F.lit(window - 1), F.lit(1))
+    # per-window minimum, then the rightmost position attaining it.  The
+    # mins array is materialized FIRST so the selection lambda reads it by
+    # index instead of re-scanning the slice per candidate position.
+    wmin = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.array_min(F.slice(F.col("__h"), i + 1, window)),
+    )
+    sel = hb.select(
+        F.col(id_col),
+        F.col("__h"),
+        n_g.alias("__ng"),
+        n_win.alias("__nw"),
+        wmin.alias("__wmin"),
+    ).select(
+        F.col(id_col),
+        F.col("__h"),
+        F.col("__ng"),
+        F.col("__nw"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nw") - 1),
+                lambda i: F.array_max(
+                    F.filter(
+                        F.sequence(i, i + window - 1),
+                        lambda j: (j < F.col("__ng"))
+                        & (
+                            F.element_at(F.col("__h"), (j + 1).cast("int"))
+                            == F.element_at(F.col("__wmin"), (i + 1).cast("int"))
+                        ),
+                    )
+                ),
+            )
+        ).alias("__sel"),
+    )
+    fp_hashes = F.transform(
+        F.col("__sel"),
+        lambda j: F.element_at(F.col("__h"), (j + 1).cast("int")),
+    )
+    return sel.select(
+        F.col(id_col),
+        F.col("__ng").cast("long").alias("n_grams"),
+        F.col("__nw").cast("long").alias("n_windows"),
+        F.size("__sel").cast("long").alias("n_fp"),
+        F.size(F.array_distinct(fp_hashes)).cast("long").alias("n_distinct_fp"),
+        F.array_min(fp_hashes).alias("min_fp"),
+        F.array_max(fp_hashes).alias("max_fp"),
+    )
+
+
 #: PII patterns shared by the operator and its oracle.  Lookahead-free and
 #: backreference-free so Java regex (Spark) and RE2 (DuckDB) match the same
 #: spans; character classes use explicit ranges instead of \d for the same

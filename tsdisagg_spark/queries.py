@@ -5014,6 +5014,145 @@ def pmi_collocations(spark, sf_dir):
 
 
 @query(
+    "winnowing_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(w) - 3 AS n_g, w
+        FROM toks WHERE len(w) >= 4
+    ),
+    pos AS (
+        SELECT doc_id, i AS j,
+               ('0x' || substr(
+                   md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS hj
+        FROM g, LATERAL (SELECT unnest(generate_series(1, n_g)) AS i) t
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(1, greatest(n_g - 4, 1))) AS i
+        FROM g
+    ),
+    wpos AS (
+        SELECT w.doc_id, w.i, p.j, p.hj,
+               MIN(p.hj) OVER (PARTITION BY w.doc_id, w.i) AS wmin
+        FROM wins w
+        JOIN pos p ON p.doc_id = w.doc_id AND p.j BETWEEN w.i AND w.i + 4
+    ),
+    sel AS (
+        SELECT doc_id, i, MAX(j) AS sel_j
+        FROM wpos WHERE hj = wmin GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT DISTINCT s.doc_id, s.sel_j, p.hj
+        FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.j = s.sel_j
+    )
+    SELECT f.doc_id,
+           CAST(MAX(g.n_g) AS BIGINT) AS n_grams,
+           CAST(MAX(greatest(g.n_g - 4, 1)) AS BIGINT) AS n_windows,
+           COUNT(*) AS n_fp,
+           CAST(COUNT(DISTINCT f.hj) AS BIGINT) AS n_distinct_fp,
+           MIN(f.hj) AS min_fp,
+           MAX(f.hj) AS max_fp
+    FROM fp f JOIN g ON g.doc_id = f.doc_id
+    GROUP BY 1
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint summaries (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): per document, hash every 4-word gram (md5
+    60-bit prefix, the engine's portable-hash idiom) and select the
+    rightmost minimum in each sliding window of 5 hashes; report gram /
+    window / fingerprint counts and the hash extrema.  The oracle
+    recomputes the selection RELATIONALLY (window-min over an exploded
+    window x position join) against the engine's single-projection
+    array form — two independent formulations of the same paper rule.
+    Everything is integer (counts and 60-bit hash values), so the match
+    is exact at any corpus size.  Scale shape: map-only, no shuffle —
+    the O(grams x window) scan lives inside one codegen projection
+    (operators/text.py:winnowing_fingerprints)."""
+    return text.winnowing_fingerprints(
+        t(spark, sf_dir, "documents"), k=4, window=5
+    )
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=r"""
+    WITH d AS (
+        SELECT lang, source,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT lang, source,
+               len(w) AS n,
+               CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT)
+                   AS sum_len,
+               len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+                   AS n_alpha,
+               len(list_intersect(list_distinct(w),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                   AS n_stop,
+               len(list_filter(w, t -> t LIKE '#%' OR t = '...' OR t = '…'))
+                   AS n_sym
+        FROM d
+    ),
+    flags AS (
+        SELECT lang, source,
+               (n BETWEEN 50 AND 100000) AS words_ok,
+               (sum_len BETWEEN 3 * n AND 10 * n) AS mwl_ok,
+               (5 * n_alpha >= 4 * n) AS alpha_ok,
+               (n_stop >= 2) AS stop_ok,
+               (10 * n_sym <= n) AS sym_ok
+        FROM m
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN words_ok AND mwl_ok AND alpha_ok
+                          AND stop_ok AND sym_ok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_words,
+           CAST(SUM(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_mwl,
+           CAST(SUM(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_alpha,
+           CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_stop,
+           CAST(SUM(CASE WHEN NOT sym_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_sym
+    FROM flags
+    GROUP BY 1, 2
+    """,
+)
+def gopher_quality_filter(spark, sf_dir):
+    """Corpus admission audit under the Gopher quality rules (Rae et al.
+    2021, §A1.1) rolled up per (lang, source): document counts, pass
+    counts, and per-rule failure counts — the rejection-reason dashboard
+    of a pre-training curation pipeline.  Every rule is an exact integer
+    predicate (cross-multiplied ratios, no division), so engine agreement
+    is tie-free at any corpus size.  Scale shape: map-only flag
+    projection + one dimension-sized groupBy
+    (operators/text.py:gopher_quality)."""
+    docs = t(spark, sf_dir, "documents")
+    flags = text.gopher_quality(docs, keep=("lang", "source"))
+    return (
+        flags.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+            F.sum((~F.col("words_ok")).cast("long")).alias("n_fail_words"),
+            F.sum((~F.col("mwl_ok")).cast("long")).alias("n_fail_mwl"),
+            F.sum((~F.col("alpha_ok")).cast("long")).alias("n_fail_alpha"),
+            F.sum((~F.col("stop_ok")).cast("long")).alias("n_fail_stop"),
+            F.sum((~F.col("sym_ok")).cast("long")).alias("n_fail_sym"),
+        )
+    )
+
+
+@query(
     "customer_quartiles",
     oracle="""
     WITH q AS (
