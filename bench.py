@@ -161,6 +161,7 @@ HEADLINE = [
     "hybrid_rrf_search",       # BM25 + cosine legs fused by reciprocal rank
     "pmi_collocations",        # corpus bigram PMI collocation screen
     "winnowing_fingerprints",  # MOSS winnowing: windowed-min gram hashes
+    "winnowing_shared_pairs",  # winnowing postings self-join pair census
     "gopher_quality_filter",   # Gopher-rule admission audit per lang/source
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;

@@ -4806,3 +4806,42 @@ def test_gopher_quality_rules(spark):
         df.withColumn("lang", F.lit("en")), keep=("lang",)
     ).columns
     assert kept[:2] == ["doc_id", "lang"]
+
+
+def test_winnowing_shared_pairs_planted_overlap(spark):
+    """A planted 12-word verbatim run between two otherwise-disjoint docs
+    must surface (winnowing guarantee: any shared k+w-1 = 8-word run
+    leaves a common fingerprint), disjoint docs must not pair, and a
+    boilerplate hash present in every doc must be killed by the df cap."""
+    run = "zero one two three four five six seven eight nine ten eleven"
+    filler_a = " ".join(f"fa{i}" for i in range(30))
+    filler_b = " ".join(f"fb{i}" for i in range(30))
+    filler_c = " ".join(f"fc{i}" for i in range(30))
+    docs = [
+        (1, f"{filler_a} {run}"),
+        (2, f"{run} {filler_b}"),
+        (3, filler_c),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in text.winnowing_shared_pairs(
+            df, k=4, window=5, min_shared=1, df_cap=50
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs)
+    # df cap: the run appears in EVERY doc -> its fingerprints exceed a
+    # cap of 2 docs... build 4 docs all containing the run; cap=3 kills
+    # every run-derived hash, so no pair reaches min_shared
+    many = spark.createDataFrame(
+        [(i, f"{run} " + " ".join(f"x{i}y{j}" for j in range(20)))
+         for i in range(4)],
+        ["doc_id", "text"],
+    )
+    capped = text.winnowing_shared_pairs(
+        many, k=4, window=5, min_shared=1, df_cap=3
+    ).collect()
+    assert capped == []
+    with pytest.raises(ValueError, match="min_shared"):
+        text.winnowing_shared_pairs(df, min_shared=0)

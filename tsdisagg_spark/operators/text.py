@@ -272,6 +272,29 @@ def winnowing_fingerprints(
     Returns ``(id, n_grams, n_windows, n_fp, n_distinct_fp, min_fp,
     max_fp)`` where ``n_fp`` counts selected POSITIONS and
     ``n_distinct_fp`` the distinct selected hash VALUES."""
+    sel = _winnow_selected(df, id_col, text_col, k, window)
+    fp_hashes = F.transform(
+        F.col("__sel"),
+        lambda j: F.element_at(F.col("__h"), (j + 1).cast("int")),
+    )
+    return sel.select(
+        F.col(id_col),
+        F.col("__ng").cast("long").alias("n_grams"),
+        F.col("__nw").cast("long").alias("n_windows"),
+        F.size("__sel").cast("long").alias("n_fp"),
+        F.size(F.array_distinct(fp_hashes)).cast("long").alias("n_distinct_fp"),
+        F.array_min(fp_hashes).alias("min_fp"),
+        F.array_max(fp_hashes).alias("max_fp"),
+    )
+
+
+def _winnow_selected(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+) -> DataFrame:
+    """Shared winnowing core: ``(id, __h, __ng, __nw, __sel)`` where
+    ``__h`` is the k-gram hash array and ``__sel`` the distinct selected
+    (rightmost-window-min) 0-based positions.  See
+    ``winnowing_fingerprints`` for the rule and hash layout."""
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
     base = df.select(
@@ -298,7 +321,7 @@ def winnowing_fingerprints(
         F.sequence(F.lit(0), n_win - 1),
         lambda i: F.array_min(F.slice(F.col("__h"), i + 1, window)),
     )
-    sel = hb.select(
+    return hb.select(
         F.col(id_col),
         F.col("__h"),
         n_g.alias("__ng"),
@@ -325,18 +348,74 @@ def winnowing_fingerprints(
             )
         ).alias("__sel"),
     )
-    fp_hashes = F.transform(
-        F.col("__sel"),
-        lambda j: F.element_at(F.col("__h"), (j + 1).cast("int")),
+
+
+def winnowing_shared_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 3,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Local-fingerprint matching, the winnowing paper's actual dedup
+    step: document pairs sharing >= ``min_shared`` distinct selected
+    fingerprint HASHES.  Any shared run of ``k + window - 1`` words
+    contributes at least one shared fingerprint (the winnowing
+    guarantee), so long verbatim overlaps are caught from ~2/(window+1)
+    of the gram hashes — the locality the full-census ExactSubstr
+    operator pays ~1/1 for.
+
+    Scale shape is the posting-list discipline of the Jaccard family:
+    explode each doc's selected hashes (already ~2/(w+1)-sparse), drop
+    hashes appearing in more than ``df_cap`` documents (boilerplate
+    killer — mirrored EXACTLY in the oracle, same as jaccard_near_dups'
+    cap), self-join postings on the hash, count per pair.  No all-pairs
+    stage anywhere; the join is bounded by sum(df^2) over surviving
+    hashes, df <= df_cap.
+
+    Returns ``(id_a, id_b, n_shared)`` with ``id_a < id_b``."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    sel = _winnow_selected(df, id_col, text_col, k, window)
+    post = (
+        sel.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.col("__sel"),
+                        lambda j: F.element_at(
+                            F.col("__h"), (j + 1).cast("int")
+                        ),
+                    )
+                )
+            ).alias("fp"),
+        )
     )
-    return sel.select(
-        F.col(id_col),
-        F.col("__ng").cast("long").alias("n_grams"),
-        F.col("__nw").cast("long").alias("n_windows"),
-        F.size("__sel").cast("long").alias("n_fp"),
-        F.size(F.array_distinct(fp_hashes)).cast("long").alias("n_distinct_fp"),
-        F.array_min(fp_hashes).alias("min_fp"),
-        F.array_max(fp_hashes).alias("max_fp"),
+    # document-frequency cap BEFORE the self-join: a window-count over fp
+    # shuffles each posting once (same reason the census operator uses a
+    # window, not groupBy + join-back: one read of the winnowing subtree)
+    dfw = Window.partitionBy("fp")
+    # persisted: the capped posting list feeds BOTH self-join sides —
+    # without it Spark re-derives the winnowing projection twice (same
+    # discipline as jaccard_pairs' posting persist; caller-managed
+    # lifetime via cacheutil.release_all)
+    capped = (
+        post.withColumn("__df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("__df") <= df_cap)
+        .select("__id", "fp")
+        .persist()
+    )
+    a = capped.select(F.col("__id").alias("id_a"), "fp")
+    b = capped.select(F.col("__id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

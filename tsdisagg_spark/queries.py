@@ -5078,6 +5078,71 @@ def winnowing_fingerprints(spark, sf_dir):
 
 
 @query(
+    "winnowing_shared_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(w) - 3 AS n_g, w
+        FROM toks WHERE len(w) >= 4
+    ),
+    pos AS (
+        SELECT doc_id, i AS j,
+               ('0x' || substr(
+                   md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS hj
+        FROM g, LATERAL (SELECT unnest(generate_series(1, n_g)) AS i) t
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(1, greatest(n_g - 4, 1))) AS i
+        FROM g
+    ),
+    wpos AS (
+        SELECT w.doc_id, w.i, p.j, p.hj,
+               MIN(p.hj) OVER (PARTITION BY w.doc_id, w.i) AS wmin
+        FROM wins w
+        JOIN pos p ON p.doc_id = w.doc_id AND p.j BETWEEN w.i AND w.i + 4
+    ),
+    sel AS (
+        SELECT doc_id, i, MAX(j) AS sel_j
+        FROM wpos WHERE hj = wmin GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT DISTINCT s.doc_id, p.hj
+        FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.j = s.sel_j
+    ),
+    capped AS (
+        SELECT doc_id, hj FROM (
+            SELECT doc_id, hj, COUNT(*) OVER (PARTITION BY hj) AS dfc
+            FROM fp
+        ) WHERE dfc <= 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM capped a
+    JOIN capped b ON a.hj = b.hj AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def winnowing_shared_pairs(spark, sf_dir):
+    """Local-fingerprint matching (the winnowing paper's dedup step):
+    document pairs sharing >= 3 distinct selected fingerprint hashes,
+    with hashes in more than 50 documents dropped first (boilerplate
+    cap, mirrored exactly in the oracle — the jaccard_near_dups
+    discipline).  Winnowing guarantees any shared 8-word run
+    (k + window - 1) leaves a common fingerprint, so verbatim-overlap
+    pairs surface from the ~2/(w+1)-sparse selected set instead of a
+    full window census.  All integers — exact at any corpus size.
+    Scale shape: posting self-join bounded by sum(df^2), df <= 50;
+    the capped posting list persists so the winnowing projection runs
+    once (operators/text.py:winnowing_shared_pairs)."""
+    return text.winnowing_shared_pairs(
+        t(spark, sf_dir, "documents"), k=4, window=5, min_shared=3, df_cap=50
+    )
+
+
+@query(
     "gopher_quality_filter",
     oracle=r"""
     WITH d AS (
