@@ -292,9 +292,35 @@ def _winnow_selected(
     df: DataFrame, id_col: str, text_col: str, k: int, window: int
 ) -> DataFrame:
     """Shared winnowing core: ``(id, __h, __ng, __nw, __sel)`` where
-    ``__h`` is the k-gram hash array and ``__sel`` the distinct selected
-    (rightmost-window-min) 0-based positions.  See
-    ``winnowing_fingerprints`` for the rule and hash layout."""
+    ``__h`` is the k-gram hash array and ``__sel`` the selected
+    (rightmost-window-min) 0-based positions, ascending.
+
+    The selection is the LOCAL run test, not a per-window argmin scan:
+    position j is the rightmost minimum of some window iff
+
+        max(j - L(j), j - we + 1, 0)  <=  min(j, j + R(j) - we + 1, nw - 1)
+
+    where L(j) = length of the maximal consecutive run left of j with
+    h >= h[j], R(j) = maximal run right of j with h > h[j] (both only
+    matter up to window-1, so they unroll to ``window - 1`` O(1)
+    ``F.get`` lookups each), we = min(window, n_grams) (the single
+    short-doc window), and nw = the window count.  Equivalence to the
+    argmin rule: window i selects j iff every position left of j in the
+    window is >= h[j] (j is a minimum, non-strict left) and every
+    position right is > h[j] (rightmost) — exactly i in the interval
+    above.
+
+    This formulation exists for a PLAN reason, not elegance: an earlier
+    two-projection version materialized a per-window-minimum ARRAY and
+    indexed it from the selection lambda; Catalyst's projection
+    collapse inlines a single-referenced array-valued alias into the
+    consuming lambda, where it is re-evaluated PER ITERATION — an
+    O(grams x window) expression inside an O(grams x window) loop, ~500x
+    at the 100x tier (25s -> hours; the optimizer also choked on the
+    nested tree when further operators stacked on top).  Here every
+    in-lambda reference is an O(1) ``F.get`` into ``__h``, and ``__h``
+    is referenced many times by the selection expression, so collapse
+    can never inline the md5 chain into a loop."""
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
     base = df.select(
@@ -312,41 +338,34 @@ def _winnow_selected(
         ),
     )
     hb = base.select(F.col(id_col), hashes.alias("__h"))
+    h = F.col("__h")
     n_g = F.size("__h")
     n_win = F.greatest(n_g - F.lit(window - 1), F.lit(1))
-    # per-window minimum, then the rightmost position attaining it.  The
-    # mins array is materialized FIRST so the selection lambda reads it by
-    # index instead of re-scanning the slice per candidate position.
-    wmin = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.array_min(F.slice(F.col("__h"), i + 1, window)),
-    )
+    we = F.least(F.lit(window), n_g)
+
+    def selected(j):
+        h_j = F.get(h, j)
+        run_l, run_r = F.lit(True), F.lit(True)
+        l_terms, r_terms = [], []
+        for d in range(1, window):
+            # F.get is 0-based and NULL out of bounds; coalesce the
+            # three-valued comparison back to a run stop
+            run_l = run_l & F.coalesce(F.get(h, j - d) >= h_j, F.lit(False))
+            run_r = run_r & F.coalesce(F.get(h, j + d) > h_j, F.lit(False))
+            l_terms.append(run_l.cast("int"))
+            r_terms.append(run_r.cast("int"))
+        l_run = sum(l_terms[1:], l_terms[0]) if l_terms else F.lit(0)
+        r_run = sum(r_terms[1:], r_terms[0]) if r_terms else F.lit(0)
+        lo = F.greatest(j - l_run, j - we + F.lit(1), F.lit(0))
+        hi = F.least(j, j + r_run - we + F.lit(1), n_win - F.lit(1))
+        return lo <= hi
+
     return hb.select(
         F.col(id_col),
         F.col("__h"),
         n_g.alias("__ng"),
         n_win.alias("__nw"),
-        wmin.alias("__wmin"),
-    ).select(
-        F.col(id_col),
-        F.col("__h"),
-        F.col("__ng"),
-        F.col("__nw"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.col("__nw") - 1),
-                lambda i: F.array_max(
-                    F.filter(
-                        F.sequence(i, i + window - 1),
-                        lambda j: (j < F.col("__ng"))
-                        & (
-                            F.element_at(F.col("__h"), (j + 1).cast("int"))
-                            == F.element_at(F.col("__wmin"), (i + 1).cast("int"))
-                        ),
-                    )
-                ),
-            )
-        ).alias("__sel"),
+        F.filter(F.sequence(F.lit(0), n_g - 1), selected).alias("__sel"),
     )
 
 
