@@ -163,6 +163,9 @@ HEADLINE = [
     "winnowing_fingerprints",  # MOSS winnowing: windowed-min gram hashes
     "winnowing_shared_pairs",  # winnowing postings self-join pair census
     "gopher_quality_filter",   # Gopher-rule admission audit per lang/source
+    "dsir_importance_sample",  # DSIR hashed-bigram importance resampling
+    "small_quantity_revenue",  # Q17 shape: fact joined to its own aggregate
+    "zipf_slope_by_source",    # rank-frequency Zipf exponent per source
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

@@ -4845,3 +4845,181 @@ def test_winnowing_shared_pairs_planted_overlap(spark):
     assert capped == []
     with pytest.raises(ValueError, match="min_shared"):
         text.winnowing_shared_pairs(df, min_shared=0)
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Bit-identity guard for DSIR importance weights (sampling.py
+    ``dsir_importance_weights``): recompute hashed-bigram cells, add-one
+    log-ratios quantized to micronats, and the integer per-doc weight in
+    pure hashlib/math and assert every output column.  Exercises empty
+    docs (dropped), single-word docs (no bigram -> dropped), repeated
+    bigrams (count > 1 in one cell), and cells present only in target or
+    only in raw."""
+    import hashlib
+    import math
+
+    B, SCALE = 1024, 1_000_000
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog"),   # target
+        (20, "shared words appear here and there"),            # target
+        (1, "the quick brown fox sat down"),                   # raw, targetlike
+        (2, "totally unrelated noise tokens xylophone quartz"),  # raw
+        (3, "shared words appear here shared words appear here"),  # raw, dup grams
+        (4, "single"),                                         # raw, no bigram
+        (5, ""),                                               # raw, empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def grams(s):
+        w = re.split(r"\s+", s.strip().lower())
+        return [
+            f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)
+        ] if len(w) >= 2 and w != [""] else []
+
+    def cell(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    tcnt, rcnt, per_doc = {}, {}, {}
+    for doc_id, s in rows:
+        is_t = doc_id % 10 == 0
+        for g in grams(s):
+            h = cell(g)
+            (tcnt if is_t else rcnt)[h] = (tcnt if is_t else rcnt).get(h, 0) + 1
+            if not is_t:
+                per_doc.setdefault(doc_id, {})
+                per_doc[doc_id][h] = per_doc[doc_id].get(h, 0) + 1
+    cells = set(tcnt) | set(rcnt)
+    T, R = sum(tcnt.values()), sum(rcnt.values())
+    lam = {
+        h: round(
+            SCALE
+            * (
+                math.log(tcnt.get(h, 0) + 1)
+                - math.log(T + B)
+                - math.log(rcnt.get(h, 0) + 1)
+                + math.log(R + B)
+            )
+        )
+        for h in cells
+    }
+    want = {
+        d: (
+            sum(cs.values()),
+            sum(c * lam[h] for h, c in cs.items()),
+        )
+        for d, cs in per_doc.items()
+    }
+
+    from tsdisagg_spark.operators import sampling
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_micronats"])
+        for r in sampling.dsir_importance_weights(
+            df, target=F.col("doc_id") % 10 == 0
+        ).collect()
+    }
+    assert got == want
+    # semantic: the doc sharing target bigrams outranks the disjoint one
+    assert got[1][1] > got[2][1]
+
+
+def test_small_quantity_revenue_threshold_exact(spark, tmp_path):
+    """The Q17-shape threshold predicate is exact integer arithmetic:
+    a lineitem at EXACTLY 20% of its part's average quantity is excluded
+    (strict <), one just under is included — the float formulation
+    ``q < 0.2 * avg`` cannot make that guarantee at scale.  Runs the
+    registered query end-to-end on toy parquet tables."""
+    from tsdisagg_spark.queries import QUERIES
+
+    li = spark.createDataFrame(
+        [
+            # part 1: quantities 2,10,10,18 -> avg 10; 20% = 2.0: the 2.0
+            # line is AT the threshold -> excluded
+            (1, 1, 1, 1, 2.0, 100.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+            (2, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+            (3, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+            (4, 1, 1, 1, 18.0, 100.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+            # part 2: quantities 1.99,10,10,18.01 -> avg 10; the 1.99 line
+            # is just under 20% -> included, revenue 55.55
+            (5, 2, 1, 1, 1.99, 55.55, 0.0, 0.0, "N", "O", "2024-01-01"),
+            (6, 2, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+            (7, 2, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+            (8, 2, 1, 1, 18.01, 100.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    part = spark.createDataFrame(
+        [(1, "p1", "BrandA", "t", 1, 1.0), (2, "p2", "BrandB", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    part.write.parquet(str(tmp_path / "part.parquet"))
+    rows = {
+        r["p_brand"]: r
+        for r in QUERIES["small_quantity_revenue"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert "BrandA" not in rows  # the exactly-20% line is excluded
+    assert rows["BrandB"]["n_small_lines"] == 1
+    assert rows["BrandB"]["revenue_cents"] == 5555
+    assert rows["BrandB"]["avg_yearly"] == round(5555 / 700.0, 2)
+
+
+def test_zipf_slope_matches_python_reference(spark, tmp_path):
+    """Bit-identity guard for the quantized log-log Theil-Sen: recompute
+    ranks (count desc, token asc), nano-log grid points, pairwise slopes,
+    and the median in pure math and assert the registered query's output
+    per source — including a tie-heavy source where the rank tie-break
+    decides the grid."""
+    import math
+
+    rows = [
+        (1, "a a a a b b b c c d", "en", "s1", 10),
+        (2, "a a b c d e f g", "en", "s1", 8),
+        (3, "x x x y y z z z z z", "en", "s2", 10),  # count ties: x vs z
+        (4, "p q r s", "en", "s2", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    def pyref(texts):
+        cnt = {}
+        for s in texts:
+            for tok in re.split(r"\s+", s.strip().lower()):
+                cnt[tok] = cnt.get(tok, 0) + 1
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+        pts = [
+            (round(math.log(i + 1) * 1e9), round(math.log(n) * 1e9))
+            for i, (_, n) in enumerate(ranked)
+        ]
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        m = len(slopes)
+        med = (
+            slopes[m // 2]
+            if m % 2 == 1
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+        )
+        return m, med
+
+    from tsdisagg_spark.queries import QUERIES
+
+    got = {
+        r["source"]: (r["n_slopes"], r["zipf_slope"])
+        for r in QUERIES["zipf_slope_by_source"](spark, str(tmp_path)).collect()
+    }
+    texts = {}
+    for _, s, _, src, _ in rows:
+        texts.setdefault(src, []).append(s)
+    for src, ts in texts.items():
+        assert got[src] == pyref(ts), src

@@ -355,3 +355,19 @@ def test_incremental_probe_semi_joins_before_reshingling(spark):
     second pass over either corpus."""
     plan = _plan(Q.QUERIES["incremental_minhash_dedup"](spark, SF))
     assert "LeftSemi" in plan, plan
+
+
+def test_dsir_cell_table_broadcasts(spark):
+    """DSIR's 1024-row quantized log-ratio table must BROADCAST back to
+    the per-doc cell counts — the corpus side never join-shuffles, which
+    is what keeps scoring scan-bound at any corpus size."""
+    plan = _plan(Q.QUERIES["dsir_importance_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_small_quantity_broadcasts_part_dim(spark):
+    """The Q17 shape broadcasts the part dim for the brand rollup; the
+    fact-vs-own-aggregate join is the only data-sized join."""
+    plan = _plan(Q.QUERIES["small_quantity_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan

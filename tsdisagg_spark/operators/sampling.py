@@ -303,3 +303,98 @@ def token_budget_sample(
             F.col("__cum").cast("long").alias("cum_before"),
         )
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR hashed-bigram importance weights (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023): score
+    every document in the raw pool by how much its hashed-bigram profile
+    looks like the ``target`` corpus rather than the pool itself.
+
+    Features are word bigrams hashed into ``buckets`` cells via the
+    engine's md5 convention (first 15 hex chars as a 60-bit integer, mod
+    ``buckets`` — the same cross-engine contract as :func:`hash_bucket`,
+    so a SQL oracle recomputes the cells exactly).  Per cell ``h`` the
+    add-one-smoothed bag-of-bigrams log-likelihood ratio
+
+        lambda_h = ln((t_h + 1) / (T + B)) - ln((r_h + 1) / (R + B))
+
+    (``t_h``/``r_h`` the cell's occurrence counts in target/raw, ``T``/
+    ``R`` the corpus totals, ``B`` = ``buckets``) is QUANTIZED to an
+    integer — ``round(scale * lambda_h)`` micronats — so each document's
+    importance weight ``sum(count_dh * lambda_h)`` is an exact INTEGER
+    sum: order-independent, partitioning-independent, and hashable
+    against an external oracle with no float-accumulation caveat.  (The
+    only float step is one ln per cell, computed once on identical
+    integer inputs in both engines before quantization.)
+
+    Returns one row per raw-pool document with at least one bigram:
+    ``(id_col, n_grams, weight_micronats)``.  Target documents define the
+    numerator distribution and are not themselves scored.
+
+    Scale shape (100 TB): bigram explode rides the scan; the only
+    data-sized exchanges are the ``(doc, cell)`` count (map-side
+    combined: keys collapse to at most ``buckets`` cells per document)
+    and the final per-document sum.  The cell table is ``buckets`` rows —
+    aggregated via a second map-side-combined exchange of at most
+    ``buckets`` keys per partition, then BROADCAST back, so no join
+    shuffles the corpus.  ``buckets`` trades variance for memory exactly
+    as in the paper; 10^4-10^5 cells still broadcast for free."""
+    from tsdisagg_spark.operators.text import shingles
+
+    grams = docs.select(
+        F.col(id_col),
+        target.alias("__t"),
+        F.explode(shingles(F.col(text_col), n=2)).alias("__g"),
+    ).select(
+        id_col,
+        "__t",
+        (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % buckets
+        ).alias("__h"),
+    )
+    cnt = grams.groupBy(id_col, "__t", "__h").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    feat = cnt.groupBy("__h").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__th"),
+        F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("__rh"),
+    )
+    tot = feat.agg(
+        F.sum("__th").alias("__tt"), F.sum("__rh").alias("__rr")
+    )
+    lam = feat.crossJoin(F.broadcast(tot)).select(
+        "__h",
+        F.round(
+            scale
+            * (
+                F.log(F.col("__th") + 1)
+                - F.log(F.col("__tt") + buckets)
+                - F.log(F.col("__rh") + 1)
+                + F.log(F.col("__rr") + buckets)
+            )
+        )
+        .cast("long")
+        .alias("__lam"),
+    )
+    return (
+        cnt.filter(~F.col("__t"))
+        .join(F.broadcast(lam), "__h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_grams"),
+            F.sum(F.col("__c") * F.col("__lam")).cast("long").alias(
+                "weight_micronats"
+            ),
+        )
+    )

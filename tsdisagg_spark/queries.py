@@ -9412,6 +9412,218 @@ def event_transition_matrix(spark, sf_dir):
     )
 
 
+@query(
+    "dsir_importance_sample",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    ng AS (
+        SELECT doc_id, doc_id % 10 = 0 AS is_target,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT
+                   % 1024 AS h
+        FROM w, LATERAL (SELECT unnest(generate_series(1,
+                 greatest(len(w) - 1, 0))) AS i) t
+    ),
+    cnt AS (
+        SELECT doc_id, is_target, h, COUNT(*) AS c FROM ng GROUP BY 1, 2, 3
+    ),
+    feat AS (
+        SELECT h,
+               SUM(CASE WHEN is_target THEN c ELSE 0 END) AS th,
+               SUM(CASE WHEN NOT is_target THEN c ELSE 0 END) AS rh
+        FROM cnt GROUP BY 1
+    ),
+    tot AS (SELECT SUM(th) AS tt, SUM(rh) AS rr FROM feat),
+    lam AS (
+        SELECT h, CAST(ROUND(1000000.0 * (ln(th + 1) - ln(tt + 1024)
+                   - ln(rh + 1) + ln(rr + 1024))) AS BIGINT) AS lam
+        FROM feat, tot
+    ),
+    wts AS (
+        SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_grams,
+               CAST(SUM(c.c * l.lam) AS BIGINT) AS weight_micronats
+        FROM cnt c JOIN lam l USING (h)
+        WHERE NOT c.is_target
+        GROUP BY 1
+    )
+    SELECT doc_id, n_grams, weight_micronats
+    FROM wts
+    ORDER BY weight_micronats DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def dsir_importance_sample(spark, sf_dir):
+    """DSIR data selection (Xie et al., NeurIPS 2023): the held-out
+    curated slice (doc_id % 10 == 0) defines the target distribution;
+    every remaining raw-pool document is scored by its hashed-bigram
+    importance weight and the top-100 admitted.  The weight is an exact
+    INTEGER — per 1024-cell feature the add-one log-likelihood ratio is
+    quantized to micronats once, so the per-document sum has no float
+    accumulation order anywhere (operators/sampling.py:
+    dsir_importance_weights); the oracle rebuilds cells, ratios, and
+    weights from md5 relationally.  Scale shape: explode rides the scan,
+    two map-side-combined exchanges (doc-cell count, per-doc sum), the
+    1024-row cell table broadcasts — the corpus never join-shuffles."""
+    from tsdisagg_spark.operators import sampling
+
+    docs = t(spark, sf_dir, "documents")
+    wts = sampling.dsir_importance_weights(
+        docs, target=F.col("doc_id") % 10 == 0
+    )
+    return wts.orderBy(
+        F.col("weight_micronats").desc(), F.col("doc_id").asc()
+    ).limit(100)
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS q_c,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p_c
+        FROM lineitem
+    ),
+    thr AS (
+        SELECT l_partkey, COUNT(*) AS n, SUM(q_c) AS sum_q_c
+        FROM li GROUP BY 1
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(li.p_c) AS BIGINT) AS revenue_cents,
+           ROUND(SUM(li.p_c) / 700.0, 2) AS avg_yearly
+    FROM li
+    JOIN thr USING (l_partkey)
+    JOIN part p ON li.l_partkey = p.p_partkey
+    WHERE 5 * li.q_c * thr.n < thr.sum_q_c
+    GROUP BY 1
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (reference has no relational engine; the shape is
+    the public benchmark's): per-brand revenue from lineitems whose
+    quantity is under 20% of their part's average — the fact table joined
+    against ITS OWN per-key aggregate.  The threshold predicate is exact
+    integer arithmetic (``5 * q_cents * n < sum_q_cents`` instead of the
+    float ``q < 0.2 * avg``), so the admitted set is bit-identical in
+    both engines at any size; revenue sums integer cents.  Scale shape:
+    the per-part aggregate and the fact side hash-partition on the SAME
+    key (one exchange each, no repartition between agg and join); the
+    part dim broadcasts for the brand rollup."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_c"),
+    )
+    thr = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q_c").alias("sum_q_c")
+    )
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(thr, "l_partkey")
+        .filter(5 * F.col("q_c") * F.col("n") < F.col("sum_q_c"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+            # DECIMAL(38,0) accumulator: 10^10 cent-scale lines per brand
+            # approach int64; overflow must surface as NULL, never wrap
+            F.sum(F.col("p_c").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_cents"),
+            (
+                F.sum(F.col("p_c").cast("decimal(38,0)")).cast("double")
+                / 700.0
+            ).alias("__av"),
+        )
+        .select(
+            "p_brand",
+            "n_small_lines",
+            "revenue_cents",
+            F.round("__av", 2).alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "zipf_slope_by_source",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS tok
+        FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    r AS (
+        SELECT source, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, tok ASC) AS rnk
+        FROM c
+    ),
+    m AS (
+        SELECT source,
+               CAST(ROUND(ln(rnk) * 1e9) AS BIGINT) AS x,
+               CAST(ROUND(ln(n) * 1e9) AS BIGINT) AS y
+        FROM r WHERE rnk <= 64
+    ),
+    p AS (
+        SELECT a.source,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+        FROM m a JOIN m b ON a.source = b.source AND a.x < b.x
+    ),
+    s AS (SELECT source, list(sl ORDER BY sl) AS ss FROM p GROUP BY 1)
+    SELECT source, CAST(len(ss) AS BIGINT) AS n_slopes,
+           CASE WHEN len(ss) % 2 = 1 THEN ss[(len(ss) + 1) // 2]
+                ELSE (ss[len(ss) // 2] + ss[len(ss) // 2 + 1]) / 2.0
+           END AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_slope_by_source(spark, sf_dir):
+    """Per-source Zipf exponent of the token rank-frequency curve — the
+    corpus-health diagnostic (natural text reads ~ -1; boilerplate and
+    spam bend it): Theil-Sen slope over the top-64 (ln rank, ln count)
+    points.  Exactness by QUANTIZED log-log grid: each point's logs are
+    rounded to integer nano-log units once, then every pairwise slope is
+    one integer/integer division and the median sorts identical doubles
+    — the same bit-identity argument as nation_theil_sen, extended to a
+    log scale (operators/timeseries.py:theil_sen_trend).  Scale shape:
+    token counts map-side combine, ranks are one window over each
+    source's vocabulary, and the O(64^2) pair set is built inside one
+    array expression per source — bounded by the rank cap, never the
+    corpus."""
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "source", F.explode(text.words(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    m = (
+        c.select("source", "n", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 64)
+        .select(
+            "source",
+            F.round(F.log("rnk") * 1e9).cast("long").alias("x"),
+            F.round(F.log("n") * 1e9).cast("long").alias("y"),
+        )
+    )
+    return timeseries.theil_sen_trend(m, ["source"]).select(
+        "source",
+        "n_slopes",
+        F.col("theil_sen_slope").alias("zipf_slope"),
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
