@@ -166,6 +166,9 @@ HEADLINE = [
     "dsir_importance_sample",  # DSIR hashed-bigram importance resampling
     "small_quantity_revenue",  # Q17 shape: fact joined to its own aggregate
     "zipf_slope_by_source",    # rank-frequency Zipf exponent per source
+    "incremental_dsir_score",  # batch DSIR probe vs broadcast cell index
+    "temperature_mixture_weights",  # p^alpha language mixing weights
+    "top_supplier_revenue",    # Q15 shape: agg + global-max equality join
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

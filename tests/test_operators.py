@@ -5023,3 +5023,148 @@ def test_zipf_slope_matches_python_reference(spark, tmp_path):
         texts.setdefault(src, []).append(s)
     for src, ts in texts.items():
         assert got[src] == pyref(ts), src
+
+
+def test_incremental_dsir_probe_matches_python_reference(spark):
+    """The DSIR index/probe split (sampling.py dsir_cell_table +
+    dsir_score) scores an ingest batch bit-identically to a pure
+    hashlib/math recompute: the cell table is built from the HELD corpus
+    only (target = %5==1 slice), the batch contributes nothing to the
+    ratios, and batch cells the held corpus never produced drop."""
+    import hashlib
+    import math
+
+    B, SCALE = 1024, 1_000_000
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),  # held target
+        (6, "shared words appear here and there"),           # held target
+        (2, "totally unrelated noise tokens appear here"),   # held raw
+        (3, "the lazy dog naps under the warm sun"),         # held raw
+        (5, "the quick brown fox naps too"),                 # batch
+        (10, "words never seen qqq zzz before anywhere"),    # batch
+        (15, "single"),                                      # batch, no gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def grams(s):
+        w = re.split(r"\s+", s.strip().lower())
+        return (
+            [f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+            if len(w) >= 2 and w != [""]
+            else []
+        )
+
+    def cell(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    tcnt, rcnt = {}, {}
+    for doc_id, s in rows:
+        if doc_id % 5 == 0:
+            continue
+        d = tcnt if doc_id % 5 == 1 else rcnt
+        for g in grams(s):
+            d[cell(g)] = d.get(cell(g), 0) + 1
+    T, R = sum(tcnt.values()), sum(rcnt.values())
+    lam = {
+        h: round(
+            SCALE
+            * (
+                math.log(tcnt.get(h, 0) + 1)
+                - math.log(T + B)
+                - math.log(rcnt.get(h, 0) + 1)
+                + math.log(R + B)
+            )
+        )
+        for h in set(tcnt) | set(rcnt)
+    }
+    want = {}
+    for doc_id, s in rows:
+        if doc_id % 5 != 0:
+            continue
+        cs = {}
+        for g in grams(s):
+            h = cell(g)
+            if h in lam:  # unseen cells drop (inner join vs the index)
+                cs[h] = cs.get(h, 0) + 1
+        if cs:
+            want[doc_id] = (
+                sum(cs.values()),
+                sum(c * lam[h] for h, c in cs.items()),
+            )
+
+    from tsdisagg_spark.operators import sampling
+
+    held = df.filter(F.col("doc_id") % 5 != 0)
+    batch = df.filter(F.col("doc_id") % 5 == 0)
+    table = sampling.dsir_cell_table(held, target=F.col("doc_id") % 5 == 1)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_micronats"])
+        for r in sampling.dsir_score(batch, table).collect()
+    }
+    assert got == want
+
+
+def test_temperature_mixture_upsamples_low_resource(spark, tmp_path):
+    """Temperature sampling's defining property: alpha < 1 moves mass
+    from high-resource to low-resource languages while staying a
+    probability vector.  Also pins the exact arithmetic against a pure
+    math recompute."""
+    rows = (
+        [(i, "w " * 99, "en", "s", 100) for i in range(8)]
+        + [(100, "w " * 99, "de", "s", 100)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    got = {
+        r["lang"]: r
+        for r in QUERIES["temperature_mixture_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # "w " * 99 -> "w ... w " with trailing space; trim+split = 99 tokens
+    p_en, p_de = 8 * 99 / (9 * 99), 99 / (9 * 99)
+    z = p_en**0.7 + p_de**0.7
+    assert got["en"]["p_raw"] == round(p_en, 6)
+    assert got["de"]["p_temp"] == round(p_de**0.7 / z, 6)
+    assert got["de"]["p_temp"] > got["de"]["p_raw"]  # up-sampled
+    assert got["en"]["p_temp"] < got["en"]["p_raw"]  # down-sampled
+    assert abs(got["en"]["p_temp"] + got["de"]["p_temp"] - 1.0) < 2e-6
+
+
+def test_top_supplier_revenue_exact_tie_returns_both(spark, tmp_path):
+    """Q15's max-equality filter compares exact integers: two suppliers
+    whose quarterly revenues tie to the exact cent-x-bp unit are BOTH
+    returned — a float revenue would break the tie arbitrarily."""
+    li = spark.createDataFrame(
+        [
+            # supplier 1: 100.00 at 10% off = 90.00
+            (1, 1, 1, 1, 1.0, 100.0, 0.10, 0.0, "N", "O", "1996-02-01"),
+            # supplier 2: 90.00 at 0% off = 90.00 (exact tie)
+            (2, 1, 2, 1, 1.0, 90.0, 0.0, 0.0, "N", "O", "1996-02-01"),
+            # supplier 3: lower
+            (3, 1, 3, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", "1996-02-01"),
+            # supplier 1 again but OUTSIDE the quarter
+            (4, 1, 1, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", "1996-06-01"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    sup.write.parquet(str(tmp_path / "supplier.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    rows = sorted(
+        (r["s_suppkey"], r["total_revenue"])
+        for r in QUERIES["top_supplier_revenue"](spark, str(tmp_path)).collect()
+    )
+    assert rows == [(1, 90.0), (2, 90.0)]

@@ -371,3 +371,12 @@ def test_small_quantity_broadcasts_part_dim(spark):
     fact-vs-own-aggregate join is the only data-sized join."""
     plan = _plan(Q.QUERIES["small_quantity_revenue"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_dsir_probe_broadcasts_index(spark):
+    """The DSIR probe's only join is the batch vs the BROADCAST 1024-row
+    cell index — the held corpus feeds the index build, never a
+    data-sized join, so ingest cost stays O(batch)."""
+    plan = _plan(Q.QUERIES["incremental_dsir_score"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -305,6 +305,129 @@ def token_budget_sample(
     )
 
 
+def _dsir_cell_counts(
+    docs, target, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """(id, is_target, cell, count) hashed-bigram cell counts — the shared
+    precursor of the cell table and the per-doc score.  Bigram cells use
+    the engine's md5 convention (first 15 hex chars as a 60-bit integer,
+    mod ``buckets`` — same cross-engine contract as :func:`hash_bucket`).
+    One map-side-combined exchange keyed (id, cell)."""
+    from tsdisagg_spark.operators.text import shingles
+
+    grams = docs.select(
+        F.col(id_col),
+        target.alias("__t"),
+        F.explode(shingles(F.col(text_col), n=2)).alias("__g"),
+    ).select(
+        id_col,
+        "__t",
+        (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % buckets
+        ).alias("__h"),
+    )
+    return grams.groupBy(id_col, "__t", "__h").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+
+
+def _dsir_lambda(cnt: DataFrame, buckets: int, scale: int) -> DataFrame:
+    """``(__h, __lam)`` quantized log-likelihood-ratio cell table from
+    ``_dsir_cell_counts`` output: per cell the add-one-smoothed ratio
+
+        lambda_h = ln((t_h + 1) / (T + B)) - ln((r_h + 1) / (R + B))
+
+    rounded to ``scale``-nats (micronats at the default).  ``buckets``
+    rows — the persistable DSIR INDEX: build it once from a reference
+    corpus, broadcast it to score any future batch."""
+    feat = cnt.groupBy("__h").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__th"),
+        F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("__rh"),
+    )
+    tot = feat.agg(
+        F.sum("__th").alias("__tt"), F.sum("__rh").alias("__rr")
+    )
+    return feat.crossJoin(F.broadcast(tot)).select(
+        "__h",
+        F.round(
+            scale
+            * (
+                F.log(F.col("__th") + 1)
+                - F.log(F.col("__tt") + buckets)
+                - F.log(F.col("__rh") + 1)
+                + F.log(F.col("__rr") + buckets)
+            )
+        )
+        .cast("long")
+        .alias("__lam"),
+    )
+
+
+def dsir_cell_table(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Build the persistable DSIR cell index ``(__h, __lam)`` from a
+    reference corpus split into ``target`` (numerator distribution) and
+    the rest (denominator).  See :func:`dsir_importance_weights` for the
+    quantization contract; see :func:`dsir_score` for the probe side —
+    together they are the incremental-ingest form of DSIR (index built
+    once, every future batch scored at O(batch) with zero touches of the
+    reference corpus)."""
+    cnt = _dsir_cell_counts(docs, target, id_col, text_col, buckets)
+    return _dsir_lambda(cnt, buckets, scale)
+
+
+def dsir_score(
+    docs: DataFrame,
+    cell_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    pre_counted: bool = False,
+) -> DataFrame:
+    """Score documents against a prebuilt DSIR ``cell_table``
+    (:func:`dsir_cell_table`): per document with at least one bigram,
+    ``(id_col, n_grams, weight_micronats)`` where the weight is the exact
+    integer ``sum(count_dh * lambda_h)``.  Cells absent from the table
+    (bigram cells the reference corpus never produced) contribute 0 —
+    the smoothed ratio of an unseen cell is a constant the caller's
+    top-k is invariant to only when batch docs share it, so the table
+    should be built with the same ``buckets``; with the default 1024 all
+    cells exist in any non-toy reference corpus.
+
+    ``pre_counted=True`` accepts ``_dsir_cell_counts`` output directly
+    (internal reuse path for :func:`dsir_importance_weights`, which
+    persists the counts across the table build and the scoring pass).
+
+    Scale shape: the batch explodes and combines map-side; the cell
+    table BROADCASTS — scoring never shuffles the reference corpus and
+    costs O(batch)."""
+    if pre_counted:
+        cnt = docs.filter(~F.col("__t"))
+    else:
+        cnt = _dsir_cell_counts(
+            docs, F.lit(False), id_col, text_col, buckets
+        )
+    return (
+        cnt.join(F.broadcast(cell_table), "__h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_grams"),
+            F.sum(F.col("__c") * F.col("__lam")).cast("long").alias(
+                "weight_micronats"
+            ),
+        )
+    )
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     target: Column,
@@ -347,54 +470,11 @@ def dsir_importance_weights(
     ``buckets`` keys per partition, then BROADCAST back, so no join
     shuffles the corpus.  ``buckets`` trades variance for memory exactly
     as in the paper; 10^4-10^5 cells still broadcast for free."""
-    from tsdisagg_spark.operators.text import shingles
-
-    grams = docs.select(
-        F.col(id_col),
-        target.alias("__t"),
-        F.explode(shingles(F.col(text_col), n=2)).alias("__g"),
-    ).select(
-        id_col,
-        "__t",
-        (
-            F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast(
-                "long"
-            )
-            % buckets
-        ).alias("__h"),
-    )
-    cnt = grams.groupBy(id_col, "__t", "__h").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    feat = cnt.groupBy("__h").agg(
-        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__th"),
-        F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("__rh"),
-    )
-    tot = feat.agg(
-        F.sum("__th").alias("__tt"), F.sum("__rh").alias("__rr")
-    )
-    lam = feat.crossJoin(F.broadcast(tot)).select(
-        "__h",
-        F.round(
-            scale
-            * (
-                F.log(F.col("__th") + 1)
-                - F.log(F.col("__tt") + buckets)
-                - F.log(F.col("__rh") + 1)
-                + F.log(F.col("__rr") + buckets)
-            )
-        )
-        .cast("long")
-        .alias("__lam"),
-    )
-    return (
-        cnt.filter(~F.col("__t"))
-        .join(F.broadcast(lam), "__h")
-        .groupBy(id_col)
-        .agg(
-            F.sum("__c").cast("long").alias("n_grams"),
-            F.sum(F.col("__c") * F.col("__lam")).cast("long").alias(
-                "weight_micronats"
-            ),
-        )
-    )
+    # persisted: the (doc, cell) count feeds BOTH the cell-table build and
+    # the final weight join — without it the bigram explode + first
+    # exchange run twice over the whole corpus (same caller-managed
+    # discipline as winnowing_shared_pairs' posting persist; bench's
+    # between-rep cleanup unpersists)
+    cnt = _dsir_cell_counts(docs, target, id_col, text_col, buckets).persist()
+    lam = _dsir_lambda(cnt, buckets, scale)
+    return dsir_score(cnt, lam, id_col=id_col, pre_counted=True)

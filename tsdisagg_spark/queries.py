@@ -9624,6 +9624,191 @@ def zipf_slope_by_source(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_dsir_score",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    ng AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT
+                   % 1024 AS h
+        FROM w, LATERAL (SELECT unnest(generate_series(1,
+                 greatest(len(w) - 1, 0))) AS i) t
+    ),
+    cnt AS (SELECT doc_id, h, COUNT(*) AS c FROM ng GROUP BY 1, 2),
+    feat AS (
+        SELECT h,
+               SUM(CASE WHEN doc_id % 5 = 1 THEN c ELSE 0 END) AS th,
+               SUM(CASE WHEN doc_id % 5 != 1 THEN c ELSE 0 END) AS rh
+        FROM cnt WHERE doc_id % 5 != 0 GROUP BY 1
+    ),
+    tot AS (SELECT SUM(th) AS tt, SUM(rh) AS rr FROM feat),
+    lam AS (
+        SELECT h, CAST(ROUND(1000000.0 * (ln(th + 1) - ln(tt + 1024)
+                   - ln(rh + 1) + ln(rr + 1024))) AS BIGINT) AS lam
+        FROM feat, tot
+    )
+    SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_grams,
+           CAST(SUM(c.c * l.lam) AS BIGINT) AS weight_micronats
+    FROM cnt c JOIN lam l USING (h)
+    WHERE c.doc_id % 5 = 0
+    GROUP BY 1
+    """,
+)
+def incremental_dsir_score(spark, sf_dir):
+    """Continuous-ingest DSIR scoring: the held corpus (doc_id % 5 != 0,
+    its doc_id % 5 == 1 slice as the curated target) builds the 1024-row
+    quantized cell INDEX once; an ingest batch (doc_id % 5 == 0) is then
+    scored at O(batch) — the index broadcasts, the held corpus text is
+    never touched again.  The admission-gate twin of
+    dsir_importance_sample, completing the incremental family alongside
+    the MinHash/SimHash/semantic/novelty/chunk probes
+    (operators/sampling.py:dsir_cell_table/dsir_score).  Weights are the
+    same exact integer micronat sums; batch cells the held corpus never
+    produced drop in both engines (inner join vs the index)."""
+    from tsdisagg_spark.operators import sampling
+
+    docs = t(spark, sf_dir, "documents")
+    held = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    lam = sampling.dsir_cell_table(held, target=F.col("doc_id") % 5 == 1)
+    return sampling.dsir_score(batch, lam)
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle=r"""
+    WITH base AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM base),
+    q AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / t AS p,
+               pow(CAST(n_tokens AS DOUBLE) / t, 0.7) AS pa
+        FROM base, tot
+    ),
+    s AS (SELECT SUM(pa) AS z FROM q)
+    SELECT lang, n_docs, n_tokens, ROUND(p, 6) AS p_raw,
+           ROUND(pa / z, 6) AS p_temp
+    FROM q, s
+    """,
+)
+def temperature_mixture_weights(spark, sf_dir):
+    """Temperature-based multilingual sampling weights (the mT5/XLM-R
+    mixing rule, alpha = 0.7): per language, token share p and the
+    renormalized p^alpha — the knob that up-samples low-resource
+    languages for a training epoch.  Exact-enough by construction: p is
+    one division of exact integers (identical doubles), pow and the
+    5-term normalizer differ at most in the last ulp, and both outputs
+    round at 6 decimals where that tie class is empty.  Scale shape: one
+    map-side-combined aggregate over the corpus; everything after is a
+    5-row broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(text.words(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = base.agg(F.sum("n_tokens").alias("t"))
+    q = base.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t")).alias("p"),
+        F.pow(F.col("n_tokens").cast("double") / F.col("t"), 0.7).alias(
+            "pa"
+        ),
+    )
+    s = q.agg(F.sum("pa").alias("z"))
+    return q.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("p_raw"),
+        F.round(F.col("pa") / F.col("z"), 6).alias("p_temp"),
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH li AS (
+        SELECT l_suppkey,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))
+                   AS rev_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    ),
+    rev AS (
+        SELECT l_suppkey, SUM(rev_u) AS total_u FROM li GROUP BY 1
+    ),
+    mx AS (SELECT MAX(total_u) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_u AS BIGINT) AS total_revenue_u,
+           ROUND(r.total_u / 1000000.0, 2) AS total_revenue
+    FROM rev r JOIN mx ON r.total_u = mx.m
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    """,
+)
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) achieving MAXIMUM discounted
+    revenue over a quarter — aggregate, global max, equality filter back.
+    Exact: revenue quantizes each FACTOR first (price cents x remaining
+    basis points — quantizing the product would park structured .5 ties
+    on the rounding digit), sums in DECIMAL(38,0) (cents x bp carries
+    ~1e11/row; int64 wraps silently at ~1e7 rows/supplier), and the
+    max-equality filter compares exact integers, so the winning set is
+    tie-stable at any scale.  Scale shape: one exchange keyed suppkey;
+    the 1-row max and the supplier dim broadcast."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    10000
+                    - F.round(F.col("l_discount") * 10000).cast("long")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("rev_u"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_u").alias("total_u"))
+    )
+    mx = rev.agg(F.max("total_u").alias("m"))
+    supplier = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_u == F.col("m"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_u").cast("long").alias("total_revenue_u"),
+            F.round(F.col("total_u").cast("double") / 1000000.0, 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
