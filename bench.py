@@ -169,6 +169,8 @@ HEADLINE = [
     "incremental_dsir_score",  # batch DSIR probe vs broadcast cell index
     "temperature_mixture_weights",  # p^alpha language mixing weights
     "top_supplier_revenue",    # Q15 shape: agg + global-max equality join
+    "token_entropy",           # shuffle-free per-doc unigram entropy fold
+    "ngram_coverage_curve",    # top-k vocabulary token-mass coverage
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

@@ -5168,3 +5168,65 @@ def test_top_supplier_revenue_exact_tie_returns_both(spark, tmp_path):
         for r in QUERIES["top_supplier_revenue"](spark, str(tmp_path)).collect()
     )
     assert rows == [(1, 90.0), (2, 90.0)]
+
+
+def test_token_entropy_matches_python_reference(spark):
+    """Bit-identity guard for the sorted-array entropy fold (text.py
+    token_entropy): recompute counts, nano-nat terms, and the rounded
+    entropy in pure math — including the empty doc (split of '' is [''],
+    one token), a single-token doc, an all-same doc (entropy 0), and a
+    doc whose sorted runs exercise the fold's run-boundary arithmetic."""
+    import math
+
+    rows = [
+        (1, "a b a c b a"),
+        (2, ""),
+        (3, "word"),
+        (4, "x x x x x"),
+        (5, "the quick brown fox jumps over the lazy dog the end"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pyref(s):
+        w = re.split(r"\s+", s.strip().lower())
+        cnt = {}
+        for tok in w:
+            cnt[tok] = cnt.get(tok, 0) + 1
+        n = len(w)
+        S = sum(c * round(math.log(c) * 1e9) for c in cnt.values())
+        return (n, len(cnt), S, round(math.log(n) - (S / 1e9) / n, 6))
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_distinct"],
+            r["s_clnc_nano"],
+            r["entropy"],
+        )
+        for r in text.token_entropy(df).collect()
+    }
+    for doc_id, s in rows:
+        assert got[doc_id] == pyref(s), f"doc {doc_id}"
+    assert got[4][3] == 0.0  # all-same doc: zero entropy
+
+
+def test_ngram_coverage_curve_semantics(spark, tmp_path):
+    """Coverage is monotone in k, k past the vocabulary covers all
+    mass, and the rank tie-break (count desc, token asc) decides which
+    of two equal-count tokens makes the cut."""
+    rows = [(1, "a a a b b c", "en", "s", 6), (2, "d e f", "en", "s", 3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    got = {
+        r["k"]: r
+        for r in QUERIES["ngram_coverage_curve"](spark, str(tmp_path)).collect()
+    }
+    assert got[100]["n_vocab"] == 6 and got[100]["n_tokens"] == 9
+    # k >= vocab covers everything
+    for k in (100, 1000, 10000):
+        assert got[k]["covered_tokens"] == 9
+        assert got[k]["coverage"] == 1.0

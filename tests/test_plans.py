@@ -380,3 +380,21 @@ def test_incremental_dsir_probe_broadcasts_index(spark):
     plan = _plan(Q.QUERIES["incremental_dsir_score"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_token_entropy_is_shuffle_free(spark):
+    """The entropy fold is a pure projection over the document scan —
+    zero exchanges, like repetition_stats."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(text_ops.token_entropy(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_ngram_coverage_topk_never_full_sorts(spark):
+    """The global top-10k vocabulary cut must be TakeOrdered (distributed
+    heap) — a full Sort of the vocabulary would shuffle it all to rank
+    rows the curve never reads."""
+    plan = _plan(Q.QUERIES["ngram_coverage_curve"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1263,3 +1263,79 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram entropy — the diversity twin of
+    :func:`repetition_stats` (low entropy = template/keyword-stuffed/
+    degenerate text; natural prose sits near its length-capped maximum):
+
+    ``(id, n_tokens, n_distinct, s_clnc_nano, entropy)`` with
+
+        H = ln(n) - (sum_tok c_tok * ln(c_tok)) / n
+
+    EXACT-INTEGER LANE: each distinct token's ``c * ln(c)`` term is
+    quantized once to nano-nats (``c * round(ln(c) * 1e9)``), so
+    ``s_clnc_nano`` is an order-free integer sum and ``entropy`` is one
+    identical-double expression per row in any engine — the same
+    quantize-the-term trick as the DSIR micronat weights.  Headroom: a
+    10^6-token pathological doc carries c*lnq(c) ~ 1.4e16 — inside int64
+    with the run bounded by the document, never the corpus.
+
+    Shuffle-free: token run lengths come from ONE fold over the sorted
+    word array (staged projections, same higher-order-function
+    discipline as repetition_stats — no repeated subtrees), so at 100 TB
+    the operator rides the document scan."""
+    base = df.select(
+        F.col(id_col), F.array_sort(words(F.col(text_col))).alias("__w")
+    )
+    # run == 0 only on the fold's first step (prev is NULL): ln(0) is
+    # NULL in Spark SQL and would poison the whole sum — guard to 0
+    term = lambda run: (
+        F.when(
+            run > 0,
+            run * F.round(F.log(run.cast("double")) * 1e9).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    fold = F.aggregate(
+        F.col("__w"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("s"),
+            F.lit(0).cast("long").alias("d"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(x == acc["prev"], acc["s"])
+            .otherwise(acc["s"] + term(acc["run"]))
+            .alias("s"),
+            F.when(x == acc["prev"], acc["d"])
+            .otherwise(acc["d"] + 1)
+            .alias("d"),
+        ),
+        lambda acc: F.struct(
+            (acc["s"] + term(acc["run"])).alias("s"), acc["d"].alias("d")
+        ),
+    )
+    counted = base.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_tokens"),
+        fold.alias("__f"),
+    )
+    return counted.select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("__f.d").alias("n_distinct"),
+        F.col("__f.s").alias("s_clnc_nano"),
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - (F.col("__f.s") / 1e9) / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )

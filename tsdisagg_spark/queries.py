@@ -9809,6 +9809,118 @@ def top_supplier_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "token_entropy",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * CAST(ROUND(ln(c) * 1e9) AS BIGINT)) AS BIGINT)
+                   AS s_clnc_nano
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct, s_clnc_nano,
+           ROUND(ln(n_tokens) - (s_clnc_nano / 1e9) / n_tokens, 6)
+               AS entropy
+    FROM s
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Per-document unigram entropy — the diversity signal quality
+    pipelines pair with the Gopher repetition rules (low entropy =
+    template/stuffed/degenerate text).  Exact-integer lane: each distinct
+    token's c*ln(c) term quantizes once to nano-nats, so the per-doc sum
+    is order-free and the final entropy is one identical-double
+    expression (the DSIR micronat trick applied per row).  Engine vs
+    oracle structure is fully independent: the engine folds ONE pass
+    over each doc's sorted word array (zero shuffles — rides the scan);
+    the oracle rebuilds counts relationally
+    (operators/text.py:token_entropy)."""
+    return text.token_entropy(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_coverage_curve",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM c
+    ),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk
+        FROM c
+    ),
+    ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k, tot.v AS n_vocab, tot.t AS n_tokens,
+           CAST(SUM(CASE WHEN r.rnk <= ks.k THEN r.n ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           ROUND(SUM(CASE WHEN r.rnk <= ks.k THEN r.n ELSE 0 END)
+                 * 1.0 / tot.t, 6) AS coverage
+    FROM r, ks, tot
+    WHERE r.rnk <= 10000
+    GROUP BY 1, 2, 3
+    """,
+)
+def ngram_coverage_curve(spark, sf_dir):
+    """Vocabulary-truncation design curve: the share of corpus token mass
+    covered by the top-k vocabulary (k = 100 / 1,000 / 10,000) — the
+    number a tokenizer or OOV budget decision actually needs.  Exact:
+    covered mass is a sum of integer counts over a deterministic rank
+    (count desc, token asc); the single float is one division of exact
+    integers, rounded at 6.  Scale shape: token counts map-side combine
+    to a vocabulary-sized table; the global top-10k is TakeOrdered
+    (distributed heap, never a full sort) and everything after is a
+    10k-row tail — the corpus itself is touched once."""
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(text.words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(
+        F.sum("n").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    top = c.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(10000)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = top.select("n", F.row_number().over(w).alias("rnk"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000))).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("v").alias("n_vocab"),
+            F.col("t").alias("n_tokens"),
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens") * 1.0 / F.col("t"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
