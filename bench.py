@@ -171,6 +171,9 @@ HEADLINE = [
     "top_supplier_revenue",    # Q15 shape: agg + global-max equality join
     "token_entropy",           # shuffle-free per-doc unigram entropy fold
     "ngram_coverage_curve",    # top-k vocabulary token-mass coverage
+    "discount_band_revenue",   # Q6 shape: pure scan-filter-aggregate
+    "returned_item_customers", # Q10 shape: fact-fact join + TakeOrdered
+    "nation_pair_trade",       # Q7 shape: pair-pruned two-broadcast star
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

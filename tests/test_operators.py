@@ -5230,3 +5230,142 @@ def test_ngram_coverage_curve_semantics(spark, tmp_path):
     for k in (100, 1000, 10000):
         assert got[k]["covered_tokens"] == 9
         assert got[k]["coverage"] == 1.0
+
+
+def test_discount_band_edges_exact(spark, tmp_path):
+    """Q6's band predicate quantizes the discount to basis points before
+    comparing: 5% and 7% lines sit INSIDE the band (a float BETWEEN on
+    the raw double can drop the edges to representation error), 4% and
+    8% outside, and the shipdate year + quantity filters apply."""
+    mk = lambda i, disc, qty, ship: (
+        i, 1, 1, 1, qty, 100.0, disc, 0.0, "N", "O", ship
+    )
+    li = spark.createDataFrame(
+        [
+            mk(1, 0.05, 1.0, "1996-02-01"),   # in: lower edge
+            mk(2, 0.07, 1.0, "1996-02-01"),   # in: upper edge
+            mk(3, 0.06, 1.0, "1996-02-01"),   # in
+            mk(4, 0.04, 1.0, "1996-02-01"),   # out: below band
+            mk(5, 0.08, 1.0, "1996-02-01"),   # out: above band
+            mk(6, 0.06, 24.0, "1996-02-01"),  # out: quantity
+            mk(7, 0.06, 1.0, "1997-02-01"),   # out: year
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    row = QUERIES["discount_band_revenue"](spark, str(tmp_path)).collect()[0]
+    assert row["n_lines"] == 3
+    # 100.00 at 5% + 7% + 6% = 10000c * (500 + 700 + 600) bp
+    assert row["revenue_u"] == 10000 * (500 + 700 + 600)
+    assert row["revenue"] == 18.0
+
+
+def test_returned_item_customers_tie_stable_cut(spark, tmp_path):
+    """Q10's top-20 cut orders by (exact integer revenue DESC, custkey
+    ASC): two customers with bit-identical lost revenue admit the lower
+    custkey first — on a 21-way tie the cut is still deterministic."""
+    lines = []
+    # 21 customers, each with one returned 100.00 line (exact tie), and
+    # customer 100 with a larger one
+    for ck in range(1, 22):
+        lines.append(
+            (ck, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "R", "O", "1996-02-01")
+        )
+    lines.append(
+        (100, 1, 1, 1, 1.0, 500.0, 0.0, 0.0, "R", "O", "1996-02-01")
+    )
+    li = spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    orders = spark.createDataFrame(
+        [(k, k, "O", 1.0, "1996-02-01", "1-URGENT")
+         for k in list(range(1, 22)) + [100]],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "B") for k in list(range(1, 22)) + [100]],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(0, "N0", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    for name, df in [
+        ("lineitem", li), ("orders", orders),
+        ("customer", cust), ("nation", nation),
+    ]:
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    rows = QUERIES["returned_item_customers"](spark, str(tmp_path)).collect()
+    assert len(rows) == 20
+    assert rows[0]["c_custkey"] == 100  # the big spender leads
+    # the 21-way tie admits custkeys 1..19 (lowest first), drops 20 and 21
+    assert [r["c_custkey"] for r in rows[1:]] == list(range(1, 20))
+
+
+def test_nation_pair_trade_directions(spark, tmp_path):
+    """Q7 counts BOTH directions of the pair as separate rows and
+    excludes same-nation trade and third-party nations."""
+    li = spark.createDataFrame(
+        [
+            # s1 (N18) ships to c1 (N19): direction 1
+            (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "1996-02-01"),
+            # s2 (N19) ships to c2 (N18): direction 2
+            (2, 1, 2, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", "1996-02-01"),
+            # s1 (N18) ships to c2 (N18): same nation -> excluded
+            (3, 1, 1, 1, 1.0, 400.0, 0.0, 0.0, "N", "O", "1996-02-01"),
+            # s3 (N0) ships to c1 (N19): third party -> excluded
+            (4, 1, 3, 1, 1.0, 800.0, 0.0, 0.0, "N", "O", "1996-02-01"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, "1996-02-01", "1-URGENT"),
+         (2, 2, "O", 1.0, "1996-02-01", "1-URGENT"),
+         (3, 2, "O", 1.0, "1996-02-01", "1-URGENT"),
+         (4, 1, "O", 1.0, "1996-02-01", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    sup = spark.createDataFrame(
+        [(1, "s1", 18, 0.0), (2, "s2", 19, 0.0), (3, "s3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    cust = spark.createDataFrame(
+        [(1, "c1", 19, 0.0, "B"), (2, "c2", 18, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(18, "NATION_18", 0), (19, "NATION_19", 0), (0, "NATION_0", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    for name, df in [("lineitem", li), ("orders", orders),
+                     ("supplier", sup), ("customer", cust),
+                     ("nation", nation)]:
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    rows = {
+        (r["supp_nation"], r["cust_nation"]): r
+        for r in QUERIES["nation_pair_trade"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {
+        ("NATION_18", "NATION_19"), ("NATION_19", "NATION_18")
+    }
+    assert rows[("NATION_18", "NATION_19")]["volume"] == 100.0
+    assert rows[("NATION_19", "NATION_18")]["volume"] == 200.0

@@ -398,3 +398,29 @@ def test_ngram_coverage_topk_never_full_sorts(spark):
     rows the curve never reads."""
     plan = _plan(Q.QUERIES["ngram_coverage_curve"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_discount_band_pushes_scan_filters(spark):
+    """Q6 is all predicate pushdown: the shipdate and quantity filters
+    must reach the parquet scan (PushedFilters), and the plan has no
+    join or exchange beyond the final single-row aggregate."""
+    plan = _plan(Q.QUERIES["discount_band_revenue"](spark, SF))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_returned_item_customers_takeordered_and_broadcasts(spark):
+    """Q10's final cut is TakeOrdered (never a full sort of the customer
+    aggregate) and both dims broadcast."""
+    plan = _plan(Q.QUERIES["returned_item_customers"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_nation_pair_trade_prunes_broadcast_sides(spark):
+    """Q7's nation-pair predicate must prune the supplier/customer
+    broadcast sides BEFORE the fact join (the filter sits under the
+    BroadcastExchange, not after the join)."""
+    plan = _plan(Q.QUERIES["nation_pair_trade"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "NATION_18" in plan, plan

@@ -9921,6 +9921,215 @@ def ngram_coverage_curve(spark, sf_dir):
     )
 
 
+@query(
+    "discount_band_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 10000) AS BIGINT))
+                AS BIGINT) AS revenue_u,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND(l_discount * 10000) AS BIGINT))
+                 / 1000000.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(ROUND(l_discount * 10000) AS BIGINT) BETWEEN 500 AND 700
+      AND l_quantity < 24
+    """,
+)
+def discount_band_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: revenue a 5-7% discount band forfeited over one
+    year — the pure scan-filter-aggregate whose whole cost is predicate
+    pushdown (no join, no window; the year + quantity predicates reach
+    the parquet scan).  Exact: the discount-band predicate quantizes the
+    discount to basis points BEFORE comparing (a float BETWEEN 0.05 AND
+    0.07 straddles representation error at the band edges), and revenue
+    is the integer cents-x-bp lane in a DECIMAL(38,0) accumulator, cast
+    out once."""
+    li = t(spark, sf_dir, "lineitem")
+    d_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100).cast("long") * d_bp
+    ).cast("decimal(38,0)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & d_bp.between(500, 700)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(rev_u).cast("long").alias("revenue_u"),
+            F.round(F.sum(rev_u).cast("double") / 1000000.0, 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "returned_item_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+                   AS total_u
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(r.total_u AS BIGINT) AS lost_revenue_u,
+           ROUND(r.total_u / 1000000.0, 2) AS lost_revenue
+    FROM rev r
+    JOIN customer c ON r.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY r.total_u DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: the 20 customers losing the most revenue to
+    returned items over two quarters — fact-fact join filtered both
+    sides, aggregate keyed on the customer, dims broadcast, distributed
+    top-k.  Exact: cents-x-bp integer lane in DECIMAL(38,0); the top-20
+    cut orders by (exact integer revenue DESC, custkey ASC), so the
+    admitted set is tie-stable.  Scale shape: the orderdate filter
+    prunes orders before the join, revenue combines map-side on
+    custkey, and the final cut is TakeOrdered — never a full sort."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (10000 - F.round(F.col("l_discount") * 10000).cast("long"))
+    ).cast("decimal(38,0)")
+    rev = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("o_custkey", rev_u.alias("rev_u"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_u").alias("total_u"))
+    )
+    return (
+        rev.join(
+            F.broadcast(
+                customer.select("c_custkey", "c_name", "c_nationkey")
+            ),
+            rev.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("total_u").cast("long").alias("lost_revenue_u"),
+            F.round(F.col("total_u").cast("double") / 1000000.0, 2).alias(
+                "lost_revenue"
+            ),
+        )
+        .orderBy(F.col("lost_revenue_u").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "nation_pair_trade",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+                AS BIGINT) AS volume_u,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+                 / 1000000.0, 2) AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+        OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18'))
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_trade(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations in both
+    directions by year — the two-dimension star join whose disjunctive
+    nation-pair predicate prunes BOTH broadcast sides before the
+    fact-fact join.  Exact: cents-x-bp integer volume in DECIMAL(38,0).
+    Scale shape: supplier/customer/nation broadcast (pre-filtered to the
+    two nations, so the fact rows that survive the first broadcast probe
+    are already pair-eligible); the only data-sized exchange is the
+    lineitem-orders join, and the final aggregate is a handful of
+    (nation, nation, year) cells."""
+    nation = t(spark, sf_dir, "nation")
+    pair = nation.filter(F.col("n_name").isin("NATION_18", "NATION_19"))
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (10000 - F.round(F.col("l_discount") * 10000).cast("long"))
+    ).cast("decimal(38,0)")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(rev_u).cast("long").alias("volume_u"),
+            F.round(F.sum(rev_u).cast("double") / 1000000.0, 2).alias(
+                "volume"
+            ),
+        )
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
