@@ -5369,3 +5369,78 @@ def test_nation_pair_trade_directions(spark, tmp_path):
     }
     assert rows[("NATION_18", "NATION_19")]["volume"] == 100.0
     assert rows[("NATION_19", "NATION_18")]["volume"] == 200.0
+
+
+def test_group_drift_jsd_matches_python_reference(spark):
+    """Bit-identity guard for the integer-lane Jensen-Shannon drift
+    screen (profiling.py group_drift_jsd): recompute hashed cells,
+    nano-nat entropy lanes over the common-denominator mixture, and the
+    rounded JSD in pure hashlib/math.  Also pins the two boundary
+    semantics: a group identical in mix to the rest reads ~0, and a
+    group sharing no cells with the rest reads ~ln 2."""
+    import hashlib
+    import math
+
+    B = 1024
+    rows = [
+        # s1 and s2: identical mixes -> jsd(s1 vs rest which is mostly
+        # the same mix) near 0
+        (1, "alpha beta gamma delta alpha beta", "en", "s1", 1),
+        (2, "alpha beta gamma delta alpha beta", "en", "s2", 1),
+        # s3: disjoint vocabulary
+        (3, "zzz qqq www zzz qqq www zzz", "en", "s3", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def cell(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    per, glob = {}, {}
+    for _, s, _, src, _ in rows:
+        for tok in re.split(r"\s+", s.strip().lower()):
+            h = cell(tok)
+            per.setdefault(src, {})
+            per[src][h] = per[src].get(h, 0) + 1
+            glob[h] = glob.get(h, 0) + 1
+    T = sum(glob.values())
+    lnq = lambda c: round(math.log(c) * 1e9)
+
+    def pyref(src):
+        cp = per[src]
+        np_ = sum(cp.values())
+        nq = T - np_
+        sp = sum(c * lnq(c) for c in cp.values())
+        sq = sum(
+            (glob[h] - cp.get(h, 0)) * lnq(glob[h] - cp.get(h, 0))
+            for h in glob
+            if glob[h] - cp.get(h, 0) > 0
+        )
+        sm = 0
+        for h in glob:
+            N = cp.get(h, 0) * nq + (glob[h] - cp.get(h, 0)) * np_
+            if N > 0:
+                sm += N * lnq(N)
+        d = float(2 * np_ * nq)
+        hp = math.log(float(np_)) - sp / float(np_) / 1e9
+        hq = math.log(float(nq)) - sq / float(nq) / 1e9
+        return (
+            np_,
+            nq,
+            len(cp),
+            round(math.log(d) - sm / d / 1e9 - (hp + hq) / 2, 6),
+        )
+
+    from tsdisagg_spark.operators import profiling
+
+    got = {
+        r["source"]: (r["n_tokens"], r["n_rest"], r["n_cells"], r["jsd"])
+        for r in profiling.group_drift_jsd(df, "source").collect()
+    }
+    for src in per:
+        assert got[src] == pyref(src), src
+    # s1 shares its mix with s2 (most of its "rest"); s3 is fully
+    # disjoint from everything — the screen must rank them accordingly
+    assert got["s1"][3] < got["s3"][3]
+    assert got["s3"][3] > 0.5           # disjoint vocabulary

@@ -277,3 +277,124 @@ def cdf_distance(
             ).alias("ks"),
         )
     )
+
+
+def group_drift_jsd(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence between the group's hashed
+    unigram distribution and the REST of the corpus — the drift screen
+    that flags a source whose token mix has wandered (new boilerplate,
+    language shift, scraper breakage) before it pollutes a training mix.
+
+    ``(group, n_tokens, n_rest, n_cells, jsd)`` with
+    ``jsd = H(m) - (H(p) + H(q)) / 2`` in nats (0 = identical mix,
+    ln 2 = disjoint).  EXACT-INTEGER LANES throughout: tokens hash into
+    ``buckets`` md5 cells; writing the equal-weight mixture over the
+    common denominator ``D = 2 * n_p * n_q`` makes every mixture cell
+    the INTEGER ``N_h = c_ph * n_q + c_qh * n_p`` (sum over cells = D),
+    so all three entropies take the token_entropy form
+    ``H = ln(n) - S / n / 1e9`` with ``S = sum(c * round(ln(c) * 1e9))``
+    an order-free integer accumulated in DECIMAL(38,0) (``N * ln-lane``
+    reaches ~7e25 at the 100x tier — int64 wraps, decimal cannot).  The
+    only floats are one ln per DISTINCT integer input and the closing
+    divisions, performed in the same order by any engine.
+
+    Scale shape: the corpus is touched once (token -> cell explode into
+    a map-side-combined (group, cell) count); every later step is
+    ``groups x buckets`` sized — the global cell table and group totals
+    BROADCAST, and the dense grid (so cells the group never emitted
+    still contribute their mixture term) is built from broadcasts, not
+    from the corpus."""
+    cells = (
+        df.select(
+            F.col(group_col),
+            F.explode(words(F.col(text_col))).alias("__tok"),
+        )
+        .select(
+            group_col,
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10
+                ).cast("long")
+                % buckets
+            ).alias("__h"),
+        )
+        .groupBy(group_col, "__h")
+        .agg(F.count(F.lit(1)).alias("__cp"))
+    )
+    gtot = cells.groupBy("__h").agg(F.sum("__cp").alias("__g"))
+    ptot = cells.groupBy(group_col).agg(F.sum("__cp").alias("__np"))
+    ttot = gtot.agg(F.sum("__g").alias("__T"))
+    # dense (group, cell) grid from broadcasts: groups x buckets rows
+    grid = (
+        ptot.crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(gtot))
+        .join(cells, [group_col, "__h"], "left")
+        .select(
+            group_col,
+            "__np",
+            (F.col("__T") - F.col("__np")).alias("__nq"),
+            F.coalesce(F.col("__cp"), F.lit(0)).alias("__c"),
+            (F.col("__g") - F.coalesce(F.col("__cp"), F.lit(0))).alias(
+                "__cq"
+            ),
+        )
+    )
+    lnq = lambda c: F.round(F.log(c.cast("double")) * 1e9).cast("long")
+    term = lambda c: (
+        F.when(c > 0, c.cast("decimal(38,0)") * lnq(c)).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )
+    )
+    mix = (
+        F.col("__c").cast("decimal(38,0)") * F.col("__nq")
+        + F.col("__cq").cast("decimal(38,0)") * F.col("__np")
+    )
+    lanes = grid.select(
+        group_col,
+        "__np",
+        "__nq",
+        F.when(F.col("__c") > 0, 1).otherwise(0).alias("__has"),
+        term(F.col("__c")).alias("__tp"),
+        term(F.col("__cq")).alias("__tq"),
+        F.when(
+            mix > 0,
+            mix * F.round(F.log(mix.cast("double")) * 1e9).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("__tm"),
+    )
+    agg = lanes.groupBy(group_col).agg(
+        F.first("__np").alias("__np"),
+        F.first("__nq").alias("__nq"),
+        F.sum("__has").cast("long").alias("n_cells"),
+        F.sum("__tp").alias("__sp"),
+        F.sum("__tq").alias("__sq"),
+        F.sum("__tm").alias("__sm"),
+    )
+    h = lambda s, n: (
+        F.log(n.cast("double")) - s.cast("double") / n.cast("double") / 1e9
+    )
+    d = (2 * F.col("__np").cast("decimal(38,0)") * F.col("__nq")).cast(
+        "double"
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("__np").cast("long").alias("n_tokens"),
+        F.col("__nq").cast("long").alias("n_rest"),
+        "n_cells",
+        F.round(
+            F.log(d)
+            - F.col("__sm").cast("double") / d / 1e9
+            - (
+                h(F.col("__sp"), F.col("__np"))
+                + h(F.col("__sq"), F.col("__nq"))
+            )
+            / 2,
+            6,
+        ).alias("jsd"),
+    )

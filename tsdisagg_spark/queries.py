@@ -10130,6 +10130,87 @@ def nation_pair_trade(spark, sf_dir):
     )
 
 
+@query(
+    "source_drift_jsd",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    cells AS (
+        SELECT source,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS h,
+               COUNT(*) AS cp
+        FROM toks GROUP BY 1, 2
+    ),
+    gtot AS (SELECT h, SUM(cp) AS g FROM cells GROUP BY 1),
+    ptot AS (SELECT source, SUM(cp) AS np FROM cells GROUP BY 1),
+    ttot AS (SELECT SUM(g) AS tt FROM gtot),
+    grid AS (
+        SELECT p.source, p.np, t.tt - p.np AS nq,
+               COALESCE(c.cp, 0) AS c, g.g - COALESCE(c.cp, 0) AS cq
+        FROM ptot p CROSS JOIN ttot t CROSS JOIN gtot g
+        LEFT JOIN cells c ON c.source = p.source AND c.h = g.h
+    ),
+    lanes AS (
+        SELECT source, np, nq,
+               CASE WHEN c > 0 THEN 1 ELSE 0 END AS has,
+               CASE WHEN c > 0 THEN CAST(c AS HUGEINT)
+                    * CAST(ROUND(ln(c) * 1e9) AS BIGINT)
+                    ELSE 0 END AS tp,
+               CASE WHEN cq > 0 THEN CAST(cq AS HUGEINT)
+                    * CAST(ROUND(ln(cq) * 1e9) AS BIGINT)
+                    ELSE 0 END AS tq,
+               CASE WHEN CAST(c AS HUGEINT) * nq + CAST(cq AS HUGEINT) * np
+                         > 0
+                    THEN (CAST(c AS HUGEINT) * nq + CAST(cq AS HUGEINT) * np)
+                         * CAST(ROUND(ln(CAST(CAST(c AS HUGEINT) * nq
+                               + CAST(cq AS HUGEINT) * np AS DOUBLE)) * 1e9)
+                               AS BIGINT)
+                    ELSE 0 END AS tm
+        FROM grid
+    ),
+    agg AS (
+        SELECT source, ANY_VALUE(np) AS np, ANY_VALUE(nq) AS nq,
+               CAST(SUM(has) AS BIGINT) AS n_cells,
+               SUM(tp) AS sp, SUM(tq) AS sq, SUM(tm) AS sm
+        FROM lanes GROUP BY 1
+    )
+    SELECT source, CAST(np AS BIGINT) AS n_tokens,
+           CAST(nq AS BIGINT) AS n_rest, n_cells,
+           ROUND(ln(CAST(2 * CAST(np AS HUGEINT) * nq AS DOUBLE))
+                 - CAST(sm AS DOUBLE)
+                   / CAST(2 * CAST(np AS HUGEINT) * nq AS DOUBLE) / 1e9
+                 - ((ln(CAST(np AS DOUBLE))
+                     - CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) / 1e9)
+                    + (ln(CAST(nq AS DOUBLE))
+                       - CAST(sq AS DOUBLE) / CAST(nq AS DOUBLE) / 1e9))
+                   / 2, 6) AS jsd
+    FROM agg
+    """,
+)
+def source_drift_jsd(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence against the rest of the
+    corpus — the token-mix drift screen (0 = identical mix, ln 2 =
+    disjoint) that catches a broken scraper or language shift before it
+    pollutes a training mixture.  Exact-integer entropy lanes over 1024
+    hashed unigram cells: the common-denominator mixture makes every
+    cell count an integer, so all three entropies are the token_entropy
+    nano-nat form accumulated in DECIMAL(38,0) (the N*ln-lane product
+    reaches ~7e25 at x100 — int64 would wrap); the only floats are one
+    ln per distinct integer and the closing divisions, ordered
+    identically in both engines (operators/profiling.py:
+    group_drift_jsd).  Scale shape: the corpus is touched once; the
+    grid, totals, and every later step are sources x 1024 sized and
+    built from broadcasts."""
+    from tsdisagg_spark.operators import profiling
+
+    return profiling.group_drift_jsd(
+        t(spark, sf_dir, "documents"), "source"
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
