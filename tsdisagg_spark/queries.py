@@ -9509,9 +9509,12 @@ def small_quantity_revenue(spark, sf_dir):
     integer arithmetic (``5 * q_cents * n < sum_q_cents`` instead of the
     float ``q < 0.2 * avg``), so the admitted set is bit-identical in
     both engines at any size; revenue sums integer cents.  Scale shape:
-    the per-part aggregate and the fact side hash-partition on the SAME
-    key (one exchange each, no repartition between agg and join); the
-    part dim broadcasts for the brand rollup."""
+    both join inputs are keyed on l_partkey, so the worst case is one
+    exchange each with no repartition between agg and join — and below
+    the broadcast threshold AQE broadcasts the per-part aggregate
+    instead, leaving the fact side entirely unshuffled (the observed
+    sf plan: 2 broadcast joins, 0 sort-merge); the part dim broadcasts
+    for the brand rollup."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.round(F.col("l_quantity") * 100).cast("long").alias("q_c"),
