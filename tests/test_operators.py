@@ -5444,3 +5444,42 @@ def test_group_drift_jsd_matches_python_reference(spark):
     # disjoint from everything — the screen must rank them accordingly
     assert got["s1"][3] < got["s3"][3]
     assert got["s3"][3] > 0.5           # disjoint vocabulary
+
+
+def test_late_event_audit_semantics(spark, tmp_path):
+    """The watermark audit counts an event late for delay d iff it sits
+    STRICTLY more than d behind the user's running high-water mark in
+    arrival (event_id) order: an event exactly 60s late is dropped at
+    delay 0 but kept at delay 60, each user's first event has no
+    predecessor and never counts, and users never cross-contaminate."""
+    rows = [
+        # user 1: hwm advances to 10:00, then an event 60s behind it
+        (1, 1, "click", "2024-01-01 10:00:00", "{}"),
+        (2, 1, "view", "2024-01-01 09:59:00", "{}"),   # 60s late exactly
+        (3, 1, "view", "2024-01-01 10:30:00", "{}"),   # on time
+        # user 2: monotone -> nothing late
+        (4, 2, "click", "2024-01-01 08:00:00", "{}"),
+        (5, 2, "view", "2024-01-01 09:00:00", "{}"),
+        # user 3: 2h behind -> late at every delay
+        (6, 3, "click", "2024-01-01 12:00:00", "{}"),
+        (7, 3, "view", "2024-01-01 10:00:00", "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts string, "
+        "props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    got = {
+        r["delay_s"]: r
+        for r in QUERIES["late_event_audit"](spark, str(tmp_path)).collect()
+    }
+    # 4 events have predecessors (ids 2,3,5,7)
+    assert all(got[d]["n_events"] == 4 for d in (0, 60, 600, 3600))
+    assert got[0]["n_late"] == 2       # the 60s-late and the 2h-late
+    assert got[60]["n_late"] == 1      # exactly-60s is NOT > 60s
+    assert got[600]["n_late"] == 1
+    assert got[3600]["n_late"] == 1    # 2h > 1h
+    assert got[60]["late_share"] == 0.25
