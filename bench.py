@@ -176,6 +176,7 @@ HEADLINE = [
     "nation_pair_trade",       # Q7 shape: pair-pruned two-broadcast star
     "source_drift_jsd",        # per-source JSD token-mix drift screen
     "late_event_audit",        # watermark-delay sizing: late-arrival census
+    "customer_spend_gini",     # revenue-concentration inequality per segment
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

@@ -5483,3 +5483,49 @@ def test_late_event_audit_semantics(spark, tmp_path):
     assert got[600]["n_late"] == 1
     assert got[3600]["n_late"] == 1    # 2h > 1h
     assert got[60]["late_share"] == 0.25
+
+
+def test_customer_spend_gini_known_values(spark, tmp_path):
+    """Gini on hand-computable spend vectors: equal spends -> 0, the
+    1-2-3-4 ladder -> exactly 0.25, and a whale segment reads near 1.
+    Also exercises the tie order (equal spends sorted by custkey leave
+    sum(i*x) unchanged)."""
+    orders, customers = [], []
+    ok = 1
+    # segment A: four customers spending 1,2,3,4 dollars -> gini 0.25
+    for ck, d in zip((1, 2, 3, 4), (1.0, 2.0, 3.0, 4.0)):
+        customers.append((ck, f"c{ck}", 0, 0.0, "A"))
+        orders.append((ok, ck, "O", d, "2024-01-01", "1-URGENT")); ok += 1
+    # segment B: equal spends (ties) -> gini 0
+    for ck in (10, 11, 12):
+        customers.append((ck, f"c{ck}", 0, 0.0, "B"))
+        orders.append((ok, ck, "O", 5.0, "2024-01-01", "1-URGENT")); ok += 1
+    # segment C: one whale among tiny spenders -> gini near 1
+    for ck in (20, 21, 22, 23):
+        customers.append((ck, f"c{ck}", 0, 0.0, "C"))
+        orders.append(
+            (ok, ck, "O", 0.01 if ck != 23 else 10000.0,
+             "2024-01-01", "1-URGENT")
+        ); ok += 1
+    o = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    c = spark.createDataFrame(
+        customers,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    o.write.parquet(str(tmp_path / "orders.parquet"))
+    c.write.parquet(str(tmp_path / "customer.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    got = {
+        r["segment"]: r
+        for r in QUERIES["customer_spend_gini"](spark, str(tmp_path)).collect()
+    }
+    assert got["A"]["gini"] == 0.25
+    assert got["B"]["gini"] == 0.0
+    assert got["C"]["gini"] > 0.7
+    assert got["A"]["total_spend_cents"] == 1000

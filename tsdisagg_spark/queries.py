@@ -10305,6 +10305,87 @@ def late_event_audit(spark, sf_dir):
     )
 
 
+@query(
+    "customer_spend_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, x,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY x ASC, c_custkey ASC) AS i
+        FROM spend
+    ),
+    agg AS (
+        SELECT segment, COUNT(*) AS n, SUM(x) AS s0,
+               SUM(CAST(i AS HUGEINT) * x) AS s1
+        FROM ranked GROUP BY 1
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_customers,
+           CAST(s0 AS BIGINT) AS total_spend_cents,
+           ROUND(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * s0 AS DOUBLE), 6) AS gini
+    FROM agg
+    """,
+)
+def customer_spend_gini(spark, sf_dir):
+    """Per-segment Gini coefficient of customer spend — the revenue-
+    concentration inequality measure (0 = everyone spends alike, ->1 =
+    one whale) behind whale-risk and market-structure dashboards.
+    Exact: spend is integer cents; the rank-weighted sum uses the
+    ascending (spend, custkey) order, under which Gini is provably
+    tie-order invariant (swapping equal values leaves sum(i*x)
+    unchanged); both S1 = sum(i*x) and the closing numerator
+    2*S1 - (n+1)*S0 are exact integers in DECIMAL(38,0) (rank x cents
+    reaches ~1e17/row), so the one division produces identical doubles
+    in any engine.  Scale shape: orders collapse to one row per
+    customer map-side, the rank is one per-segment window over the
+    CUSTOMER grain (never the fact table), and the final aggregate is
+    five rows."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("x").asc(), F.col("c_custkey").asc()
+    )
+    ranked = spend.select(
+        "segment", "x", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s0"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("s1"),
+    )
+    return agg.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s0").cast("long").alias("total_spend_cents"),
+        F.round(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")).cast(
+                "double"
+            )
+            / (F.col("n").cast("decimal(38,0)") * F.col("s0")).cast(
+                "double"
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
