@@ -325,6 +325,17 @@ def group_drift_jsd(
         )
         .groupBy(group_col, "__h")
         .agg(F.count(F.lit(1)).alias("__cp"))
+        # persisted: the (group, cell) count feeds the global cell table,
+        # the group totals, AND the dense-grid join — without it the
+        # corpus explode + first exchange run once per consumer (verified:
+        # 4 FileScans in the unpersisted plan; same caller-managed
+        # discipline as dsir_importance_weights).  At sf0.1 the persist
+        # measures ~0.8s SLOWER (1.0 -> 1.9s: cache materialization vs a
+        # cheap 5k-doc recompute — the winnowing recompute-vs-persist
+        # trade again), but the operator's contract is the 100 TB corpus,
+        # where one scan vs four dominates; the cached table is only
+        # groups x buckets rows.
+        .persist()
     )
     gtot = cells.groupBy("__h").agg(F.sum("__cp").alias("__g"))
     ptot = cells.groupBy(group_col).agg(F.sum("__cp").alias("__np"))
