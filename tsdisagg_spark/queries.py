@@ -9714,12 +9714,15 @@ def temperature_mixture_weights(spark, sf_dir):
     map-side-combined aggregate over the corpus; everything after is a
     5-row broadcast."""
     docs = t(spark, sf_dir, "documents")
+    # persisted: the per-language aggregate (a handful of rows) feeds the
+    # total and the weight projection — unpersisted, the corpus token
+    # count runs twice
     base = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(text.words(F.col("text"))))
         .cast("long")
         .alias("n_tokens"),
-    )
+    ).persist()
     tot = base.agg(F.sum("n_tokens").alias("t"))
     q = base.crossJoin(F.broadcast(tot)).select(
         "lang",
@@ -9792,6 +9795,9 @@ def top_supplier_revenue(spark, sf_dir):
         )
         .groupBy("l_suppkey")
         .agg(F.sum("rev_u").alias("total_u"))
+        # persisted: the supplier-grain aggregate feeds the global max AND
+        # the equality filter — unpersisted, the fact scan runs twice
+        .persist()
     )
     mx = rev.agg(F.max("total_u").alias("m"))
     supplier = t(spark, sf_dir, "supplier")
@@ -9888,10 +9894,14 @@ def ngram_coverage_curve(spark, sf_dir):
     (distributed heap, never a full sort) and everything after is a
     10k-row tail — the corpus itself is touched once."""
     docs = t(spark, sf_dir, "documents")
+    # persisted: the vocabulary count feeds BOTH the total-mass aggregate
+    # and the top-k cut — unpersisted, the corpus explode runs twice
+    # (vocab is Heaps-law sublinear in the corpus, so the cache is small)
     c = (
         docs.select(F.explode(text.words(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     tot = c.agg(
         F.sum("n").cast("long").alias("t"),
