@@ -177,6 +177,7 @@ HEADLINE = [
     "source_drift_jsd",        # per-source JSD token-mix drift screen
     "late_event_audit",        # watermark-delay sizing: late-arrival census
     "customer_spend_gini",     # revenue-concentration inequality per segment
+    "incremental_monthly_revenue",  # MV delta merge == full recompute
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

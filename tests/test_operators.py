@@ -5529,3 +5529,34 @@ def test_customer_spend_gini_known_values(spark, tmp_path):
     assert got["B"]["gini"] == 0.0
     assert got["C"]["gini"] > 0.7
     assert got["A"]["total_spend_cents"] == 1000
+
+
+def test_incremental_monthly_revenue_merge_semantics(spark, tmp_path):
+    """The delta merge must handle all three month classes: base-only
+    (no batch orders that month), batch-only (a month the base has never
+    seen — the full-outer's null side), and overlapping (partial sums
+    add)."""
+    rows = [
+        # month 1: base only (orderkeys not divisible by 5)
+        (1, 1, "O", 10.0, "2024-01-15", "1-URGENT"),
+        # month 2: overlap — base 20.0 + batch 5.0
+        (2, 1, "O", 20.0, "2024-02-15", "1-URGENT"),
+        (5, 1, "O", 5.0, "2024-02-20", "1-URGENT"),
+        # month 3: batch only
+        (10, 1, "O", 7.5, "2024-03-15", "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    got = {
+        r["month"].month: (r["revenue_cents"], r["n_orders"])
+        for r in QUERIES["incremental_monthly_revenue"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: (1000, 1), 2: (2500, 2), 3: (750, 1)}

@@ -10396,6 +10396,62 @@ def customer_spend_gini(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_monthly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_monthly_revenue(spark, sf_dir):
+    """Materialized-view delta maintenance: the monthly revenue aggregate
+    is REFRESHED incrementally — the held base (o_orderkey % 5 != 0) is
+    aggregated once, an ingest batch (o_orderkey % 5 == 0) is aggregated
+    alone, and the two merge through a full-outer month join with
+    coalesced partial sums.  The oracle recomputes the aggregate from
+    ALL orders directly, so the hash match PROVES delta-merge ==
+    full-recompute — the contract an incremental pipeline relies on
+    every refresh (sums are integer cents, so the merge is exactly
+    associative; a float revenue would drift between the two paths).
+    Scale shape: the refresh touches O(batch + affected months) — the
+    base aggregate is month-grain (bounded by the calendar, trivially
+    persistable), the batch aggregates map-side, and the merge joins two
+    month-grain tables."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    month = F.date_trunc("month", "o_orderdate").alias("month")
+
+    def agg(df):
+        return df.groupBy(month).agg(
+            F.sum(cents).alias("__rc"), F.count(F.lit(1)).alias("__n")
+        )
+
+    base = agg(orders.filter(F.col("o_orderkey") % 5 != 0))
+    delta = agg(orders.filter(F.col("o_orderkey") % 5 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.month") == F.col("d.month"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.month"), F.col("d.month")).alias("month"),
+            (
+                F.coalesce(F.col("b.__rc"), F.lit(0))
+                + F.coalesce(F.col("d.__rc"), F.lit(0))
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            (
+                F.coalesce(F.col("b.__n"), F.lit(0))
+                + F.coalesce(F.col("d.__n"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_orders"),
+        )
+    )
+
+
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` in
 # iteration order.  A static window re-certifies the same 50 queries every
 # round while the rest of the registry never receives an external driver
