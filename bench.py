@@ -178,6 +178,7 @@ HEADLINE = [
     "late_event_audit",        # watermark-delay sizing: late-arrival census
     "customer_spend_gini",     # revenue-concentration inequality per segment
     "incremental_monthly_revenue",  # MV delta merge == full recompute
+    "customer_order_distribution",  # Q13 shape: zero-inclusive histogram
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two

@@ -5560,3 +5560,31 @@ def test_incremental_monthly_revenue_merge_semantics(spark, tmp_path):
         ).collect()
     }
     assert got == {1: (1000, 1), 2: (2500, 2), 3: (750, 1)}
+
+
+def test_customer_order_distribution_includes_zero(spark, tmp_path):
+    """Q13's defining edge: customers with NO orders appear in the
+    c_count = 0 bucket (an inner join silently drops them)."""
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "B") for k in (1, 2, 3)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, "2024-01-01", "1-URGENT"),
+         (2, 1, "O", 1.0, "2024-01-02", "1-URGENT"),
+         (3, 2, "O", 1.0, "2024-01-03", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in QUERIES["customer_order_distribution"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
