@@ -5104,6 +5104,56 @@ def test_incremental_dsir_probe_matches_python_reference(spark):
     assert got == want
 
 
+def test_dsir_index_format_gate(spark, tmp_path):
+    """The persistable DSIR index is self-describing (sampling.py
+    DSIR_INDEX_FORMAT): the version/buckets/scale schema tag on __lam
+    survives a parquet round-trip, dsir_score REFUSES a table whose
+    bucket modulus disagrees with the probe's hashing (mixed moduli
+    would silently join wrong lambdas), and an untagged table — one
+    persisted before the gate, or hand-built — fails loudly with a
+    rebuild instruction instead of scoring."""
+    import pytest
+
+    from tsdisagg_spark.operators import sampling
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "totally unrelated noise tokens appear here"),
+        (3, "the lazy dog naps under the warm sun"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(5, "the quick brown fox naps too")], ["doc_id", "text"]
+    )
+    table = sampling.dsir_cell_table(df, target=F.col("doc_id") == 1, buckets=64)
+    meta = dict(table.schema["__lam"].metadata)
+    assert meta["dsir_index_format"] == sampling.DSIR_INDEX_FORMAT
+    assert meta["dsir_buckets"] == 64
+
+    # the tag survives persistence: write, read back, score — identical
+    # to scoring against the in-memory table
+    path = str(tmp_path / "dsir_index.parquet")
+    table.write.parquet(path)
+    reread = spark.read.parquet(path)
+    assert dict(reread.schema["__lam"].metadata)["dsir_buckets"] == 64
+    want = sorted(
+        sampling.dsir_score(batch, table, buckets=64).collect()
+    )
+    got = sorted(sampling.dsir_score(batch, reread, buckets=64).collect())
+    assert got == want and got, got
+
+    # bucket-modulus mismatch fails loudly at plan time (no job runs)
+    with pytest.raises(ValueError, match="bucket-modulus mismatch"):
+        sampling.dsir_score(batch, reread, buckets=128)
+    # untagged table (pre-gate persist / hand-built) fails loudly too
+    untagged = reread.select(
+        "__h", F.col("__lam").alias("__lam", metadata={})
+    )
+    assert untagged.schema["__lam"].metadata in (None, {})
+    with pytest.raises(ValueError, match="index format"):
+        sampling.dsir_score(batch, untagged, buckets=64)
+
+
 def test_temperature_mixture_upsamples_low_resource(spark, tmp_path):
     """Temperature sampling's defining property: alpha < 1 moves mass
     from high-resource to low-resource languages while staying a
@@ -5212,9 +5262,16 @@ def test_token_entropy_matches_python_reference(spark):
 
 def test_ngram_coverage_curve_semantics(spark, tmp_path):
     """Coverage is monotone in k, k past the vocabulary covers all
-    mass, and the rank tie-break (count desc, token asc) decides which
-    of two equal-count tokens makes the cut."""
-    rows = [(1, "a a a b b c", "en", "s", 6), (2, "d e f", "en", "s", 3)]
+    mass, and a count tie STRADDLING the k=100 boundary is cut at
+    exactly k tokens (row_number semantics: 40 of the 90 tied count-1
+    tokens make the cut — a rank()/dense_rank() tie treatment would
+    admit all 90 and report full coverage at k=100)."""
+    heads = [f"b{i:02d}" for i in range(60)]  # count 2 each: ranks 1-60
+    tails = [f"u{i:02d}" for i in range(90)]  # count 1 each: ranks 61-150
+    rows = [
+        (1, " ".join(heads * 2), "en", "s", 1),
+        (2, " ".join(tails), "en", "s", 1),
+    ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -5225,10 +5282,16 @@ def test_ngram_coverage_curve_semantics(spark, tmp_path):
         r["k"]: r
         for r in QUERIES["ngram_coverage_curve"](spark, str(tmp_path)).collect()
     }
-    assert got[100]["n_vocab"] == 6 and got[100]["n_tokens"] == 9
-    # k >= vocab covers everything
     for k in (100, 1000, 10000):
-        assert got[k]["covered_tokens"] == 9
+        assert got[k]["n_vocab"] == 150 and got[k]["n_tokens"] == 210
+    # the tie straddles rank 100: the 60 count-2 heads plus exactly 40
+    # of the 90 tied count-1 tails are covered — partial coverage
+    assert got[100]["covered_tokens"] == 60 * 2 + 40
+    assert got[100]["coverage"] == 0.761905  # round(160/210, 6)
+    # monotone in k, and k >= vocab covers everything
+    assert got[100]["covered_tokens"] < got[1000]["covered_tokens"]
+    for k in (1000, 10000):
+        assert got[k]["covered_tokens"] == 210
         assert got[k]["coverage"] == 1.0
 
 

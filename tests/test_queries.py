@@ -288,8 +288,10 @@ def test_driver_sample_window_core_plus_rotation():
     # coverage accumulates: >=15 never-driver-sampled names this round
     fresh = [n for n in window if n not in DRIVER_SAMPLED_BEFORE]
     assert len(fresh) >= 15, f"only {len(fresh)} never-sampled: {fresh}"
-    # judge-ordered rotation carriers made it in
-    assert set(DRIVER_ROTATION_PRIORITY) <= set(window)
+    # judge-ordered rotation carriers fill the slots in order; the
+    # overflow (priority list may exceed the slot count) stays queued
+    n_slots = DRIVER_WINDOW - len(DRIVER_CORE)
+    assert set(DRIVER_ROTATION_PRIORITY[:n_slots]) <= set(window)
     # pure permutation of the registry
     assert set(q) == set(QUERIES)
     assert set(entry_mod.oracle_sql()) == set(ORACLES)

@@ -393,19 +393,28 @@ def group_drift_jsd(
     d = (2 * F.col("__np").cast("decimal(38,0)") * F.col("__nq")).cast(
         "double"
     )
+    # Single-group corpus guard: with one group the rest is empty
+    # (n_rest = 0) and H(q) is ln(0)/division-by-zero — Spark would
+    # return NULL implicitly while an oracle engine errors or yields
+    # -inf.  Make the degenerate case DEFINED and identical on both
+    # sides: jsd is explicitly NULL when there is nothing to drift
+    # against (ADVICE r10; the oracle carries the matching CASE WHEN).
     return agg.select(
         F.col(group_col),
         F.col("__np").cast("long").alias("n_tokens"),
         F.col("__nq").cast("long").alias("n_rest"),
         "n_cells",
-        F.round(
-            F.log(d)
-            - F.col("__sm").cast("double") / d / 1e9
-            - (
-                h(F.col("__sp"), F.col("__np"))
-                + h(F.col("__sq"), F.col("__nq"))
-            )
-            / 2,
-            6,
+        F.when(
+            F.col("__nq") > 0,
+            F.round(
+                F.log(d)
+                - F.col("__sm").cast("double") / d / 1e9
+                - (
+                    h(F.col("__sp"), F.col("__np"))
+                    + h(F.col("__sq"), F.col("__nq"))
+                )
+                / 2,
+                6,
+            ),
         ).alias("jsd"),
     )

@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 #: bucket space for rate arithmetic — rates are exact multiples of 1/10000
 BUCKETS = 10_000
 
+#: Persisted DSIR index format version.  The cell table produced by
+#: :func:`dsir_cell_table` is schema-tagged (column metadata on ``__lam``,
+#: which Spark round-trips through parquet) with this version plus the
+#: ``buckets``/``scale`` it was built with, and :func:`dsir_score` REFUSES
+#: a table whose tag is missing or whose buckets disagree with the probe's
+#: hashing modulus — a mismatch would silently join batch cells (hashed mod
+#: the new buckets) against lambdas from the old modulus and score with
+#: mixed moduli.  Bump this when the cell hashing or quantization contract
+#: changes so stale persisted indexes fail loudly instead of scoring wrong.
+DSIR_INDEX_FORMAT = 1
+
 
 def hash_bucket(key: Column, salt: str = "", buckets: int = BUCKETS) -> Column:
     """Deterministic sampling bucket in ``[0, buckets)``: the first 8 hex
@@ -342,7 +353,10 @@ def _dsir_lambda(cnt: DataFrame, buckets: int, scale: int) -> DataFrame:
 
     rounded to ``scale``-nats (micronats at the default).  ``buckets``
     rows — the persistable DSIR INDEX: build it once from a reference
-    corpus, broadcast it to score any future batch."""
+    corpus, broadcast it to score any future batch.  The ``__lam``
+    column carries the format tag (version/buckets/scale) as schema
+    metadata so a persisted table self-describes — see
+    :data:`DSIR_INDEX_FORMAT`."""
     feat = cnt.groupBy("__h").agg(
         F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__th"),
         F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("__rh"),
@@ -362,7 +376,14 @@ def _dsir_lambda(cnt: DataFrame, buckets: int, scale: int) -> DataFrame:
             )
         )
         .cast("long")
-        .alias("__lam"),
+        .alias(
+            "__lam",
+            metadata={
+                "dsir_index_format": DSIR_INDEX_FORMAT,
+                "dsir_buckets": buckets,
+                "dsir_scale": scale,
+            },
+        ),
     )
 
 
@@ -399,9 +420,12 @@ def dsir_score(
     integer ``sum(count_dh * lambda_h)``.  Cells absent from the table
     (bigram cells the reference corpus never produced) contribute 0 —
     the smoothed ratio of an unseen cell is a constant the caller's
-    top-k is invariant to only when batch docs share it, so the table
-    should be built with the same ``buckets``; with the default 1024 all
-    cells exist in any non-toy reference corpus.
+    top-k is invariant to only when batch docs share it; with the
+    default 1024 all cells exist in any non-toy reference corpus.  The
+    table MUST have been built with the same ``buckets``: the schema tag
+    written by :func:`dsir_cell_table` is checked here and a missing or
+    mismatched tag raises ``ValueError`` instead of scoring with mixed
+    moduli (:data:`DSIR_INDEX_FORMAT`).
 
     ``pre_counted=True`` accepts ``_dsir_cell_counts`` output directly
     (internal reuse path for :func:`dsir_importance_weights`, which
@@ -410,6 +434,27 @@ def dsir_score(
     Scale shape: the batch explodes and combines map-side; the cell
     table BROADCASTS — scoring never shuffles the reference corpus and
     costs O(batch)."""
+    meta = (
+        dict(cell_table.schema["__lam"].metadata or {})
+        if "__lam" in cell_table.columns
+        else {}
+    )
+    fmt = meta.get("dsir_index_format")
+    if fmt != DSIR_INDEX_FORMAT:
+        raise ValueError(
+            f"DSIR cell table carries index format {fmt!r}; this engine "
+            f"reads format {DSIR_INDEX_FORMAT}.  Untagged/stale tables "
+            "cannot prove which bucket modulus built them — rebuild with "
+            "dsir_cell_table() (the tag survives a parquet round-trip)."
+        )
+    if meta.get("dsir_buckets") != buckets:
+        raise ValueError(
+            "DSIR bucket-modulus mismatch: the cell table was built with "
+            f"buckets={meta.get('dsir_buckets')} but the probe hashes mod "
+            f"buckets={buckets}; scoring would silently join batch cells "
+            "against lambdas from a different modulus.  Pass buckets="
+            f"{meta.get('dsir_buckets')} or rebuild the index."
+        )
     if pre_counted:
         cnt = docs.filter(~F.col("__t"))
     else:
@@ -477,4 +522,4 @@ def dsir_importance_weights(
     # between-rep cleanup unpersists)
     cnt = _dsir_cell_counts(docs, target, id_col, text_col, buckets).persist()
     lam = _dsir_lambda(cnt, buckets, scale)
-    return dsir_score(cnt, lam, id_col=id_col, pre_counted=True)
+    return dsir_score(cnt, lam, id_col=id_col, buckets=buckets, pre_counted=True)

@@ -10192,6 +10192,7 @@ def nation_pair_trade(spark, sf_dir):
     )
     SELECT source, CAST(np AS BIGINT) AS n_tokens,
            CAST(nq AS BIGINT) AS n_rest, n_cells,
+           CASE WHEN nq > 0 THEN
            ROUND(ln(CAST(2 * CAST(np AS HUGEINT) * nq AS DOUBLE))
                  - CAST(sm AS DOUBLE)
                    / CAST(2 * CAST(np AS HUGEINT) * nq AS DOUBLE) / 1e9
@@ -10199,7 +10200,8 @@ def nation_pair_trade(spark, sf_dir):
                      - CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) / 1e9)
                     + (ln(CAST(nq AS DOUBLE))
                        - CAST(sq AS DOUBLE) / CAST(nq AS DOUBLE) / 1e9))
-                   / 2, 6) AS jsd
+                   / 2, 6)
+           ELSE NULL END AS jsd
     FROM agg
     """,
 )
@@ -10305,13 +10307,22 @@ def late_event_audit(spark, sf_dir):
             ]
         )
     )
-    return one.select(F.col("__n"), cells.alias("__c")).select(
-        F.col("__c.delay_s").alias("delay_s"),
-        F.col("__n").alias("n_events"),
-        F.col("__c.n_late").alias("n_late"),
-        F.round(F.col("__c.n_late") * 1.0 / F.col("__n"), 6).alias(
-            "late_share"
-        ),
+    # Degenerate corpus guard: a global agg on EMPTY input still yields
+    # one row (n=0, NULL share) which the explode would fan to 4 rows,
+    # while the oracle's GROUP BY over an empty lat emits 0 rows — drop
+    # the n=0 row so both engines agree that "no event has a
+    # predecessor" means an empty audit (ADVICE r10).
+    return (
+        one.filter(F.col("__n") > 0)
+        .select(F.col("__n"), cells.alias("__c"))
+        .select(
+            F.col("__c.delay_s").alias("delay_s"),
+            F.col("__n").alias("n_events"),
+            F.col("__c.n_late").alias("n_late"),
+            F.round(F.col("__c.n_late") * 1.0 / F.col("__n"), 6).alias(
+                "late_share"
+            ),
+        )
     )
 
 
@@ -10421,7 +10432,12 @@ def incremental_monthly_revenue(spark, sf_dir):
     persistable), the batch aggregates map-side, and the merge joins two
     month-grain tables."""
     orders = t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # Accumulate cents in DECIMAL(38,0): a plain long sum wraps silently
+    # on overflow and the merge==recompute claim depends on no wrap — a
+    # month at the 100 TB contract can plausibly exceed int64 (same
+    # convention as top_supplier_revenue / source_drift_jsd).  One cast
+    # back to long at the output keeps the driver schema unchanged.
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
     month = F.date_trunc("month", "o_orderdate").alias("month")
 
     def agg(df):
@@ -10509,7 +10525,7 @@ def customer_order_distribution(spark, sf_dir):
 # Every window name is oracle-backed (the four rows-only-by-design queries
 # stay outside it so the driver's 50-sample is 50/50 hash-checkable); names
 # outside the window follow in registration order — nothing is dropped.
-DRIVER_ROUND = 10
+DRIVER_ROUND = 11
 DRIVER_WINDOW = 50
 
 DRIVER_CORE: tuple[str, ...] = (
@@ -10618,32 +10634,47 @@ DRIVER_SAMPLED_BEFORE: frozenset[str] = frozenset({
     "bloom_pruned_urgent_revenue", "signup_purchase_latency",
     "order_value_percentiles", "seasonal_decomposition_exact",
     "revenue_rollup_exact", "sole_late_supplier", "peak_concurrency",
+    # round-10 driver rows (CORRECTNESS_r10.json — the 15 first-ever picks)
+    "dedup_canonical", "pii_redaction", "sql_market_share",
+    "user_activity_islands", "cross_modal_dup_audit", "semantic_dedup",
+    "similar_part_names", "priority_status_cube", "returnflag_pivot",
+    "rolling_revenue", "customer_spend_ranks",
+    "order_value_histogram_exact", "seasonal_decomposition",
+    "repetition_stats", "weighted_sample_orders",
 })
 
 # This round's judge-ordered rotation carriers, ahead of the shuffle
-# (VERDICT r09 #1): fifteen never-driver-sampled queries — lead with the
-# five the judge sf0.01-verified in the round-9 session (dedup_canonical,
-# pii_redaction, sql_market_share, user_activity_islands,
-# cross_modal_dup_audit), then the strongest remaining long-timers:
-# semantic dedup, PassJoin linkage, CUBE, PIVOT, rolling window, ranks,
-# exact histogram, seasonal decomposition, repetition stats, and the
-# weighted sampler.
+# (VERDICT r10 #1): the 25 queries the judge sf0.01-verified in the
+# round-10 session — the 16 round-10 registrations first, then the
+# never-sampled old-timers.  Only the first ``DRIVER_WINDOW -
+# len(DRIVER_CORE)`` fit this round's window; the overflow keeps its
+# judge ordering and leads the queue when the round is next bumped.
 DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
-    "dedup_canonical",
-    "pii_redaction",
-    "sql_market_share",
-    "user_activity_islands",
-    "cross_modal_dup_audit",
-    "semantic_dedup",
-    "similar_part_names",
-    "priority_status_cube",
-    "returnflag_pivot",
-    "rolling_revenue",
-    "customer_spend_ranks",
-    "order_value_histogram_exact",
-    "seasonal_decomposition",
-    "repetition_stats",
-    "weighted_sample_orders",
+    "winnowing_fingerprints",
+    "winnowing_shared_pairs",
+    "gopher_quality_filter",
+    "dsir_importance_sample",
+    "incremental_dsir_score",
+    "source_drift_jsd",
+    "customer_spend_gini",
+    "incremental_monthly_revenue",
+    "customer_order_distribution",
+    "hybrid_rrf_search",
+    "pmi_collocations",
+    "late_event_audit",
+    "small_quantity_revenue",
+    "nation_pair_trade",
+    "returned_item_customers",
+    "top_supplier_revenue",
+    "token_entropy",
+    "ngram_coverage_curve",
+    "zipf_slope_by_source",
+    "temperature_mixture_weights",
+    "embedding_pca_parseval_exact",
+    "brand_margin",
+    "signup_funnel",
+    "pipeline_clean_corpus",
+    "customer_quartiles",
 )
 
 
