@@ -179,6 +179,9 @@ HEADLINE = [
     "customer_spend_gini",     # revenue-concentration inequality per segment
     "incremental_monthly_revenue",  # MV delta merge == full recompute
     "customer_order_distribution",  # Q13 shape: zero-inclusive histogram
+    "large_volume_customers",  # Q18 shape: HAVING-sum pushdown + TakeOrdered
+    "waiting_suppliers_topk",  # Q21 canonical: numwait ranks, status filter
+    "global_sales_opportunity",  # Q22 shape: scalar threshold + anti-join
     # dedup_canonical is intentionally not timed: it is jaccard_near_dups +
     # dedup_components (both timed above) plus two broadcast joins;
     # dup_graph_triangles likewise rides jaccard_near_dups plus two
