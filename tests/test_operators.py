@@ -1966,6 +1966,94 @@ def test_chunk_probe_clean_stream_equals_batch(spark, tmp_path):
     assert sorted(got) == want and len(want) == 4
 
 
+def test_monthly_revenue_merge_stream_equals_batch(spark, tmp_path):
+    """VERDICT r10 #6: the MV-delta contract's streaming twin, pinned.
+    Micro-batch an order stream through foreachBatch, each batch folded
+    into the persisted month-grain base with
+    streaming.merge_partial_aggregates (the chunk-index admission
+    pattern applied to an aggregate), and assert the final state is
+    bit-identical to the driver-contract incremental_monthly_revenue
+    query over the same orders — stream == batch == full recompute,
+    which holds exactly because the cents lanes are DECIMAL partial
+    sums (associative), never floats."""
+    from tsdisagg_spark.streaming import merge_partial_aggregates
+
+    rows = [
+        # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        #  o_orderpriority) — months recur across micro-batch cuts so the
+        # merge exercises BOTH branches (existing month + new month)
+        (k, k % 7, "O", float(100 + 13 * k) + 0.37, f"199{5 + k % 3}-{1 + k % 12:02d}-15", "1-URGENT")
+        for k in range(1, 31)
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string"
+    )
+    orders = spark.createDataFrame(rows, schema).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["incremental_monthly_revenue"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+
+    # one file per doc-range micro-batch, drained in order
+    src = str(tmp_path / "stream_src")
+    for lo in range(1, 31, 8):
+        orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 8)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    agg = lambda df: df.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    state = {"base": None}
+
+    def sink(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        part = agg(bdf)
+        merged = (
+            part
+            if state["base"] is None
+            else merge_partial_aggregates(
+                state["base"],
+                part,
+                keys=("month",),
+                sum_cols=("revenue_cents", "n_orders"),
+            )
+        )
+        # the persisted month-grain base: calendar-bounded state
+        state["base"] = merged.localCheckpoint()
+
+    stream = spark.readStream.schema(orders.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in state["base"]
+        .select(
+            "month",
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .collect()
+    )
+    assert got == want and len(want) >= 10
+
+
 def test_quantize_embeddings_properties(spark):
     rng = np.random.default_rng(5)
     rows = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(20)]

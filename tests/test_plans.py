@@ -424,3 +424,39 @@ def test_nation_pair_trade_prunes_broadcast_sides(spark):
     plan = _plan(Q.QUERIES["nation_pair_trade"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "NATION_18" in plan, plan
+
+
+def test_winnowing_hash_array_not_inlined_into_lambda(spark):
+    """Round-10 plan rule under regression guard (SCALING.md "the round's
+    plan lesson"): Catalyst's projection collapse inlines a
+    SINGLE-referenced array-valued alias into a consuming
+    higher-order-function lambda, where it re-evaluates per element —
+    for winnowing that put the whole md5 k-gram chain inside the
+    O(grams x window) selection loop (hours at the x100 tier).  The
+    shipped form keeps ``__h`` a multi-referenced attribute with O(1)
+    ``F.get`` lookups, so the md5 chain must appear ONCE per plan
+    subtree in the optimized plan, never once per lambda reference.  A
+    Catalyst upgrade or refactor that reintroduces the inline shows up
+    here as dozens of md5 occurrences."""
+    import re
+
+    for name, max_md5 in (
+        ("winnowing_shared_pairs", 4),
+        ("winnowing_fingerprints", 2),
+    ):
+        opt = (
+            Q.QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        n_md5 = opt.count("md5(")
+        assert 1 <= n_md5 <= max_md5, (name, n_md5)
+        # __h survived as ONE attribute the selection references many
+        # times (the multi-reference is exactly what blocks collapse)
+        hrefs = re.findall(r"__h#\d+", opt)
+        assert len(set(hrefs)) == 1 and len(hrefs) >= 10, (
+            name,
+            len(hrefs),
+            sorted(set(hrefs)),
+        )

@@ -12,6 +12,7 @@ from tsdisagg_spark.streaming.disagg import (
     streaming_disaggregate,
 )
 from tsdisagg_spark.streaming.joins import interval_join
+from tsdisagg_spark.streaming.mv import merge_partial_aggregates
 from tsdisagg_spark.streaming.windows import (
     sliding_counts,
     stream_exact_dedup,
@@ -29,6 +30,7 @@ from tsdisagg_spark.streaming.windows import (
 __all__ = [
     "interval_join",
     "latest_solutions",
+    "merge_partial_aggregates",
     "rowwise_minhash_signatures",
     "sliding_counts",
     "stateful_sessions",
