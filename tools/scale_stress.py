@@ -48,7 +48,13 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 OFF = 10**9
 
 
-def gen(src: str, mult: int, out: str) -> None:
+def gen(src: str, mult: int, out: str, tables: set[str] | None = None) -> None:
+    """``tables`` restricts which FACT tables are replicated (e.g.
+    ``{"documents"}`` for the x1000 documents-only tier — replicating
+    60M-row lineitem 1000x is neither needed nor disk-sane for a
+    document-family gate); unscaled facts and the dims are byte-copied
+    from ``src`` so `t()`/oracle view registration still resolve every
+    table."""
     from pyspark.sql import functions as F
 
     from tsdisagg_spark.spark.session import get_spark
@@ -61,8 +67,19 @@ def gen(src: str, mult: int, out: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
-    for d in DIMS:
-        shutil.copyfile(f"{src}/{d}.parquet", f"{out}/{d}.parquet")
+    facts = ["orders", "lineitem", "events", "documents", "embeddings"]
+    scaled = set(facts) if tables is None else set(tables)
+    unknown = scaled - set(facts)
+    if unknown:
+        raise SystemExit(f"unknown fact tables: {sorted(unknown)}")
+    for d in DIMS + [f for f in facts if f not in scaled]:
+        if os.path.isdir(f"{src}/{d}.parquet"):
+            shutil.copytree(
+                f"{src}/{d}.parquet", f"{out}/{d}.parquet",
+                dirs_exist_ok=True,
+            )
+        else:
+            shutil.copyfile(f"{src}/{d}.parquet", f"{out}/{d}.parquet")
 
     def replicas(df, build):
         parts = [build(df, i) for i in range(mult)]
@@ -71,29 +88,32 @@ def gen(src: str, mult: int, out: str) -> None:
             u = u.unionByName(p)
         return u
 
-    orders = spark.read.parquet(f"{src}/orders.parquet")
-    replicas(
-        orders,
-        lambda df, i: df.withColumn(
-            "o_orderkey", F.col("o_orderkey") + F.lit(i * OFF)
-        ),
-    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    if "orders" in scaled:
+        orders = spark.read.parquet(f"{src}/orders.parquet")
+        replicas(
+            orders,
+            lambda df, i: df.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * OFF)
+            ),
+        ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
-    li = spark.read.parquet(f"{src}/lineitem.parquet")
-    replicas(
-        li,
-        lambda df, i: df.withColumn(
-            "l_orderkey", F.col("l_orderkey") + F.lit(i * OFF)
-        ),
-    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    if "lineitem" in scaled:
+        li = spark.read.parquet(f"{src}/lineitem.parquet")
+        replicas(
+            li,
+            lambda df, i: df.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * OFF)
+            ),
+        ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
-    ev = spark.read.parquet(f"{src}/events.parquet")
-    replicas(
-        ev,
-        lambda df, i: df.withColumn(
-            "event_id", F.col("event_id") + F.lit(i * OFF)
-        ).withColumn("user_id", F.col("user_id") + F.lit(i * OFF)),
-    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    if "events" in scaled:
+        ev = spark.read.parquet(f"{src}/events.parquet")
+        replicas(
+            ev,
+            lambda df, i: df.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * OFF)
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * OFF)),
+        ).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
 
@@ -127,9 +147,10 @@ def gen(src: str, mult: int, out: str) -> None:
             .withColumn("n_chars", F.length("text").cast("long"))
         )
 
-    replicas(docs, doc_replica).write.mode("overwrite").parquet(
-        f"{out}/documents.parquet"
-    )
+    if "documents" in scaled:
+        replicas(docs, doc_replica).write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
+        )
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
 
@@ -151,10 +172,11 @@ def gen(src: str, mult: int, out: str) -> None:
             "vec_id", F.col("vec_id") + F.lit(i * OFF)
         ).withColumn("embedding", shift)
 
-    replicas(emb, emb_replica).write.mode("overwrite").parquet(
-        f"{out}/embeddings.parquet"
-    )
-    for tn in ["orders", "lineitem", "events", "documents", "embeddings"]:
+    if "embeddings" in scaled:
+        replicas(emb, emb_replica).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
+    for tn in sorted(scaled):
         n = spark.read.parquet(f"{out}/{tn}.parquet").count()
         print(f"{tn}: {n} rows")
     spark.stop()
@@ -165,9 +187,21 @@ def main() -> None:
     ap.add_argument("cmd", choices=["gen"])
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated fact tables to replicate (default: all); "
+        "the out dir is suffixed (e.g. x1000docs) when restricted",
+    )
     args = ap.parse_args()
-    out = os.path.join(ROOT, ".scale_stress", f"x{args.mult}")
-    gen(args.src, args.mult, out)
+    tables = (
+        {t.strip() for t in args.tables.split(",") if t.strip()}
+        if args.tables
+        else None
+    )
+    suffix = "" if tables is None else "".join(sorted(t[:4] for t in tables))
+    out = os.path.join(ROOT, ".scale_stress", f"x{args.mult}{suffix}")
+    gen(args.src, args.mult, out, tables=tables)
     print(f"wrote {out}")
 
 
