@@ -19,6 +19,12 @@ doc_id shards, so exact partials merge exactly, in integers end-to-end.
   SUM of shard-local counts, associative.  Coverage union and the
   per-doc fraction are doc-local.  ``dup_frac`` is one int/int division
   of identical integers on both sides — tie-free at any corpus size.
+* ``winnow`` (winnowing_shared_pairs): the winnowing SELECTION is
+  doc-local, so doc_id shards compute exact per-document fingerprint
+  postings independently (``partial``); the global df-cap + posting
+  self-join runs once over the sparse selected postings (``compare``) —
+  the one-shot oracle's grams x window exploded join spilled >75 GB at
+  the x1000 tier, the sharded winnow bounds it at 1/OF.
 * ``touch`` (purchase_touch_attribution): the attribution decision is
   USER-LOCAL (every purchase joins only its own user's touches), so
   sharding both join sides by ``user_id % OF`` partitions the output
@@ -392,6 +398,103 @@ def _touch_compare(workdir: str, sf_dir: str) -> None:
 
 
 # --------------------------------------------------------------------------
+# winnowing_shared_pairs (doc-sharded selection, global pair census: the
+# winnowing SELECTION is doc-local, so doc_id % OF shards compute exact
+# per-document fingerprint postings independently; only the final
+# df-cap + posting self-join is global, and it runs over the ~2/(w+1)-
+# sparse SELECTED postings, never the gram stream.  This exists because
+# the one-shot registry oracle's window-min join materializes the full
+# grams x window exploded join at the x1000 tier — DuckDB spilled >75 GB
+# of temp and died; the sharded winnow bounds the explode at 1/OF.)
+# --------------------------------------------------------------------------
+
+
+_WINNOW_POST_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM read_parquet('{docs}')
+        WHERE doc_id % {of} = {shard}
+    ),
+    g AS (
+        SELECT doc_id, len(w) - 3 AS n_g, w
+        FROM toks WHERE len(w) >= 4
+    ),
+    pos AS (
+        SELECT doc_id, i AS j,
+               ('0x' || substr(
+                   md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS hj
+        FROM g, LATERAL (SELECT unnest(generate_series(1, n_g)) AS i) t
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(1, greatest(n_g - 4, 1))) AS i
+        FROM g
+    ),
+    wpos AS (
+        SELECT w.doc_id, w.i, p.j, p.hj,
+               MIN(p.hj) OVER (PARTITION BY w.doc_id, w.i) AS wmin
+        FROM wins w
+        JOIN pos p ON p.doc_id = w.doc_id AND p.j BETWEEN w.i AND w.i + 4
+    ),
+    sel AS (
+        SELECT doc_id, i, MAX(j) AS sel_j
+        FROM wpos WHERE hj = wmin GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.doc_id, p.hj
+    FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.j = s.sel_j
+"""
+
+
+def _winnow_partial(workdir: str, spec: str, sf_dir: str) -> None:
+    shard, of = _parse_shard(spec)
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        "COPY ("
+        + _WINNOW_POST_SQL.format(docs=_docs_glob(sf_dir), of=of, shard=shard)
+        + f") TO '{workdir}/wpost_{shard}_of_{of}.parquet'"
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{workdir}/wpost_{shard}_of_{of}.parquet')"
+    ).fetchone()[0]
+    print(json.dumps({
+        "query": "winnow", "stage": "partial", "shard": shard, "of": of,
+        "posting_rows": n, "wall_sec": round(time.time() - t0, 1),
+    }))
+
+
+def _winnow_compare(workdir: str, sf_dir: str) -> None:
+    of = _pinned_layout(workdir, "wpost")
+    con = _duck(workdir)
+    t0 = time.time()
+    # the GLOBAL stages, bit-identical to the registry oracle's tail: the
+    # df-cap window over the unioned postings, then the pair census
+    con.execute(
+        f"""COPY (
+        WITH capped AS (
+            SELECT doc_id, hj FROM (
+                SELECT doc_id, hj, COUNT(*) OVER (PARTITION BY hj) AS dfc
+                FROM read_parquet('{workdir}/wpost_*_of_{of}.parquet')
+            ) WHERE dfc <= 50
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM capped a JOIN capped b ON a.hj = b.hj AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+        ) TO '{workdir}/wout.parquet'"""
+    )
+    print(json.dumps({
+        "query": "winnow", "stage": "census",
+        "wall_sec": round(time.time() - t0, 1),
+    }))
+    from tsdisagg_spark.queries import QUERIES
+
+    spark = _compare_session("winnow-shard-compare")
+    t0 = time.time()
+    sdf = QUERIES["winnowing_shared_pairs"](spark, sf_dir)
+    _hash_compare(sdf, f"{workdir}/wout.parquet", t0, "winnow")
+
+
+# --------------------------------------------------------------------------
 # shared compare plumbing
 # --------------------------------------------------------------------------
 
@@ -451,6 +554,8 @@ _STAGES = {
     ("sub", "compare"): _sub_compare,
     ("touch", "partial"): _touch_partial,
     ("touch", "compare"): _touch_compare,
+    ("winnow", "partial"): _winnow_partial,
+    ("winnow", "compare"): _winnow_compare,
 }
 
 

@@ -10427,6 +10427,9 @@ def incremental_monthly_revenue(spark, sf_dir):
     full-recompute — the contract an incremental pipeline relies on
     every refresh (sums are integer cents, so the merge is exactly
     associative; a float revenue would drift between the two paths).
+    The streaming twin is streaming/mv.py:merge_partial_aggregates,
+    pinned stream == batch by
+    tests/test_operators.py::test_monthly_revenue_merge_stream_equals_batch.
     Scale shape: the refresh touches O(batch + affected months) — the
     base aggregate is month-grain (bounded by the calendar, trivially
     persistable), the batch aggregates map-side, and the merge joins two
