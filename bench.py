@@ -162,6 +162,7 @@ HEADLINE = [
     "pmi_collocations",        # corpus bigram PMI collocation screen
     "winnowing_fingerprints",  # MOSS winnowing: windowed-min gram hashes
     "winnowing_shared_pairs",  # winnowing postings self-join pair census
+    "incremental_winnowing_dedup",  # batch probe vs winnowing posting index
     "gopher_quality_filter",   # Gopher-rule admission audit per lang/source
     "dsir_importance_sample",  # DSIR hashed-bigram importance resampling
     "small_quantity_revenue",  # Q17 shape: fact joined to its own aggregate

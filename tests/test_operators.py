@@ -5242,6 +5242,53 @@ def test_dsir_index_format_gate(spark, tmp_path):
         sampling.dsir_score(batch, untagged, buckets=64)
 
 
+def test_winnowing_index_format_gate(spark, tmp_path):
+    """The persistable winnowing posting index is self-describing
+    (text.py WINNOW_INDEX_FORMAT): the (k, window, df_cap) schema tag on
+    ``fp`` survives a parquet round-trip and the probe derives its
+    selection parameters FROM the tag (scoring under a different rule is
+    impossible); an untagged index — persisted before the gate, or
+    hand-built — fails loudly with a rebuild instruction."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    blk = " ".join(f"w{i}" for i in range(12))
+    held = spark.createDataFrame(
+        [(1, blk + " alpha beta gamma delta"), (2, "x y z q r s t u v")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(5, blk + " totally new tail here")], "doc_id long, text string"
+    )
+    idx = text_ops.winnowing_posting_index(held, k=4, window=5, df_cap=50)
+    meta = dict(idx.schema["fp"].metadata)
+    assert meta["winnow_index_format"] == text_ops.WINNOW_INDEX_FORMAT
+    assert (meta["winnow_k"], meta["winnow_window"]) == (4, 5)
+
+    path = str(tmp_path / "winnow_index.parquet")
+    idx.write.parquet(path)
+    reread = spark.read.parquet(path)
+    want = sorted(
+        tuple(r)
+        for r in text_ops.winnowing_probe_pairs(batch, idx, min_shared=1).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in text_ops.winnowing_probe_pairs(
+            batch, reread, min_shared=1
+        ).collect()
+    )
+    # doc 5 shares the 12-word block with doc 1 -> >= 1 common fingerprint
+    # (winnowing guarantee: any shared k+window-1 = 8-word run)
+    assert got == want and got, got
+    assert all(r[1] == 1 for r in got)
+
+    untagged = reread.select(
+        "doc_id", F.col("fp").alias("fp", metadata={})
+    )
+    with pytest.raises(ValueError, match="format"):
+        text_ops.winnowing_probe_pairs(batch, untagged)
+
+
 def test_temperature_mixture_upsamples_low_resource(spark, tmp_path):
     """Temperature sampling's defining property: alpha < 1 moves mass
     from high-resource to low-resource languages while staying a

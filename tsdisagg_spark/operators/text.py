@@ -438,6 +438,136 @@ def winnowing_shared_pairs(
     )
 
 
+#: Persisted winnowing posting-index format version.  The index produced
+#: by :func:`winnowing_posting_index` is schema-tagged (column metadata on
+#: ``fp``, parquet round-trip safe) with this version plus the ``k`` /
+#: ``window`` / ``df_cap`` it was built with; :func:`winnowing_probe_pairs`
+#: derives its gram/window parameters FROM the tag (so a probe can never
+#: fingerprint the batch under a different selection rule than the index)
+#: and refuses an untagged or version-mismatched table loudly — the
+#: chunk-index v1/v2 and DSIR-index disciplines applied from day one.
+WINNOW_INDEX_FORMAT = 1
+
+
+def winnowing_posting_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Persistable winnowing fingerprint POSTING INDEX ``(id, fp)``: each
+    corpus document's distinct selected hashes
+    (:func:`winnowing_fingerprints`' selection rule), with hashes
+    selected by more than ``df_cap`` index documents dropped — the
+    boilerplate cap is a property of the INDEX corpus, decided once at
+    build time and persisted with the postings, exactly like the banded
+    MinHash index's bucket layout.  Build it once from the held corpus,
+    then probe every future ingest batch with
+    :func:`winnowing_probe_pairs` at O(batch + matches).
+
+    Scale shape: the selection is the map-only run-test projection; the
+    only exchange is the df-cap count over the ~2/(window+1)-sparse
+    postings.  Persist bucketed by ``fp`` and the probe join needs no
+    index-side shuffle."""
+    sel = _winnow_selected(df, id_col, text_col, k, window)
+    post = sel.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.col("__sel"),
+                    lambda j: F.element_at(
+                        F.col("__h"), (j + 1).cast("int")
+                    ),
+                )
+            )
+        ).alias("fp"),
+    )
+    dfw = Window.partitionBy("fp")
+    return (
+        post.withColumn("__df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("__df") <= df_cap)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("fp").alias(
+                "fp",
+                metadata={
+                    "winnow_index_format": WINNOW_INDEX_FORMAT,
+                    "winnow_k": k,
+                    "winnow_window": window,
+                    "winnow_df_cap": df_cap,
+                },
+            ),
+        )
+    )
+
+
+def winnowing_probe_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 3,
+) -> DataFrame:
+    """Probe an ingest batch against a prebuilt winnowing posting index
+    (:func:`winnowing_posting_index`): ``(id_batch, id_index, n_shared)``
+    for every (batch doc, index doc) pair sharing >= ``min_shared``
+    distinct selected fingerprint hashes — the incremental-ingest form
+    of :func:`winnowing_shared_pairs`, the same index/probe split as
+    the MinHash / SimHash / chunk dedup families.  The batch is
+    fingerprinted under the ``k`` / ``window`` the index was BUILT with
+    (read from the index's schema tag, so mixed selection rules are
+    impossible); batch hashes matching index-capped boilerplate simply
+    find no postings, mirroring the batch-mode cap semantics.
+
+    Raises ``ValueError`` on an untagged or version-mismatched index
+    (:data:`WINNOW_INDEX_FORMAT`).
+
+    Scale shape: the batch fingerprints map-only; the join touches only
+    index postings whose hash the batch actually selected — with the
+    index bucketed by ``fp`` the probe costs O(batch + matches), never
+    an index scan."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    meta = (
+        dict(index.schema["fp"].metadata or {})
+        if "fp" in index.columns
+        else {}
+    )
+    fmt = meta.get("winnow_index_format")
+    if fmt != WINNOW_INDEX_FORMAT:
+        raise ValueError(
+            f"winnowing posting index carries format {fmt!r}; this engine "
+            f"reads format {WINNOW_INDEX_FORMAT}.  Untagged/stale indexes "
+            "cannot prove which (k, window, df_cap) selected them — "
+            "rebuild with winnowing_posting_index() (the tag survives a "
+            "parquet round-trip)."
+        )
+    k, window = meta["winnow_k"], meta["winnow_window"]
+    sel = _winnow_selected(batch, id_col, text_col, k, window)
+    post = sel.select(
+        F.col(id_col).alias("id_batch"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.col("__sel"),
+                    lambda j: F.element_at(
+                        F.col("__h"), (j + 1).cast("int")
+                    ),
+                )
+            )
+        ).alias("fp"),
+    )
+    return (
+        post.join(index.select(F.col(id_col).alias("id_index"), "fp"), "fp")
+        .groupBy("id_batch", "id_index")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 #: PII patterns shared by the operator and its oracle.  Lookahead-free and
 #: backreference-free so Java regex (Spark) and RE2 (DuckDB) match the same
 #: spans; character classes use explicit ranges instead of \d for the same

@@ -5143,6 +5143,82 @@ def winnowing_shared_pairs(spark, sf_dir):
 
 
 @query(
+    "incremental_winnowing_dedup",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(w) - 3 AS n_g, w
+        FROM toks WHERE len(w) >= 4
+    ),
+    pos AS (
+        SELECT doc_id, i AS j,
+               ('0x' || substr(
+                   md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS hj
+        FROM g, LATERAL (SELECT unnest(generate_series(1, n_g)) AS i) t
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(1, greatest(n_g - 4, 1))) AS i
+        FROM g
+    ),
+    wpos AS (
+        SELECT w.doc_id, w.i, p.j, p.hj,
+               MIN(p.hj) OVER (PARTITION BY w.doc_id, w.i) AS wmin
+        FROM wins w
+        JOIN pos p ON p.doc_id = w.doc_id AND p.j BETWEEN w.i AND w.i + 4
+    ),
+    sel AS (
+        SELECT doc_id, i, MAX(j) AS sel_j
+        FROM wpos WHERE hj = wmin GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT DISTINCT s.doc_id, p.hj
+        FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.j = s.sel_j
+    ),
+    idx AS (
+        SELECT doc_id, hj FROM (
+            SELECT doc_id, hj, COUNT(*) OVER (PARTITION BY hj) AS dfc
+            FROM fp WHERE doc_id % 5 <> 0
+        ) WHERE dfc <= 50
+    ),
+    bat AS (SELECT doc_id, hj FROM fp WHERE doc_id % 5 = 0)
+    SELECT b.doc_id AS id_batch, i.doc_id AS id_index,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM bat b JOIN idx i ON b.hj = i.hj
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def incremental_winnowing_dedup(spark, sf_dir):
+    """Continuous-ingest winnowing dedup: the held corpus (doc_id % 5 !=
+    0) builds a persistable fingerprint POSTING INDEX once (selected
+    distinct hashes per doc, boilerplate hashes in > 50 index docs
+    dropped at build time), and the ingest batch (doc_id % 5 == 0) is
+    probed against it — (id_batch, id_index, n_shared >= 3) pairs, the
+    verbatim-overlap admission gate at O(batch + matches) per ingest.
+    Completes the index/probe split for the winnowing family (the
+    MinHash / SimHash / chunk discipline); the index is schema-tagged
+    with its (k, window, df_cap) and version so a probe can never
+    fingerprint under a different selection rule
+    (operators/text.py:winnowing_posting_index / winnowing_probe_pairs,
+    WINNOW_INDEX_FORMAT).  All integers — exact at any corpus size.
+    Scale shape: batch fingerprints are the map-only run-test
+    projection; the probe join touches only postings whose hash the
+    batch selected (index bucketed by fp at rest -> no index-side
+    shuffle); the only index-build exchange is the df-cap count over
+    ~2/(window+1)-sparse postings."""
+    docs = t(spark, sf_dir, "documents")
+    idx = text.winnowing_posting_index(
+        docs.filter(F.col("doc_id") % 5 != 0), k=4, window=5, df_cap=50
+    )
+    return text.winnowing_probe_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0), idx, min_shared=3
+    )
+
+
+@query(
     "gopher_quality_filter",
     oracle=r"""
     WITH d AS (
