@@ -5289,6 +5289,68 @@ def test_winnowing_index_format_gate(spark, tmp_path):
         text_ops.winnowing_probe_pairs(batch, untagged)
 
 
+def test_winnowing_probe_stream_equals_batch(spark, tmp_path):
+    """The continuous-ingest claim of winnowing_probe_pairs, pinned:
+    micro-batch the ingest set through Structured Streaming foreachBatch,
+    each batch probed against the SAME persisted (parquet round-tripped,
+    schema-tagged) posting index, and assert the concatenated streamed
+    pairs are bit-identical to the one-shot batch probe — per-document
+    probe decisions depend only on the doc and the static index, so the
+    micro-batch cut must be invisible."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    blk = lambda p: " ".join(f"{p}{i}" for i in range(10))
+    held = spark.createDataFrame(
+        [(1, f"{blk('x')} {blk('y')}"), (2, f"{blk('z')} unrelated tail")],
+        "doc_id long, text string",
+    )
+    ingest_rows = [
+        (5, f"{blk('x')} fresh words here"),   # pairs with doc 1
+        (10, f"{blk('q')} {blk('r')}"),        # matches nothing
+        (15, f"{blk('z')} and {blk('y')}"),    # pairs with 1 AND 2
+    ]
+    ingest = spark.createDataFrame(ingest_rows, "doc_id long, text string")
+    path = str(tmp_path / "winnow_index.parquet")
+    text_ops.winnowing_posting_index(held, k=4, window=5).write.parquet(path)
+    index = spark.read.parquet(path)
+    want = sorted(
+        tuple(r)
+        for r in text_ops.winnowing_probe_pairs(
+            ingest, index, min_shared=1
+        ).collect()
+    )
+    assert {(a, b) for a, b, _ in want} >= {(5, 1), (15, 1), (15, 2)}
+
+    src = str(tmp_path / "ingest_src")
+    for row in ingest_rows:
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    got: list[tuple] = []
+
+    def sink(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        got.extend(
+            tuple(r)
+            for r in text_ops.winnowing_probe_pairs(
+                bdf, index, min_shared=1
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == want
+
+
 def test_temperature_mixture_upsamples_low_resource(spark, tmp_path):
     """Temperature sampling's defining property: alpha < 1 moves mass
     from high-resource to low-resource languages while staying a
