@@ -176,6 +176,7 @@ HEADLINE = [
     "returned_item_customers", # Q10 shape: fact-fact join + TakeOrdered
     "nation_pair_trade",       # Q7 shape: pair-pruned two-broadcast star
     "source_drift_jsd",        # per-source JSD token-mix drift screen
+    "daily_event_mix_drift",   # per-day categorical event-mix drift
     "late_event_audit",        # watermark-delay sizing: late-arrival census
     "customer_spend_gini",     # revenue-concentration inequality per segment
     "incremental_monthly_revenue",  # MV delta merge == full recompute

@@ -5289,6 +5289,88 @@ def test_winnowing_index_format_gate(spark, tmp_path):
         text_ops.winnowing_probe_pairs(batch, untagged)
 
 
+def test_event_mix_drift_stream_equals_batch(spark, tmp_path):
+    """The continuously-maintained drift monitor, pinned: the
+    (day, event_type) cell count is key-grain state a stream keeps fresh
+    with merge_partial_aggregates; reading it with drift_jsd_over_cells
+    on demand must equal the one-shot daily_event_mix_drift query over
+    the same events bit-for-bit (counts merge exactly; JSD is a
+    deterministic function of the counts)."""
+    from tsdisagg_spark.operators.profiling import drift_jsd_over_cells
+    from tsdisagg_spark.streaming import merge_partial_aggregates
+
+    types = ["click", "view", "purchase"]
+    rows = [
+        (k, f"2001-01-{1 + k % 5:02d} 08:{k % 60:02d}:00",
+         k % 11, types[(k * 7) % 3], float(k), "{}")
+        for k in range(1, 61)
+    ]
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    events.write.parquet(str(tmp_path / "events.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["daily_event_mix_drift"](spark, str(tmp_path)).collect()
+    )
+    assert len(want) == 5 and all(r[4] is not None for r in want)
+
+    src = str(tmp_path / "stream_src")
+    for lo in range(1, 61, 17):
+        events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < lo + 17)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    agg = lambda df: df.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("event_type").alias("__h"),
+    ).agg(F.count(F.lit(1)).alias("__cp"))
+    state = {"cells": None}
+
+    def sink(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        part = agg(bdf)
+        merged = (
+            part
+            if state["cells"] is None
+            else merge_partial_aggregates(
+                state["cells"], part, keys=("day", "__h"), sum_cols=("__cp",)
+            )
+        )
+        state["cells"] = merged.localCheckpoint()
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in drift_jsd_over_cells(state["cells"], "day")
+        .select(
+            "day",
+            F.col("n_tokens").alias("n_events"),
+            "n_rest",
+            "n_cells",
+            "jsd",
+        )
+        .collect()
+    )
+    assert got == want
+
+
 def test_winnowing_probe_stream_equals_batch(spark, tmp_path):
     """The continuous-ingest claim of winnowing_probe_pairs, pinned:
     micro-batch the ingest set through Structured Streaming foreachBatch,

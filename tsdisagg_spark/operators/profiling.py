@@ -337,6 +337,22 @@ def group_drift_jsd(
         # groups x buckets rows.
         .persist()
     )
+    return drift_jsd_over_cells(cells, group_col)
+
+
+def drift_jsd_over_cells(cells: DataFrame, group_col: str) -> DataFrame:
+    """The JSD-vs-rest lane pipeline over a prebuilt ``(group, __h,
+    __cp)`` cell-count table — the shared core of :func:`group_drift_jsd`
+    (hashed unigram cells) and :func:`group_value_drift_jsd` (categorical
+    cells).  ``cells`` is also exactly the key-grain aggregate a stream
+    keeps fresh with ``streaming.mv.merge_partial_aggregates`` (counts
+    merge exactly), so this is the READ side of a continuously-maintained
+    drift monitor: merge partials per micro-batch, run the screen on
+    demand — stream == batch pinned by
+    tests/test_operators.py::test_event_mix_drift_stream_equals_batch.
+    The caller manages the persist lifetime of ``cells`` (it feeds the
+    global cell table, the group totals, and the dense-grid join).  See
+    :func:`group_drift_jsd` for the exact-integer-lane contract."""
     gtot = cells.groupBy("__h").agg(F.sum("__cp").alias("__g"))
     ptot = cells.groupBy(group_col).agg(F.sum("__cp").alias("__np"))
     ttot = gtot.agg(F.sum("__g").alias("__T"))
@@ -418,3 +434,34 @@ def group_drift_jsd(
             ),
         ).alias("jsd"),
     )
+
+
+def group_value_drift_jsd(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Categorical drift: per-group Jensen-Shannon divergence between the
+    group's mix over a CATEGORICAL column (event types, status codes,
+    labels) and the rest of the corpus — :func:`group_drift_jsd` without
+    the tokenizer/hash step, because the cell domain is the category set
+    itself (already small; bucketing would only blur it).  Same
+    exact-integer lane contract, same output shape ``(group, n_tokens,
+    n_rest, n_cells, jsd)`` with n_tokens counting the group's ROWS.
+
+    The canonical use is time-windowed monitoring (group = day/hour):
+    the ``(group, value)`` count is a key-grain aggregate a stream keeps
+    fresh with ``streaming.mv.merge_partial_aggregates``, and this
+    screen reads that state on demand — drift alarms over live ingest
+    without ever rescanning history.
+
+    Scale shape: the corpus is touched once (one map-side-combined
+    (group, value) count); every later step is groups x categories
+    sized."""
+    cells = (
+        df.select(F.col(group_col), F.col(value_col).alias("__h"))
+        .groupBy(group_col, "__h")
+        .agg(F.count(F.lit(1)).alias("__cp"))
+        # persisted for the same three-consumer reason as
+        # group_drift_jsd's cell table (groups x categories rows)
+        .persist()
+    )
+    return drift_jsd_over_cells(cells, group_col)

@@ -10303,6 +10303,93 @@ def source_drift_jsd(spark, sf_dir):
 
 
 @query(
+    "daily_event_mix_drift",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS g,
+               event_type AS h, COUNT(*) AS cp
+        FROM events GROUP BY 1, 2
+    ),
+    gtot AS (SELECT h, SUM(cp) AS gg FROM cells GROUP BY 1),
+    ptot AS (SELECT g, SUM(cp) AS np FROM cells GROUP BY 1),
+    ttot AS (SELECT SUM(gg) AS tt FROM gtot),
+    grid AS (
+        SELECT p.g, p.np, t.tt - p.np AS nq,
+               COALESCE(c.cp, 0) AS c, gt.gg - COALESCE(c.cp, 0) AS cq
+        FROM ptot p CROSS JOIN ttot t CROSS JOIN gtot gt
+        LEFT JOIN cells c ON c.g = p.g AND c.h = gt.h
+    ),
+    lanes AS (
+        SELECT g, np, nq,
+               CASE WHEN c > 0 THEN 1 ELSE 0 END AS has,
+               CASE WHEN c > 0 THEN CAST(c AS HUGEINT)
+                    * CAST(ROUND(ln(c) * 1e9) AS BIGINT)
+                    ELSE 0 END AS tp,
+               CASE WHEN cq > 0 THEN CAST(cq AS HUGEINT)
+                    * CAST(ROUND(ln(cq) * 1e9) AS BIGINT)
+                    ELSE 0 END AS tq,
+               CASE WHEN CAST(c AS HUGEINT) * nq + CAST(cq AS HUGEINT) * np
+                         > 0
+                    THEN (CAST(c AS HUGEINT) * nq + CAST(cq AS HUGEINT) * np)
+                         * CAST(ROUND(ln(CAST(CAST(c AS HUGEINT) * nq
+                               + CAST(cq AS HUGEINT) * np AS DOUBLE)) * 1e9)
+                               AS BIGINT)
+                    ELSE 0 END AS tm
+        FROM grid
+    ),
+    agg AS (
+        SELECT g, ANY_VALUE(np) AS np, ANY_VALUE(nq) AS nq,
+               CAST(SUM(has) AS BIGINT) AS n_cells,
+               SUM(tp) AS sp, SUM(tq) AS sq, SUM(tm) AS sm
+        FROM lanes GROUP BY 1
+    )
+    SELECT g AS day, CAST(np AS BIGINT) AS n_events,
+           CAST(nq AS BIGINT) AS n_rest, n_cells,
+           CASE WHEN nq > 0 THEN
+           ROUND(ln(CAST(2 * CAST(np AS HUGEINT) * nq AS DOUBLE))
+                 - CAST(sm AS DOUBLE)
+                   / CAST(2 * CAST(np AS HUGEINT) * nq AS DOUBLE) / 1e9
+                 - ((ln(CAST(np AS DOUBLE))
+                     - CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) / 1e9)
+                    + (ln(CAST(nq AS DOUBLE))
+                       - CAST(sq AS DOUBLE) / CAST(nq AS DOUBLE) / 1e9))
+                   / 2, 6)
+           ELSE NULL END AS jsd
+    FROM agg
+    """,
+)
+def daily_event_mix_drift(spark, sf_dir):
+    """Windowed event-mix monitoring: per DAY, the Jensen-Shannon
+    divergence between that day's event-type mix and the rest of the
+    log — the stream-health alarm that catches a broken client or a
+    logging regression (one event type vanishing or flooding) as a mix
+    shift, before downstream counts silently skew.  Categorical drift
+    (operators/profiling.py:group_value_drift_jsd): cells are the event
+    types themselves, no tokenizer/hash step; the exact-integer lane
+    contract and the n_rest=0 guard are group_drift_jsd's.  The
+    (day, event_type) count is a key-grain aggregate a stream keeps
+    fresh with streaming/mv.py:merge_partial_aggregates — stream ==
+    batch pinned by
+    tests/test_operators.py::test_event_mix_drift_stream_equals_batch.
+    Scale shape: one map-side-combined pass over the log; everything
+    after is days x event-types sized."""
+    from tsdisagg_spark.operators import profiling
+
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    )
+    out = profiling.group_value_drift_jsd(e, "day", "event_type")
+    return out.select(
+        "day",
+        F.col("n_tokens").alias("n_events"),
+        "n_rest",
+        "n_cells",
+        "jsd",
+    )
+
+
+@query(
     "late_event_audit",
     oracle="""
     WITH arr AS (
