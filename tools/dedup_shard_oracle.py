@@ -25,6 +25,10 @@ doc_id shards, so exact partials merge exactly, in integers end-to-end.
   self-join runs once over the sparse selected postings (``compare``) —
   the one-shot oracle's grams x window exploded join spilled >75 GB at
   the x1000 tier, the sharded winnow bounds it at 1/OF.
+* ``iwinnow`` (incremental_winnowing_dedup): reuses the SAME ``wpost``
+  partials (selection is identical; only the tail differs) — index =
+  held slice with the df-cap computed over index postings only, batch =
+  the %5==0 slice, one join + census in ``compare``.
 * ``touch`` (purchase_touch_attribution): the attribution decision is
   USER-LOCAL (every purchase joins only its own user's touches), so
   sharding both join sides by ``user_id % OF`` partitions the output
@@ -462,6 +466,49 @@ def _winnow_partial(workdir: str, spec: str, sf_dir: str) -> None:
     }))
 
 
+def _iwinnow_compare(workdir: str, sf_dir: str) -> None:
+    """Gate ``incremental_winnowing_dedup`` from the SAME ``wpost``
+    partials the pair gate uses (the per-doc selection is identical;
+    only the tail differs): the index side is the held slice (doc_id %
+    5 != 0) with the df-cap computed over the INDEX postings only, the
+    batch side the % 5 == 0 slice, joined and counted exactly as the
+    registry oracle."""
+    of = _pinned_layout(workdir, "wpost")
+    con = _duck(workdir)
+    t0 = time.time()
+    con.execute(
+        f"""COPY (
+        WITH idx AS (
+            SELECT doc_id, hj FROM (
+                SELECT doc_id, hj, COUNT(*) OVER (PARTITION BY hj) AS dfc
+                FROM read_parquet('{workdir}/wpost_*_of_{of}.parquet')
+                WHERE doc_id % 5 <> 0
+            ) WHERE dfc <= 50
+        ),
+        bat AS (
+            SELECT doc_id, hj
+            FROM read_parquet('{workdir}/wpost_*_of_{of}.parquet')
+            WHERE doc_id % 5 = 0
+        )
+        SELECT b.doc_id AS id_batch, i.doc_id AS id_index,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM bat b JOIN idx i ON b.hj = i.hj
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+        ) TO '{workdir}/iwout.parquet'"""
+    )
+    print(json.dumps({
+        "query": "iwinnow", "stage": "census",
+        "wall_sec": round(time.time() - t0, 1),
+    }))
+    from tsdisagg_spark.queries import QUERIES
+
+    spark = _compare_session("iwinnow-shard-compare")
+    t0 = time.time()
+    sdf = QUERIES["incremental_winnowing_dedup"](spark, sf_dir)
+    _hash_compare(sdf, f"{workdir}/iwout.parquet", t0, "iwinnow")
+
+
 def _winnow_compare(workdir: str, sf_dir: str) -> None:
     of = _pinned_layout(workdir, "wpost")
     con = _duck(workdir)
@@ -556,6 +603,7 @@ _STAGES = {
     ("touch", "compare"): _touch_compare,
     ("winnow", "partial"): _winnow_partial,
     ("winnow", "compare"): _winnow_compare,
+    ("iwinnow", "compare"): _iwinnow_compare,
 }
 
 
