@@ -5827,6 +5827,51 @@ def test_late_event_audit_semantics(spark, tmp_path):
     assert got[60]["late_share"] == 0.25
 
 
+def test_late_event_audit_empty_lateness_is_empty(spark, tmp_path):
+    """ADVICE r10 fix, pinned: when NO event has a predecessor (every
+    user logged exactly one event) the audit is EMPTY — not a 4-row
+    fanout of n_events=0 / NULL late_share (Spark's global agg on empty
+    input yields one row; the n>0 guard drops it so both engines agree
+    the degenerate corpus has nothing to audit)."""
+    rows = [
+        (1, 1, "click", "2024-01-01 10:00:00", "{}"),
+        (2, 2, "view", "2024-01-01 11:00:00", "{}"),
+        (3, 3, "view", "2024-01-01 12:00:00", "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts string, "
+        "props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from tsdisagg_spark.queries import QUERIES
+
+    assert QUERIES["late_event_audit"](spark, str(tmp_path)).count() == 0
+
+
+def test_group_drift_jsd_single_group_null_not_error(spark):
+    """ADVICE r10 fix, pinned: a single-group corpus has an EMPTY rest
+    (n_rest = 0) — the drift screen must emit an explicit NULL jsd for
+    that group (defined, engine-portable) instead of ln(0)/div-by-zero
+    noise; groups with a real rest still get a value.  Covers both the
+    text and categorical variants through the shared lane core."""
+    from tsdisagg_spark.operators import profiling
+
+    one = spark.createDataFrame(
+        [(1, "alpha beta gamma", "solo")], "doc_id long, text string, source string"
+    )
+    rows = profiling.group_drift_jsd(one, "source").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_rest"] == 0 and rows[0]["jsd"] is None
+    assert rows[0]["n_tokens"] == 3
+
+    cat = spark.createDataFrame(
+        [(1, "click"), (2, "view")], "g int, v string"
+    ).withColumn("g", F.lit("only"))
+    out = profiling.group_value_drift_jsd(cat, "g", "v").collect()
+    assert len(out) == 1 and out[0]["jsd"] is None and out[0]["n_rest"] == 0
+
+
 def test_customer_spend_gini_known_values(spark, tmp_path):
     """Gini on hand-computable spend vectors: equal spends -> 0, the
     1-2-3-4 ladder -> exactly 0.25, and a whale segment reads near 1.
