@@ -2054,6 +2054,33 @@ def test_monthly_revenue_merge_stream_equals_batch(spark, tmp_path):
     assert got == want and len(want) >= 10
 
 
+def test_merge_partial_aggregates_validation_and_dotted_names(spark):
+    """ADVICE r11 fix, pinned: an empty keys tuple raises the module's
+    ValueError style (not an opaque IndexError), and column names
+    containing dots merge correctly (DataFrame[...] refs, not F.col
+    string paths that would parse the dot as a nested field)."""
+    import pytest as _pytest
+
+    from tsdisagg_spark.streaming import merge_partial_aggregates
+
+    base = spark.createDataFrame(
+        [("a", 1), (None, 2)], ["k.dot", "v.sum"]
+    )
+    delta = spark.createDataFrame(
+        [("a", 10), ("b", 5), (None, 3)], ["k.dot", "v.sum"]
+    )
+    with _pytest.raises(ValueError, match="keys must be non-empty"):
+        merge_partial_aggregates(base, delta, keys=(), sum_cols=("v.sum",))
+    got = {
+        r["k.dot"]: r["v.sum"]
+        for r in merge_partial_aggregates(
+            base, delta, keys=("k.dot",), sum_cols=("v.sum",)
+        ).collect()
+    }
+    # NULL keys merge (null-safe join), dotted names resolve as names
+    assert got == {"a": 11, "b": 5, None: 5}
+
+
 def test_quantize_embeddings_properties(spark):
     rng = np.random.default_rng(5)
     rows = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(20)]
@@ -5870,6 +5897,49 @@ def test_group_drift_jsd_single_group_null_not_error(spark):
     ).withColumn("g", F.lit("only"))
     out = profiling.group_value_drift_jsd(cat, "g", "v").collect()
     assert len(out) == 1 and out[0]["jsd"] is None and out[0]["n_rest"] == 0
+
+
+def test_group_value_drift_jsd_null_category(spark):
+    """ADVICE r11 fix, pinned: NULL is a legal category cell (it is
+    exactly the logging-regression signal the drift monitor exists to
+    catch), so the dense-grid join must be NULL-SAFE — with a plain
+    equality join the emitting group's own NULL-cell count lands in the
+    rest lane and the statistic is silently wrong.  Hand-computed case:
+    d1 = {click: 3, NULL: 2} vs d2 = {click: 15}; p = (.6, .4),
+    q = (1, 0), m = (.8, .2) -> JSD = H(m) - (H(p)+H(q))/2
+    = 0.500402 - 0.336506 = 0.163897 (the null-unsafe join returned
+    0.598211 for d1).  The equal-weight mixture makes the screen
+    symmetric for two groups, so d2 reads the same value."""
+    from tsdisagg_spark.operators import profiling
+
+    rows = (
+        [("d1", "click")] * 3
+        + [("d1", None)] * 2
+        + [("d2", "click")] * 15
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {
+        r["g"]: r
+        for r in profiling.group_value_drift_jsd(df, "g", "v").collect()
+    }
+    assert out["d1"]["n_tokens"] == 5 and out["d1"]["n_rest"] == 15
+    assert out["d1"]["n_cells"] == 2  # NULL cell counted as present
+    assert abs(out["d1"]["jsd"] - 0.163897) < 1e-6
+    assert out["d2"]["n_cells"] == 1
+    assert abs(out["d2"]["jsd"] - 0.163897) < 1e-6
+
+    # NULL group key: two groups with IDENTICAL mixes must both read
+    # jsd = 0, including the NULL-keyed one (null-unsafe joins zero out
+    # the NULL group's own counts instead).
+    df2 = spark.createDataFrame(
+        [(None, "a"), (None, "a"), ("x", "a"), ("x", "a")],
+        "g string, v string",
+    )
+    out2 = {
+        r["g"]: r["jsd"]
+        for r in profiling.group_value_drift_jsd(df2, "g", "v").collect()
+    }
+    assert out2[None] == 0.0 and out2["x"] == 0.0
 
 
 def test_customer_spend_gini_known_values(spark, tmp_path):

@@ -191,7 +191,8 @@ def main() -> None:
         "--tables",
         default=None,
         help="comma-separated fact tables to replicate (default: all); "
-        "the out dir is suffixed (e.g. x1000docs) when restricted",
+        "the out dir is suffixed with the first 4 chars of each table "
+        "(e.g. --tables documents -> x1000docu) when restricted",
     )
     args = ap.parse_args()
     tables = (

@@ -356,13 +356,28 @@ def drift_jsd_over_cells(cells: DataFrame, group_col: str) -> DataFrame:
     gtot = cells.groupBy("__h").agg(F.sum("__cp").alias("__g"))
     ptot = cells.groupBy(group_col).agg(F.sum("__cp").alias("__np"))
     ttot = gtot.agg(F.sum("__g").alias("__T"))
-    # dense (group, cell) grid from broadcasts: groups x buckets rows
+    # dense (group, cell) grid from broadcasts: groups x buckets rows.
+    # NULL is a legal cell (a NULL category is exactly the logging
+    # regression a mix monitor must catch) and a legal group, so the
+    # grid join is NULL-SAFE on both keys: an equality join would count
+    # a NULL cell in ptot/gtot/ttot but never match it back, silently
+    # moving the emitting group's own count into the rest lane (ADVICE
+    # r11; pinned by test_group_value_drift_jsd_null_category).
+    dense = ptot.crossJoin(F.broadcast(ttot)).crossJoin(F.broadcast(gtot))
+    own = cells.select(
+        F.col(group_col).alias("__jg"),
+        F.col("__h").alias("__jh"),
+        "__cp",
+    )
     grid = (
-        ptot.crossJoin(F.broadcast(ttot))
-        .crossJoin(F.broadcast(gtot))
-        .join(cells, [group_col, "__h"], "left")
+        dense.join(
+            own,
+            dense[group_col].eqNullSafe(own["__jg"])
+            & dense["__h"].eqNullSafe(own["__jh"]),
+            "left",
+        )
         .select(
-            group_col,
+            dense[group_col],
             "__np",
             (F.col("__T") - F.col("__np")).alias("__nq"),
             F.coalesce(F.col("__cp"), F.lit(0)).alias("__c"),

@@ -10240,7 +10240,8 @@ def nation_pair_trade(spark, sf_dir):
         SELECT p.source, p.np, t.tt - p.np AS nq,
                COALESCE(c.cp, 0) AS c, g.g - COALESCE(c.cp, 0) AS cq
         FROM ptot p CROSS JOIN ttot t CROSS JOIN gtot g
-        LEFT JOIN cells c ON c.source = p.source AND c.h = g.h
+        LEFT JOIN cells c ON c.source IS NOT DISTINCT FROM p.source
+                         AND c.h IS NOT DISTINCT FROM g.h
     ),
     lanes AS (
         SELECT source, np, nq,
@@ -10318,7 +10319,8 @@ def source_drift_jsd(spark, sf_dir):
         SELECT p.g, p.np, t.tt - p.np AS nq,
                COALESCE(c.cp, 0) AS c, gt.gg - COALESCE(c.cp, 0) AS cq
         FROM ptot p CROSS JOIN ttot t CROSS JOIN gtot gt
-        LEFT JOIN cells c ON c.g = p.g AND c.h = gt.h
+        LEFT JOIN cells c ON c.g IS NOT DISTINCT FROM p.g
+                         AND c.h IS NOT DISTINCT FROM gt.h
     ),
     lanes AS (
         SELECT g, np, nq,

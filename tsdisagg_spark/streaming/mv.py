@@ -47,6 +47,11 @@ def merge_partial_aggregates(
     exactly this reason).  Keys compare null-safely, so a NULL key
     bucket merges instead of duplicating.
     """
+    if not keys:
+        raise ValueError(
+            "merge_partial_aggregates: keys must be non-empty — a "
+            "key-grain merge needs at least one grouping column"
+        )
     missing = [
         c
         for c in (*keys, *sum_cols)
@@ -58,21 +63,21 @@ def merge_partial_aggregates(
             "side; both inputs must be key-grain partials with identical "
             "column names"
         )
+    # Backtick-quoted column refs so dotted column names resolve as
+    # names, never as nested-field paths.
     b, d = base.alias("__b"), delta.alias("__d")
+    bc = lambda k: F.col(f"__b.`{k}`")
+    dc = lambda k: F.col(f"__d.`{k}`")
     cond = reduce(
-        lambda acc, k: acc & F.col(f"__b.{k}").eqNullSafe(F.col(f"__d.{k}")),
+        lambda acc, k: acc & bc(k).eqNullSafe(dc(k)),
         keys[1:],
-        F.col(f"__b.{keys[0]}").eqNullSafe(F.col(f"__d.{keys[0]}")),
+        bc(keys[0]).eqNullSafe(dc(keys[0])),
     )
     return b.join(d, cond, "full_outer").select(
-        *[
-            F.coalesce(F.col(f"__b.{k}"), F.col(f"__d.{k}")).alias(k)
-            for k in keys
-        ],
+        *[F.coalesce(bc(k), dc(k)).alias(k) for k in keys],
         *[
             (
-                F.coalesce(F.col(f"__b.{c}"), F.lit(0))
-                + F.coalesce(F.col(f"__d.{c}"), F.lit(0))
+                F.coalesce(bc(c), F.lit(0)) + F.coalesce(dc(c), F.lit(0))
             ).alias(c)
             for c in sum_cols
         ],
