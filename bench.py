@@ -217,6 +217,11 @@ def main() -> None:
     from tsdisagg_spark.cacheutil import release_all
     from tsdisagg_spark.spark.session import get_spark
 
+    # host-noise marker, sampled BEFORE the run starts (VERDICT r11 #1:
+    # the r11 +31% headline could not be attributed because only the
+    # post-run load was recorded and per-query maps were overwritten)
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark(
         app_name="tsdisagg-bench",
         master=f"local[{CPUS}]",
@@ -310,6 +315,7 @@ def main() -> None:
         # the bench's own 32 local threads have gone idle-ish; a 1-min
         # value far above the repo's own CPU budget means a noisy host.
         "load": [round(x, 2) for x in os.getloadavg()],
+        "load_before": load_before,
     }
 
     # regression radar vs the newest committed BENCH_r*.json at the same SF:
@@ -342,17 +348,27 @@ def main() -> None:
     # the driver tail-captures stdout and has truncated the HEAD of long
     # runs' output before (BENCH_r04's `parsed` came back null with the
     # per-query map intact) — mirror the one JSON line to a file so the
-    # record survives any stream truncation
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
-            ),
-            "w",
-        ) as fh:
-            fh.write(line + "\n")
-    except OSError:
-        pass
+    # record survives any stream truncation.  TWO mirrors: the rolling
+    # ``bench_out.json`` (latest run) and a per-round
+    # ``bench_out_r{NN}.json`` keyed on the registry's DRIVER_ROUND,
+    # committed each round so per-query history is BISECTABLE — the r11
+    # +31% headline could not be attributed because BENCH_rNN.json keeps
+    # only a ~2000-char stdout tail and the rolling mirror was
+    # overwritten (VERDICT r11 #1).  Full runs only: a filtered run
+    # (BENCH_SKIP/BENCH_ONLY) would overwrite the round's history with a
+    # partial map, so it updates the rolling mirror alone.
+    here = os.path.dirname(os.path.abspath(__file__))
+    targets = [os.path.join(here, "bench_out.json")]
+    if not SKIP and not ONLY:
+        targets.append(
+            os.path.join(here, f"bench_out_r{registry.DRIVER_ROUND:02d}.json")
+        )
+    for path in targets:
+        try:
+            with open(path, "w") as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass
     # ... and the mirror protects only the repo's own record: the driver's
     # BENCH_r{N}.json keeps just the last ~2000 chars of stdout, so the full
     # line above loses its head (metric/value) whenever the per-query map is
