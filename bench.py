@@ -130,6 +130,7 @@ HEADLINE = [
     "mixture_resample",        # epoch-mixture upsampling (map-side explode)
     "order_snapshot_diff",     # CDC full-outer snapshot reconciliation
     "events_in_incident_windows",  # keyless range join (bucketized intervals)
+    "session_incident_overlap",  # interval x interval overlap join (exactly-once buckets)
     "order_value_grid_quantiles",  # exact histogram quantiles, sort-free
     "pq_codes",                # product-quantization encode (explode + broadcast codebook)
     "pq_adc_topk",             # asymmetric-distance top-k over 8-byte codes

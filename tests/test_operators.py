@@ -6045,3 +6045,58 @@ def test_customer_order_distribution_includes_zero(spark, tmp_path):
         ).collect()
     }
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_interval_overlap_join_semantics(spark):
+    """interval_overlap_join hand-case: closed-interval overlap (a
+    zero-length session still meets the window containing it), the
+    exactly-once overlap-start-bucket rule (a pair sharing N buckets
+    emits ONE row, no distinct), non-overlapping pairs dropped, and the
+    column-clash / bucket-width guards."""
+    import pytest as _pytest
+
+    from tsdisagg_spark.operators.joins import interval_overlap_join
+
+    ts = lambda s: f"2001-01-01 {s}"
+    left = spark.createDataFrame(
+        [
+            ("A", ts("10:00:00"), ts("10:00:00")),  # zero-length
+            ("B", ts("10:00:00"), ts("12:00:00")),  # spans 3 one-hour buckets
+            ("C", ts("13:00:00"), ts("13:30:00")),  # overlaps nothing
+        ],
+        "lid string, s_lo string, s_hi string",
+    ).select(
+        "lid",
+        F.col("s_lo").cast("timestamp").alias("s_lo"),
+        F.col("s_hi").cast("timestamp").alias("s_hi"),
+    )
+    right = spark.createDataFrame(
+        [
+            ("W1", ts("09:30:00"), ts("10:15:00")),  # meets A (contains) + B
+            ("W2", ts("10:30:00"), ts("11:00:00")),  # meets B only
+            ("W3", ts("11:30:00"), ts("12:30:00")),  # meets B across 2 buckets
+        ],
+        "rid string, w_lo string, w_hi string",
+    ).select(
+        "rid",
+        F.col("w_lo").cast("timestamp").alias("w_lo"),
+        F.col("w_hi").cast("timestamp").alias("w_hi"),
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "s_lo", "s_hi", "w_lo", "w_hi", bucket_seconds=3600
+        ).collect()
+    )
+    # every overlapping pair exactly once — W3/B share two buckets but
+    # emit one row; zero-length A meets the window that contains it
+    assert got == [("A", "W1"), ("B", "W1"), ("B", "W2"), ("B", "W3")]
+
+    with _pytest.raises(ValueError, match="share column names"):
+        interval_overlap_join(
+            left, left, "s_lo", "s_hi", "s_lo", "s_hi"
+        )
+    with _pytest.raises(ValueError, match="bucket_seconds"):
+        interval_overlap_join(
+            left, right, "s_lo", "s_hi", "w_lo", "w_hi", bucket_seconds=0
+        )

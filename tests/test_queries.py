@@ -152,6 +152,26 @@ def test_readme_counts_match_registry():
     )
 
 
+def test_rows_only_queries_name_oracle_backed_twins():
+    """VERDICT r11 #6, pinned: every registered query WITHOUT a DuckDB
+    oracle must carry a permanent rationale in queries.ROWS_ONLY_TWINS —
+    naming an ORACLE-BACKED companion that certifies the same machinery
+    — so a rows-only driver row is by-design, never silent evidential
+    debt.  The map must stay total (no unmapped oracle-less query) and
+    live (every named twin exists and has an oracle)."""
+    from tsdisagg_spark.queries import ORACLES, QUERIES, ROWS_ONLY_TWINS
+
+    rows_only = {n for n in QUERIES if n not in ORACLES}
+    assert rows_only == set(ROWS_ONLY_TWINS), (
+        "rows-only registry entries and ROWS_ONLY_TWINS diverge: "
+        f"unmapped={sorted(rows_only - set(ROWS_ONLY_TWINS))}, "
+        f"stale={sorted(set(ROWS_ONLY_TWINS) - rows_only)}"
+    )
+    for name, (twin, why) in ROWS_ONLY_TWINS.items():
+        assert twin in ORACLES, f"{name}: twin {twin} is not oracle-backed"
+        assert len(why) > 40, f"{name}: rationale too thin to pin"
+
+
 # ---------------------------------------------------------------------------
 # semantic invariants of the round-4 analytics queries — properties the
 # oracle hash can't state (it only proves both engines agree)

@@ -186,3 +186,92 @@ def interval_join(
         )
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_seconds: int = 3600,
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """Interval x interval OVERLAP join — every (left, right) pair whose
+    CLOSED time intervals intersect (``l_lo <= r_hi AND r_lo <= l_hi``)
+    — the second member of the range-join family next to
+    :func:`interval_join` (point-in-interval, half-open).  Closed
+    semantics so zero-length intervals (a single-event session) still
+    meet the windows that contain them.
+
+    Same bucketization idea as :func:`interval_join` — both sides
+    explode to the fixed-width buckets they cover and meet in an
+    ordinary shuffled equi-join on bucket id with the exact overlap
+    predicate as a residual filter — plus the exactly-once trick that
+    replaces the DISTINCT a naive bucket join needs: a pair whose
+    intervals share N buckets would match N times, so the join keeps
+    the pair only in the bucket CONTAINING THE OVERLAP START
+    ``greatest(l_lo, r_lo)``.  That bucket is unique per pair and is
+    covered by both sides' explosions (the overlap start lies inside
+    both intervals), so every overlapping pair is emitted exactly once
+    and no dedup shuffle ever runs — the distinct would be a second
+    full exchange of the pair stream, which at telemetry scale is the
+    difference between one shuffle and two.
+
+    Scale levers as in :func:`interval_join`: candidate pairs are
+    bounded per bucket, replication is ``span/width + 1`` per row, the
+    ``max_span_buckets`` guard fails loudly on a width mismatch, and
+    degenerate ``lo > hi`` rows are dropped.  Column names must not
+    collide across the two inputs (raises ``ValueError``)."""
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"left/right share column names {sorted(clash)}; "
+            "rename or prefix one side before interval_overlap_join"
+        )
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def _explode(df, lo, hi):
+        b_lo = F.floor(_us(lo) / w_us)
+        b_hi = F.floor(_us(hi) / w_us)  # closed: hi's own bucket included
+        span_ok = F.when(
+            b_hi - b_lo < F.lit(int(max_span_buckets)), F.lit(True)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "interval_overlap_join: an interval spans %s buckets "
+                    + f"(max_span_buckets={int(max_span_buckets)}); "
+                    + "widen bucket_seconds to fit the interval lengths",
+                    (b_hi - b_lo).cast("string"),
+                )
+            )
+        )
+        return (
+            df.filter(F.col(lo) <= F.col(hi))
+            .filter(span_ok)
+            .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+        )
+
+    lb = _explode(left, left_lo, left_hi)
+    rb = _explode(right, right_lo, right_hi).withColumnRenamed(
+        "__bucket", "__rbucket"
+    )
+    start_bucket = F.floor(
+        F.greatest(_us(left_lo), _us(right_lo)) / w_us
+    )
+    return (
+        lb.join(rb, lb["__bucket"] == rb["__rbucket"])
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            # exactly-once: only the bucket holding the overlap start emits
+            & (F.col("__bucket") == start_bucket)
+        )
+        .drop("__bucket", "__rbucket")
+    )

@@ -3515,6 +3515,95 @@ def events_in_incident_windows(spark, sf_dir):
 
 
 @query(
+    "session_incident_overlap",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, session_seq,
+               MIN(ts) AS s_lo, MAX(ts) AS s_hi
+        FROM numbered GROUP BY 1, 2
+    ),
+    inc AS (
+        SELECT event_id AS incident_id,
+               ts - INTERVAL 5 MINUTE AS win_lo,
+               ts + INTERVAL 5 MINUTE AS win_hi
+        FROM events WHERE event_type = 'error' AND value >= 18.0
+    )
+    SELECT i.incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(least(s.s_hi, i.win_hi))
+                    - epoch_us(greatest(s.s_lo, i.win_lo))) AS BIGINT)
+               AS overlap_us
+    FROM inc i JOIN sess s
+      ON s.s_lo <= i.win_hi AND i.win_lo <= s.s_hi
+    GROUP BY 1
+    """,
+)
+def session_incident_overlap(spark, sf_dir):
+    """Interval x interval overlap join (operators/joins.py:
+    interval_overlap_join): user SESSIONS (30-min-gap sessionization,
+    closed [first-event, last-event] intervals — zero-length for
+    single-event sessions) overlapped with INCIDENT WINDOWS (+/-5 min
+    around high-value error events), per incident: how many sessions
+    and distinct users were mid-session when it fired, and the exact
+    total overlap in integer microseconds — the blast-radius query an
+    on-call pipeline runs per alert.  The engine side is the bucketized
+    overlap join with the exactly-once overlap-start-bucket trick (no
+    DISTINCT shuffle over the pair stream); the oracle is the raw
+    inequality join, so a hash match proves the bucketization and its
+    dedup rule lose and fabricate nothing.  Scale shape: candidate
+    pairs are bounded per time bucket, never |sessions| x |incidents|;
+    both explosions ride their builders' scans; overlap micros sum in
+    DECIMAL(38,0) headroom before the final BIGINT projection."""
+    from tsdisagg_spark.operators.joins import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    sess = sessionization(spark, sf_dir).select(
+        F.col("user_id").alias("s_user"),
+        F.col("session_start").alias("s_lo"),
+        F.col("session_end").alias("s_hi"),
+    )
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 18.0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("win_lo"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_hi"),
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    pairs = interval_overlap_join(
+        sess, inc, "s_lo", "s_hi", "win_lo", "win_hi", bucket_seconds=3600
+    )
+    return pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("s_user").cast("long").alias("n_users"),
+        F.sum(
+            (
+                us(F.least(F.col("s_hi"), F.col("win_hi")))
+                - us(F.greatest(F.col("s_lo"), F.col("win_lo")))
+            ).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("overlap_us"),
+    )
+
+
+@query(
     "repetition_stats",
     oracle="""
     WITH words AS (
@@ -11107,6 +11196,54 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "pipeline_clean_corpus",
     "customer_quartiles",
 )
+
+
+# Rows-only-by-design queries (VERDICT r11 #6, pinned): each registry
+# entry WITHOUT a DuckDB oracle names here the ORACLE-BACKED companion
+# that certifies the same engine machinery under a setting where the
+# output is SQL-derivable, plus why the named query itself cannot carry
+# an oracle.  The driver's CORRECTNESS history therefore legitimately
+# ends on a rows-only row for these names — the rationale is permanent,
+# not evidential debt — and tests/test_queries.py::
+# test_rows_only_queries_name_oracle_backed_twins enforces that the map
+# stays total (every oracle-less query mapped) and live (every named
+# twin oracle-backed) as the registry grows.
+ROWS_ONLY_TWINS: dict[str, tuple[str, str]] = {
+    "knn_ivf": (
+        "knn_ivf_exhaustive",
+        "nprobe < n_lists is the approximate operating point (recall "
+        "test-asserted vs brute force); engine-side k-means centroids "
+        "are not SQL-derivable, but nprobe = n_lists makes the same "
+        "assignment/probe/bucket-join/re-rank machinery exhaustive and "
+        "oracle-equal to brute force",
+    ),
+    "knn_lsh": (
+        "knn_lsh_exhaustive",
+        "random-hyperplane buckets are engine-side; n_bits = 0 puts "
+        "every vector in one bucket, making the identical bucket-join + "
+        "re-rank path exhaustive and oracle-backed",
+    ),
+    "embedding_near_dups": (
+        "embedding_dup_lsh_exhaustive",
+        "LSH bucket pruning is approximate by design (recall observable "
+        "vs the exact embedding_dup_exact baseline); n_bits = 0 drives "
+        "the same pair path through the all-pairs oracle",
+    ),
+    "disagg_fit_reports": (
+        "disagg_fit_report_checks",
+        "GLS coefficients come from the engine's ML optimizer (not "
+        "SQL-derivable; values golden-tested vs the reference); the "
+        "report ASSEMBLY — key grid and t/CI/rho/p internal "
+        "consistencies — is what the oracle-backed twin hash-checks",
+    ),
+    "embedding_pca_scores": (
+        "embedding_gram",
+        "the eigendecomposition is driver-side numpy (pinned by an "
+        "exact numpy-equality test + the Parseval certifier); its "
+        "sufficient statistic, the exact fixed-point Gram matrix, is "
+        "what the oracle-backed twin certifies cross-engine",
+    ),
+}
 
 
 def _rotation_key(name: str) -> str:
