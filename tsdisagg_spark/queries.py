@@ -3569,7 +3569,18 @@ def session_incident_overlap(spark, sf_dir):
     dedup rule lose and fabricate nothing.  Scale shape: candidate
     pairs are bounded per time bucket, never |sessions| x |incidents|;
     both explosions ride their builders' scans; overlap micros sum in
-    DECIMAL(38,0) headroom before the final BIGINT projection."""
+    DECIMAL(38,0) headroom before the final BIGINT projection.  Bucket
+    width 600s = the incident window length (the operator's guidance:
+    width near the typical interval length), measured ~6x fewer
+    candidate pairs than 1h buckets on this data (43s median sessions).
+
+    SCALE BOUND (by SEMANTICS, not plan): the true pair stream is
+    |incidents| x |sessions active per window| — on a density-scaled
+    corpus (scale_stress replicates events into a FIXED 30-day span)
+    both factors grow with mult, so the genuine output is quadratic in
+    mult (~3.3B pairs at x100) and the scaled gate runs at x10; at real
+    scale incidents are rare alerts and the stream is |alerts| x
+    blast-radius, linear in the event rate."""
     from tsdisagg_spark.operators.joins import interval_overlap_join
 
     ev = t(spark, sf_dir, "events")
@@ -3587,7 +3598,7 @@ def session_incident_overlap(spark, sf_dir):
     )
     us = lambda c: F.unix_micros(c.cast("timestamp"))
     pairs = interval_overlap_join(
-        sess, inc, "s_lo", "s_hi", "win_lo", "win_hi", bucket_seconds=3600
+        sess, inc, "s_lo", "s_hi", "win_lo", "win_hi", bucket_seconds=600
     )
     return pairs.groupBy("incident_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
