@@ -6100,3 +6100,164 @@ def test_interval_overlap_join_semantics(spark):
         interval_overlap_join(
             left, right, "s_lo", "s_hi", "w_lo", "w_hi", bucket_seconds=0
         )
+
+
+def test_interval_overlap_join_property_vs_python(spark):
+    """Randomized interval sets vs a pure-Python brute force: the
+    bucketized overlap join emits EXACTLY the closed-interval
+    overlapping pairs, each exactly once, for widths both smaller and
+    larger than the interval lengths (the exactly-once start-bucket
+    rule must hold at any width)."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsdisagg_spark.operators.joins import interval_overlap_join
+
+    base = datetime(2001, 1, 1)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        left=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5000),
+                st.integers(min_value=0, max_value=4000),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        right=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5000),
+                st.integers(min_value=0, max_value=4000),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        width=st.sampled_from([60, 900, 7200]),
+    )
+    def check(left, right, width):
+        mk = lambda s, d: (
+            base + timedelta(seconds=s),
+            base + timedelta(seconds=s + d),
+        )
+        lrows = [(i,) + mk(s, d) for i, (s, d) in enumerate(left)]
+        rrows = [(j,) + mk(s, d) for j, (s, d) in enumerate(right)]
+        ldf = spark.createDataFrame(
+            lrows, "lid long, a_lo timestamp, a_hi timestamp"
+        )
+        rdf = spark.createDataFrame(
+            rrows, "rid long, b_lo timestamp, b_hi timestamp"
+        )
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi",
+                bucket_seconds=width,
+            ).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, alo, ahi in lrows
+            for j, blo, bhi in rrows
+            if alo <= bhi and blo <= ahi
+        )
+        assert got == want
+
+    check()
+
+
+def test_mg_merge_known_case():
+    """Misra-Gries merge on the textbook stream: k=2 counters over
+    a a b b b c — after absorbing everything in one batch the summary
+    keeps the two heavy keys with decremented = the compression cut,
+    and the error certificate brackets every true count."""
+    from tsdisagg_spark.streaming import mg_merge
+
+    summary, dec = mg_merge({}, {"a": 2, "b": 3, "c": 1}, k=2, decremented=0)
+    assert dec == 1 and summary == {"a": 1, "b": 2}
+    truth = {"a": 2, "b": 3, "c": 1}
+    for key, c in summary.items():
+        assert c <= truth[key] <= c + dec
+    # absorbed incrementally (two merges) the bound still holds
+    s2, d2 = mg_merge({}, {"a": 2, "b": 1}, k=2, decremented=0)
+    s2, d2 = mg_merge(s2, {"b": 2, "c": 1}, k=2, decremented=d2)
+    assert len(s2) <= 2
+    for key, c in s2.items():
+        assert c <= truth[key] <= c + d2
+
+
+def test_stream_heavy_hitters_guarantee(spark, tmp_path):
+    """The streaming Misra-Gries candidate store, pinned end-to-end on a
+    real multi-batch stream: every EXACT global heavy hitter (count*20 >
+    n) survives in the final state (hash-sharding puts a key's whole
+    count on one shard, where C > n_s/(k+1) guarantees survival), every
+    reported count is a lower bound within the shard's decrement
+    certificate, and the state stays bounded at k counters per shard
+    across micro-batch boundaries."""
+    from collections import Counter
+
+    from tsdisagg_spark.streaming import stream_heavy_hitter_candidates
+
+    # Zipf-ish key stream: term ti appears ~600/i times
+    rows = []
+    rid = 0
+    for i in range(1, 40):
+        for _ in range(600 // i):
+            rows.append((rid, f"t{i}"))
+            rid += 1
+    import random
+
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, "row_id long, term string")
+    src = str(tmp_path / "hh_stream")
+    n_files = 5
+    per = (len(rows) + n_files - 1) // n_files
+    for f in range(n_files):
+        df.filter(
+            (F.col("row_id") >= f * per) & (F.col("row_id") < (f + 1) * per)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    truth = Counter(term for _, term in rows)
+    n = sum(truth.values())
+    exact_hitters = {t for t, c in truth.items() if c * 20 > n}
+    assert len(exact_hitters) >= 3  # the test must test something
+
+    K, SHARDS = 8, 4
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = stream_heavy_hitter_candidates(stream, "term", k=K, n_shards=SHARDS)
+    emissions: list = []
+
+    def sink(bdf, bid):
+        emissions.extend((bid,) + tuple(r) for r in bdf.collect())
+
+    q = out.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    # final state = the last emission per shard
+    last_bid = {}
+    for bid, shard, *_ in emissions:
+        last_bid[shard] = max(last_bid.get(shard, -1), bid)
+    final = [
+        (shard, key, lower, n_seen, dec)
+        for bid, shard, key, lower, n_seen, dec in emissions
+        if bid == last_bid[shard]
+    ]
+    assert len({s for s, *_ in final}) == SHARDS
+    per_shard = Counter(s for s, *_ in final)
+    assert all(c <= K for c in per_shard.values())  # bounded state
+    candidates = {key for _, key, *_ in final}
+    assert exact_hitters <= candidates, (
+        exact_hitters - candidates, sorted(final)
+    )
+    shard_n = {s: ns for s, _, _, ns, _ in final}
+    assert sum(shard_n.values()) == n  # every row counted exactly once
+    for shard, key, lower, n_seen, dec in final:
+        assert lower <= truth[key] <= lower + dec, (shard, key, lower, dec)

@@ -11195,6 +11195,9 @@ DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
     "wav_decimate_quanta",
     "top_bigrams",
     "revenue_rollup",
+    # this round's registration (r11 precedent: new queries get their
+    # first external row the round they land)
+    "session_incident_overlap",
     # round-11 priority overflow, never yet driver-sampled
     "top_supplier_revenue",
     "token_entropy",

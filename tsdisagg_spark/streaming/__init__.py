@@ -13,6 +13,10 @@ from tsdisagg_spark.streaming.disagg import (
 )
 from tsdisagg_spark.streaming.joins import interval_join
 from tsdisagg_spark.streaming.mv import merge_partial_aggregates
+from tsdisagg_spark.streaming.sketches import (
+    mg_merge,
+    stream_heavy_hitter_candidates,
+)
 from tsdisagg_spark.streaming.windows import (
     sliding_counts,
     stream_exact_dedup,
@@ -31,7 +35,9 @@ __all__ = [
     "interval_join",
     "latest_solutions",
     "merge_partial_aggregates",
+    "mg_merge",
     "rowwise_minhash_signatures",
+    "stream_heavy_hitter_candidates",
     "sliding_counts",
     "stateful_sessions",
     "stream_cusum",
