@@ -6261,3 +6261,62 @@ def test_stream_heavy_hitters_guarantee(spark, tmp_path):
     assert sum(shard_n.values()) == n  # every row counted exactly once
     for shard, key, lower, n_seen, dec in final:
         assert lower <= truth[key] <= lower + dec, (shard, key, lower, dec)
+
+
+def test_winnowing_sharded_build_equals_direct(spark):
+    """The shard-parallel index build, pinned:
+    finalize(union(raw(shard_A), raw(shard_B))) must equal
+    winnowing_posting_index(corpus) EXACTLY — including the case that
+    makes per-shard capping WRONG: a boilerplate hash under the df_cap
+    in every shard but over it in the union (here: 6 docs share a
+    12-word block, cap 3 — each 3-doc shard keeps it, the true index
+    drops it).  Also: the probe rejects raw (uncapped) postings, and
+    finalize rejects an already-finalized index."""
+    import pytest as _pytest
+
+    from tsdisagg_spark.operators import text as text_ops
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (i, f"unique{i} words{i} " + boiler + f" tail{i} end{i}")
+        for i in range(1, 7)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    shard_a = corpus.filter(F.col("doc_id") <= 3)
+    shard_b = corpus.filter(F.col("doc_id") > 3)
+
+    direct = text_ops.winnowing_posting_index(
+        corpus, k=4, window=5, df_cap=3
+    )
+    merged = text_ops.winnowing_finalize_index(
+        text_ops.winnowing_raw_postings(shard_a, k=4, window=5).unionByName(
+            text_ops.winnowing_raw_postings(shard_b, k=4, window=5)
+        ),
+        df_cap=3,
+    )
+    want = sorted(tuple(r) for r in direct.collect())
+    got = sorted(tuple(r) for r in merged.collect())
+    assert got == want and want  # exact equality, non-trivially
+    assert dict(merged.schema["fp"].metadata) == dict(
+        direct.schema["fp"].metadata
+    )
+
+    # the per-shard-capped "merge" is WRONG: it keeps boilerplate
+    # postings the true index drops (df 3+3 > cap 3)
+    naive = sorted(
+        tuple(r)
+        for r in text_ops.winnowing_posting_index(
+            shard_a, k=4, window=5, df_cap=3
+        )
+        .unionByName(
+            text_ops.winnowing_posting_index(shard_b, k=4, window=5, df_cap=3)
+        )
+        .collect()
+    )
+    assert len(naive) > len(want)
+
+    raw = text_ops.winnowing_raw_postings(corpus, k=4, window=5)
+    with _pytest.raises(ValueError, match="format"):
+        text_ops.winnowing_probe_pairs(corpus, raw)
+    with _pytest.raises(ValueError, match="finalized"):
+        text_ops.winnowing_finalize_index(merged, df_cap=3)

@@ -449,6 +449,118 @@ def winnowing_shared_pairs(
 WINNOW_INDEX_FORMAT = 1
 
 
+def winnowing_raw_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """UNCAPPED winnowing postings ``(id, fp)`` — each document's
+    distinct selected hashes, no corpus-level boilerplate cap yet.  This
+    is the SHARD-PARALLEL half of the index build: the selection is
+    per-document (map-only run-test projection, zero exchanges), so
+    disjoint corpus shards can build raw postings independently —
+    different jobs, different days, different clusters — and their
+    plain union (parquet append) feeds ONE
+    :func:`winnowing_finalize_index` pass.  The df-cap is the only
+    corpus-level statistic in the index, which is exactly why it cannot
+    be applied per shard: a hash under the cap in every shard can be
+    over it in the union, so capped shard indices CANNOT be merged
+    exactly — raw postings can, trivially (shards must partition the
+    corpus by document; a document split across shards would
+    double-count its postings).
+
+    The ``fp`` column is schema-tagged ``winnow_raw`` with the
+    ``(format, k, window)`` that selected it; the finalize step derives
+    its parameters from the tag and :func:`winnowing_probe_pairs`
+    REJECTS a raw table (no ``winnow_index_format``) — an uncapped
+    index would silently drag boilerplate postings through every
+    probe."""
+    sel = _winnow_selected(df, id_col, text_col, k, window)
+    post = sel.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.col("__sel"),
+                    lambda j: F.element_at(
+                        F.col("__h"), (j + 1).cast("int")
+                    ),
+                )
+            )
+        ).alias("fp"),
+    )
+    # metadata set on a generator (explode) alias is dropped by the
+    # analyzer — attach the tag in a follow-up projection instead
+    return post.select(
+        F.col(id_col),
+        F.col("fp").alias(
+            "fp",
+            metadata={
+                "winnow_raw_format": WINNOW_INDEX_FORMAT,
+                "winnow_k": k,
+                "winnow_window": window,
+            },
+        ),
+    )
+
+
+def winnowing_finalize_index(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 50,
+) -> DataFrame:
+    """Finalize raw winnowing postings into the probe-ready index: apply
+    the corpus-level ``df_cap`` (hashes selected by more than ``df_cap``
+    documents are boilerplate and dropped) and stamp the
+    :data:`WINNOW_INDEX_FORMAT` tag the probe demands.  ``postings`` is
+    one or more :func:`winnowing_raw_postings` outputs unioned —
+    ``finalize(union(raw(shard_i))) == winnowing_posting_index(corpus)``
+    EXACTLY (test-pinned), which is what makes the 100 TB index build a
+    fleet of independent map-only shard jobs plus one df-cap exchange.
+
+    Raises ``ValueError`` on an untagged table or a finalized index
+    (the cap must see RAW postings exactly once)."""
+    meta = (
+        dict(postings.schema["fp"].metadata or {})
+        if "fp" in postings.columns
+        else {}
+    )
+    if "winnow_index_format" in meta:
+        raise ValueError(
+            "winnowing_finalize_index: input is already a finalized "
+            "index — applying the df-cap twice would over-prune; pass "
+            "raw postings (winnowing_raw_postings)"
+        )
+    if meta.get("winnow_raw_format") != WINNOW_INDEX_FORMAT:
+        raise ValueError(
+            f"winnowing_finalize_index: input carries raw format "
+            f"{meta.get('winnow_raw_format')!r}; this engine reads format "
+            f"{WINNOW_INDEX_FORMAT}.  Untagged postings cannot prove "
+            "which (k, window) selected them — rebuild with "
+            "winnowing_raw_postings() (the tag survives a parquet "
+            "round-trip)."
+        )
+    dfw = Window.partitionBy("fp")
+    return (
+        postings.withColumn("__df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("__df") <= df_cap)
+        .select(
+            F.col(id_col),
+            F.col("fp").alias(
+                "fp",
+                metadata={
+                    "winnow_index_format": WINNOW_INDEX_FORMAT,
+                    "winnow_k": meta["winnow_k"],
+                    "winnow_window": meta["winnow_window"],
+                    "winnow_df_cap": df_cap,
+                },
+            ),
+        )
+    )
+
+
 def winnowing_posting_index(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -467,40 +579,18 @@ def winnowing_posting_index(
     then probe every future ingest batch with
     :func:`winnowing_probe_pairs` at O(batch + matches).
 
+    One-shot composition of :func:`winnowing_raw_postings` (map-only,
+    shard-parallel) + :func:`winnowing_finalize_index` (the df-cap
+    exchange) — at fleet scale run the two halves as separate jobs.
+
     Scale shape: the selection is the map-only run-test projection; the
     only exchange is the df-cap count over the ~2/(window+1)-sparse
     postings.  Persist bucketed by ``fp`` and the probe join needs no
     index-side shuffle."""
-    sel = _winnow_selected(df, id_col, text_col, k, window)
-    post = sel.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.col("__sel"),
-                    lambda j: F.element_at(
-                        F.col("__h"), (j + 1).cast("int")
-                    ),
-                )
-            )
-        ).alias("fp"),
-    )
-    dfw = Window.partitionBy("fp")
-    return (
-        post.withColumn("__df", F.count(F.lit(1)).over(dfw))
-        .filter(F.col("__df") <= df_cap)
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("fp").alias(
-                "fp",
-                metadata={
-                    "winnow_index_format": WINNOW_INDEX_FORMAT,
-                    "winnow_k": k,
-                    "winnow_window": window,
-                    "winnow_df_cap": df_cap,
-                },
-            ),
-        )
+    return winnowing_finalize_index(
+        winnowing_raw_postings(df, id_col, text_col, k, window),
+        id_col=id_col,
+        df_cap=df_cap,
     )
 
 
