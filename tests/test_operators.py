@@ -6320,3 +6320,58 @@ def test_winnowing_sharded_build_equals_direct(spark):
         text_ops.winnowing_probe_pairs(corpus, raw)
     with _pytest.raises(ValueError, match="finalized"):
         text_ops.winnowing_finalize_index(merged, df_cap=3)
+
+
+def test_dsir_sharded_build_equals_direct(spark):
+    """The shard-parallel DSIR index build, pinned:
+    finalize(merge(raw(shard_A), raw(shard_B))) must equal
+    dsir_cell_table(corpus) exactly — integer cell counts merge via the
+    streaming MV contract and both paths evaluate the identical
+    smoothing expression on identical integers.  The merge validates
+    tags (format + bucket modulus) and finalize rejects untagged
+    input."""
+    import pytest as _pytest
+
+    from tsdisagg_spark.operators import sampling
+
+    docs = [
+        (i, ("tgt" if i % 3 == 0 else "web"),
+         f"alpha beta w{i} gamma delta w{i} epsilon zeta")
+        for i in range(1, 13)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    tgt = F.col("source") == "tgt"
+    shard_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    shard_b = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    direct = sampling.dsir_cell_table(corpus, tgt)
+    merged = sampling.dsir_finalize_cells(
+        sampling.dsir_merge_cells(
+            sampling.dsir_raw_cells(shard_a, tgt),
+            sampling.dsir_raw_cells(shard_b, tgt),
+        )
+    )
+    want = sorted(tuple(r) for r in direct.collect())
+    got = sorted(tuple(r) for r in merged.collect())
+    assert got == want and want
+    assert dict(merged.schema["__lam"].metadata) == dict(
+        direct.schema["__lam"].metadata
+    )
+    # scoring accepts the merged-built table exactly like the direct one
+    batch = spark.createDataFrame(
+        [(100, False, "alpha beta gamma delta")],
+        "doc_id long, __t boolean, text string",
+    )
+    s_direct = sampling.dsir_score(batch, direct).collect()
+    s_merged = sampling.dsir_score(batch, merged).collect()
+    assert sorted(map(tuple, s_direct)) == sorted(map(tuple, s_merged))
+
+    with _pytest.raises(ValueError, match="bucket-modulus"):
+        sampling.dsir_merge_cells(
+            sampling.dsir_raw_cells(shard_a, tgt, buckets=512),
+            sampling.dsir_raw_cells(shard_b, tgt, buckets=1024),
+        )
+    with _pytest.raises(ValueError, match="raw format"):
+        sampling.dsir_merge_cells(direct, sampling.dsir_raw_cells(shard_b, tgt))
+    with _pytest.raises(ValueError, match="raw format"):
+        sampling.dsir_finalize_cells(corpus)

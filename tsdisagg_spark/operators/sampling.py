@@ -345,26 +345,112 @@ def _dsir_cell_counts(
     )
 
 
-def _dsir_lambda(cnt: DataFrame, buckets: int, scale: int) -> DataFrame:
-    """``(__h, __lam)`` quantized log-likelihood-ratio cell table from
-    ``_dsir_cell_counts`` output: per cell the add-one-smoothed ratio
+def _dsir_raw_tag(buckets: int) -> dict:
+    return {"dsir_raw_format": DSIR_INDEX_FORMAT, "dsir_buckets": buckets}
 
-        lambda_h = ln((t_h + 1) / (T + B)) - ln((r_h + 1) / (R + B))
 
-    rounded to ``scale``-nats (micronats at the default).  ``buckets``
-    rows — the persistable DSIR INDEX: build it once from a reference
-    corpus, broadcast it to score any future batch.  The ``__lam``
-    column carries the format tag (version/buckets/scale) as schema
-    metadata so a persisted table self-describes — see
-    :data:`DSIR_INDEX_FORMAT`."""
+def dsir_raw_cells(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """UNFINALIZED DSIR cell counts ``(__h, __th, __rh)`` — per hashed
+    bigram cell, the target-side and rest-side gram counts, before any
+    smoothing or log.  This is the SHARD-PARALLEL / STREAM-MERGEABLE
+    half of the index build: counts are exact integer partial sums, so
+    disjoint corpus shards build raw cells independently and
+    :func:`dsir_merge_cells` folds them EXACTLY — the same key-grain
+    merge contract as ``streaming.mv.merge_partial_aggregates`` (which
+    it delegates to), so a live stream can keep the raw cells fresh per
+    micro-batch and the index is re-finalized on demand.  The log-ratio
+    table itself (:func:`dsir_finalize_cells`) is NOT mergeable — logs
+    of smoothed ratios don't add — which is exactly why the raw grain
+    is the persisted one (shards must partition the corpus by document).
+
+    Schema-tagged ``dsir_raw`` with the bucket modulus; the scorer
+    rejects a raw table (no ``dsir_index_format``)."""
+    cnt = _dsir_cell_counts(docs, target, id_col, text_col, buckets)
     feat = cnt.groupBy("__h").agg(
         F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__th"),
         F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("__rh"),
     )
-    tot = feat.agg(
+    return feat.select(
+        "__h",
+        F.col("__th").alias("__th", metadata=_dsir_raw_tag(buckets)),
+        "__rh",
+    )
+
+
+def dsir_merge_cells(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two raw DSIR cell tables (:func:`dsir_raw_cells`) built
+    from DISJOINT document sets: exact per-cell count addition via the
+    streaming MV merge.  Validates both raw tags agree on format and
+    bucket modulus (raises ``ValueError``) and re-attaches the tag the
+    generic merge's projection drops."""
+    from tsdisagg_spark.streaming.mv import merge_partial_aggregates
+
+    tags = []
+    for side, df in (("left", a), ("right", b)):
+        meta = (
+            dict(df.schema["__th"].metadata or {})
+            if "__th" in df.columns
+            else {}
+        )
+        if meta.get("dsir_raw_format") != DSIR_INDEX_FORMAT:
+            raise ValueError(
+                f"dsir_merge_cells: {side} input carries raw format "
+                f"{meta.get('dsir_raw_format')!r}; this engine reads "
+                f"format {DSIR_INDEX_FORMAT} — build with dsir_raw_cells()"
+            )
+        tags.append(meta.get("dsir_buckets"))
+    if tags[0] != tags[1]:
+        raise ValueError(
+            f"dsir_merge_cells: bucket-modulus mismatch ({tags[0]} vs "
+            f"{tags[1]}); merging would add counts from different cell "
+            "spaces"
+        )
+    merged = merge_partial_aggregates(
+        a, b, keys=("__h",), sum_cols=("__th", "__rh")
+    )
+    return merged.select(
+        "__h",
+        F.col("__th").alias("__th", metadata=_dsir_raw_tag(tags[0])),
+        "__rh",
+    )
+
+
+def dsir_finalize_cells(cells: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Finalize raw DSIR cells into the broadcastable ``(__h, __lam)``
+    index: per cell the add-one-smoothed quantized log ratio
+
+        lambda_h = ln((t_h + 1) / (T + B)) - ln((r_h + 1) / (R + B))
+
+    rounded to ``scale``-nats (micronats at the default), with the
+    totals T/R summed over the input cells and B the tagged bucket
+    modulus.  ``finalize(merge(raw(shard_i))) == dsir_cell_table
+    (corpus)`` EXACTLY (test-pinned: counts merge exactly and both
+    paths evaluate the identical expression on identical integers).
+    Raises ``ValueError`` on an untagged input (the modulus enters the
+    smoothing denominator — it must come from the tag, not a guess)."""
+    meta = (
+        dict(cells.schema["__th"].metadata or {})
+        if "__th" in cells.columns
+        else {}
+    )
+    if meta.get("dsir_raw_format") != DSIR_INDEX_FORMAT:
+        raise ValueError(
+            f"dsir_finalize_cells: input carries raw format "
+            f"{meta.get('dsir_raw_format')!r}; this engine reads format "
+            f"{DSIR_INDEX_FORMAT} — build with dsir_raw_cells() (the tag "
+            "survives a parquet round-trip)."
+        )
+    buckets = meta["dsir_buckets"]
+    tot = cells.agg(
         F.sum("__th").alias("__tt"), F.sum("__rh").alias("__rr")
     )
-    return feat.crossJoin(F.broadcast(tot)).select(
+    return cells.crossJoin(F.broadcast(tot)).select(
         "__h",
         F.round(
             scale
@@ -385,6 +471,24 @@ def _dsir_lambda(cnt: DataFrame, buckets: int, scale: int) -> DataFrame:
             },
         ),
     )
+
+
+def _dsir_lambda(cnt: DataFrame, buckets: int, scale: int) -> DataFrame:
+    """``(__h, __lam)`` quantized log-likelihood-ratio cell table from
+    ``_dsir_cell_counts`` output — the one-shot composition of the
+    cell aggregation (:func:`dsir_raw_cells`' core) and
+    :func:`dsir_finalize_cells`; at fleet scale run the halves as
+    separate jobs and fold shards with :func:`dsir_merge_cells`."""
+    feat = cnt.groupBy("__h").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__th"),
+        F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("__rh"),
+    )
+    raw = feat.select(
+        "__h",
+        F.col("__th").alias("__th", metadata=_dsir_raw_tag(buckets)),
+        "__rh",
+    )
+    return dsir_finalize_cells(raw, scale)
 
 
 def dsir_cell_table(
