@@ -6375,3 +6375,49 @@ def test_dsir_sharded_build_equals_direct(spark):
         sampling.dsir_merge_cells(direct, sampling.dsir_raw_cells(shard_b, tgt))
     with _pytest.raises(ValueError, match="raw format"):
         sampling.dsir_finalize_cells(corpus)
+
+
+def test_band_and_chunk_indices_shard_merge_by_union(spark):
+    """The index-merge matrix, completed: the PER-DOCUMENT indices must
+    merge across disjoint corpus shards by plain union — MinHash and
+    SimHash band entries are pure per-row/per-doc computations, and the
+    chunk-digest index's corpus-level step is a DISTINCT (idempotent,
+    so union + distinct is exact).  This is the guard that keeps these
+    builds shard-parallel: if anyone adds a corpus-level statistic
+    (a df-cap, a frequency prune) to one of these builders, shard
+    builds silently stop composing and this equality breaks — the
+    winnowing df-cap and DSIR log-ratio, which DO have corpus-level
+    steps, carry their own raw/finalize splits instead."""
+    from tsdisagg_spark.operators import dedup as dedup_ops
+    from tsdisagg_spark.operators import text as text_ops
+
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(40)))
+        for i in range(1, 9)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    a = corpus.filter(F.col("doc_id") % 2 == 0)
+    b = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+
+    direct = rows(dedup_ops.minhash_band_index(corpus))
+    assert direct and rows(
+        dedup_ops.minhash_band_index(a).unionByName(
+            dedup_ops.minhash_band_index(b)
+        )
+    ) == direct
+
+    direct = rows(dedup_ops.simhash_band_index(corpus))
+    assert direct and rows(
+        dedup_ops.simhash_band_index(a).unionByName(
+            dedup_ops.simhash_band_index(b)
+        )
+    ) == direct
+
+    direct = rows(text_ops.chunk_index(corpus, size=8))
+    assert direct and rows(
+        text_ops.chunk_index(a, size=8)
+        .unionByName(text_ops.chunk_index(b, size=8))
+        .distinct()
+    ) == direct
