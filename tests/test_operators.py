@@ -6421,3 +6421,60 @@ def test_band_and_chunk_indices_shard_merge_by_union(spark):
         .unionByName(text_ops.chunk_index(b, size=8))
         .distinct()
     ) == direct
+
+
+def test_dsir_index_stream_maintenance_equals_batch(spark, tmp_path):
+    """The continuously-maintained DSIR index, pinned end-to-end: raw
+    cell counts kept fresh by per-micro-batch dsir_merge_cells folds
+    over a real file stream, finalized on demand, must equal the
+    one-shot dsir_cell_table over the same documents exactly — the
+    stream-maintained and fleet-built index are the same object."""
+    from tsdisagg_spark.operators import sampling
+
+    docs = [
+        (i, ("tgt" if i % 3 == 0 else "web"),
+         f"alpha beta w{i % 7} gamma delta w{i % 5} epsilon zeta")
+        for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    src = str(tmp_path / "dsir_stream")
+    for lo in range(1, 25, 7):
+        df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 7)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    tgt = F.col("source") == "tgt"
+    want = sorted(
+        tuple(r) for r in sampling.dsir_cell_table(df, tgt).collect()
+    )
+
+    state = {"cells": None}
+
+    def sink(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        raw = sampling.dsir_raw_cells(bdf, tgt)
+        merged = (
+            raw
+            if state["cells"] is None
+            else sampling.dsir_merge_cells(state["cells"], raw)
+        )
+        # localCheckpoint drops column metadata in some Spark versions;
+        # re-attach the raw tag so the next merge's gate still holds
+        cp = merged.localCheckpoint()
+        meta = dict(merged.schema["__th"].metadata)
+        state["cells"] = cp.select(
+            "__h", F.col("__th").alias("__th", metadata=meta), "__rh"
+        )
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in sampling.dsir_finalize_cells(state["cells"]).collect()
+    )
+    assert got == want and len(want) > 5
