@@ -131,6 +131,7 @@ HEADLINE = [
     "order_snapshot_diff",     # CDC full-outer snapshot reconciliation
     "events_in_incident_windows",  # keyless range join (bucketized intervals)
     "session_incident_overlap",  # interval x interval overlap join (exactly-once buckets)
+    "indicator_lead_lag",      # lead-lag indicator selection (exact-corr best pick)
     "order_value_grid_quantiles",  # exact histogram quantiles, sort-free
     "pq_codes",                # product-quantization encode (explode + broadcast codebook)
     "pq_adc_topk",             # asymmetric-distance top-k over 8-byte codes

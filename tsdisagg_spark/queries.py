@@ -4521,6 +4521,139 @@ def indicator_corr_flags(spark, sf_dir):
 
 
 @query(
+    "indicator_lead_lag",
+    oracle="""
+    WITH nat AS (
+        SELECT n.n_name,
+               CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) * 12
+                    + month(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)
+                   AS mi,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    mkt AS (
+        SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) * 12
+                    + month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS mi,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    al AS (
+        SELECT nat.n_name, lags.lag, nat.x, mkt.y
+        FROM nat CROSS JOIN lags
+        JOIN mkt ON mkt.mi = nat.mi - lags.lag
+    ),
+    st AS (
+        SELECT n_name, lag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM al GROUP BY 1, 2
+    ),
+    co AS (
+        SELECT n_name, lag, CAST(n AS BIGINT) AS n_months,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                   AS corr
+        FROM st
+        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    )
+    SELECT n_name, CAST(lag AS BIGINT) AS best_lag, corr, n_months
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY n_name
+              ORDER BY corr DESC, abs(lag) ASC, lag ASC) AS rk
+          FROM co)
+    WHERE rk = 1
+    """,
+)
+def indicator_lead_lag(spark, sf_dir):
+    """Lead-lag indicator selection — the screen a disaggregation user
+    runs before committing to a Chow-Lin indicator: for each nation's
+    monthly revenue series, the market-lag in -3..+3 months whose
+    shifted market series correlates best (positive best_lag = the
+    nation FOLLOWS the market).  Alignment is by integer month index
+    (year*12 + month) so neither engine does date arithmetic; Pearson
+    corr comes from exact integer sufficient statistics — cents-scaled
+    sums, cross- and square-products accumulated in DECIMAL(38,0)
+    (HUGEINT in the oracle; the three corr components each stay ~1e23
+    at sf0.1, but their PRODUCT would overflow even 128-bit, so each
+    component casts to double BEFORE the one division) — identical
+    integers divide identically, so the rounded corr and therefore the
+    (corr desc, |lag|, lag) best-pick order match bit-for-bit.  Lags
+    with a degenerate variance are excluded on both sides.
+    Scale shape: the month-grain aggregates reduce the fact table
+    before any lag logic; the 7-lag explode runs on nations x months
+    rows; the market series is broadcast-sized."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mi = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", mi.alias("mi"))
+        .agg(F.sum(cents).alias("x"))
+    )
+    mkt = o.groupBy(mi.alias("mi")).agg(F.sum(cents).alias("y"))
+    lag = F.explode(
+        F.sequence(F.lit(-3), F.lit(3))
+    ).alias("lag")
+    al = (
+        nat.select("n_name", "mi", "x", lag)
+        .join(
+            F.broadcast(mkt).withColumnRenamed("mi", "ymi"),
+            F.col("ymi") == F.col("mi") - F.col("lag"),
+        )
+    )
+    d = lambda col: F.col(col).cast("decimal(38,0)")
+    st = al.groupBy("n_name", "lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+        F.sum(d("y") * d("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    co = st.filter((dx > 0) & (dy > 0)).select(
+        "n_name",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_months"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("corr"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("corr").desc(), F.abs("lag").asc(), F.col("lag").asc()
+    )
+    return (
+        co.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "n_name",
+            F.col("lag").alias("best_lag"),
+            "corr",
+            "n_months",
+        )
+    )
+
+
+@query(
     "similar_part_names",
     oracle="""
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
