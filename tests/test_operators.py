@@ -6478,3 +6478,50 @@ def test_dsir_index_stream_maintenance_equals_batch(spark, tmp_path):
         for r in sampling.dsir_finalize_cells(state["cells"]).collect()
     )
     assert got == want and len(want) > 5
+
+
+def test_mg_merge_property_bounds_and_survival():
+    """Misra-Gries invariants on random streams, any batch cut: (1) the
+    summary never exceeds k counters, (2) every reported count is a
+    lower bound within the decrement certificate, (3) every key with
+    true count > n/(k+1) SURVIVES (the pigeonhole guarantee the
+    streaming heavy-hitter operator's sharding argument rests on), and
+    (4) the certificate itself respects dec <= n/(k+1)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsdisagg_spark.streaming import mg_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stream=st.lists(
+            st.sampled_from([f"k{i}" for i in range(12)]),
+            min_size=1,
+            max_size=120,
+        ),
+        k=st.integers(min_value=1, max_value=6),
+        cuts=st.lists(
+            st.integers(min_value=1, max_value=119), max_size=4
+        ),
+    )
+    def check(stream, k, cuts):
+        n = len(stream)
+        bounds = sorted({c for c in cuts if c < n}) + [n]
+        summary, dec = {}, 0
+        lo = 0
+        for hi in bounds:
+            batch = Counter(stream[lo:hi])
+            summary, dec = mg_merge(summary, dict(batch), k, dec)
+            lo = hi
+        truth = Counter(stream)
+        assert len(summary) <= k
+        assert dec * (k + 1) <= n
+        for key, c in summary.items():
+            assert 0 < c <= truth[key] <= c + dec
+        for key, cnt in truth.items():
+            if cnt * (k + 1) > n:
+                assert key in summary, (key, cnt, n, k, summary, dec)
+
+    check()
