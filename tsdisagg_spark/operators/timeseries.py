@@ -329,6 +329,18 @@ def indicator_corr(
     ``corr`` is an algebraic aggregate (sum, sum-of-squares, cross-sum):
     map-side partial aggregation applies, so the shuffle carries one
     partial state per (series, partition), not the rows.
+
+    FLOAT-GRID BOUND (the verify-skill rule): the 6-decimal rounded
+    CORR is computed over order-dependent double partial sums (both the
+    month-level input sums and corr's own moment accumulation), so each
+    output value carries a residual cross-engine tie probability of
+    roughly ``2 x eps_corr / 1e-6 ~ 2e-5`` (eps_corr ~ 1e-11 from
+    ~1e4-term cents-magnitude sums).  SAFE CORPUS BOUND: ~10^3 series
+    (expected hash flips ~0.1 at a few output values per series).  Past
+    that, use the exact-sufficient-statistic formulation —
+    ``queries.indicator_lead_lag`` carries it: cents-scaled integer
+    sums in DECIMAL(38,0) with one final double division, tie-free at
+    any scale — as the scale-certification twin.
     """
     aggs = [
         F.round(F.corr(y_col, x), 6).alias(f"corr_{x}") for x in x_cols

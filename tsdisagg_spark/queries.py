@@ -4505,7 +4505,11 @@ def indicator_corr_flags(spark, sf_dir):
     series — the ranking a user runs before choosing ``high_freq_df``
     columns for a Chow-Lin fit.  corr is algebraic, so the shuffle moves
     one partial state per (series, partition)
-    (operators/timeseries.py:indicator_corr)."""
+    (operators/timeseries.py:indicator_corr).  Float-grid oracle: safe
+    to ~10^3 series (bound derivation in the operator docstring); the
+    exact integer-lane twin for scale certification is
+    ``indicator_lead_lag``, whose corr components are DECIMAL(38,0)
+    sufficient statistics with one final double division."""
     li = t(spark, sf_dir, "lineitem")
     monthly = li.groupBy(
         F.col("l_returnflag").alias("series_id"),
