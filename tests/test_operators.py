@@ -6525,3 +6525,78 @@ def test_mg_merge_property_bounds_and_survival():
                 assert key in summary, (key, cnt, n, k, summary, dec)
 
     check()
+
+
+def test_grid_quantiles_stream_equals_batch(spark, tmp_path):
+    """The continuously-maintained percentile monitor, pinned: the
+    per-(priority, cents) value histogram is key-grain integer state a
+    stream keeps fresh with merge_partial_aggregates; reading it with
+    grid_quantiles_over_hist must equal the one-shot
+    order_value_grid_quantiles query over the same orders exactly
+    (counts merge exactly; the integer rank test is a deterministic
+    function of the counts).  Third member of the MV-monitor family
+    next to the drift screen and the DSIR raw cells."""
+    from tsdisagg_spark.operators.sketches import grid_quantiles_over_hist
+    from tsdisagg_spark.queries import QUERIES
+    from tsdisagg_spark.streaming import merge_partial_aggregates
+
+    rows = [
+        (k, k % 17, f"{1 + k % 5}-P", float(100 + (k * 37) % 900) / 4,
+         "2001-01-0%d" % (1 + k % 9))
+        for k in range(1, 301)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["order_value_grid_quantiles"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert len(want) == 5
+
+    src = str(tmp_path / "stream_src")
+    for lo in range(1, 301, 83):
+        orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 83)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    agg = lambda df: df.groupBy(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("__v"),
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    state = {"hist": None}
+
+    def sink(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        part = agg(bdf)
+        merged = (
+            part
+            if state["hist"] is None
+            else merge_partial_aggregates(
+                state["hist"], part,
+                keys=("o_orderpriority", "__v"), sum_cols=("__cnt",),
+            )
+        )
+        state["hist"] = merged.localCheckpoint()
+
+    stream = spark.readStream.schema(orders.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in grid_quantiles_over_hist(
+            state["hist"], [(1, 4), (1, 2), (3, 4)],
+            group_cols=["o_orderpriority"],
+        ).collect()
+    )
+    assert got == want

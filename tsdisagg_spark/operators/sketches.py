@@ -476,15 +476,35 @@ def grid_quantiles(
     (both keyed on columns that scale with the data), then a conditional
     min — rows never sort globally and never collect.
     """
+    gcols = list(group_cols or [])
+    hist = df.groupBy(
+        *gcols, F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    return grid_quantiles_over_hist(hist, quantiles, group_cols=gcols)
+
+
+def grid_quantiles_over_hist(
+    hist: DataFrame,
+    quantiles: list[tuple[int, int]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The quantile READ over a prebuilt ``(group_cols..., __v, __cnt)``
+    value histogram — the split that makes :func:`grid_quantiles` a
+    continuously-maintained monitor: the histogram is a key-grain
+    integer aggregate (exactly the ``streaming.mv.
+    merge_partial_aggregates`` contract, like the drift screen's cell
+    table and the DSIR raw cells), so a stream merges per-micro-batch
+    partial histograms into held state and this read answers live
+    percentile queries from ``groups x distinct-grid-values`` rows
+    without rescanning history — stream == batch pinned by
+    tests/test_operators.py::test_grid_quantiles_stream_equals_batch.
+    Same integer rank test and output shape as :func:`grid_quantiles`."""
     if not quantiles:
         raise ValueError("quantiles must be non-empty")
     for num, den in quantiles:
         if not (0 < num <= den):
             raise ValueError(f"quantile {num}/{den} outside (0, 1]")
     gcols = list(group_cols or [])
-    hist = df.groupBy(
-        *gcols, F.col(value_col).alias("__v")
-    ).agg(F.count(F.lit(1)).alias("__cnt"))
     w = (
         Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
     ).orderBy("__v")
