@@ -11185,7 +11185,7 @@ def global_sales_opportunity(spark, sf_dir):
 # Every window name is oracle-backed (the four rows-only-by-design queries
 # stay outside it so the driver's 50-sample is 50/50 hash-checkable); names
 # outside the window follow in registration order — nothing is dropped.
-DRIVER_ROUND = 12
+DRIVER_ROUND = 13
 DRIVER_WINDOW = 50
 
 DRIVER_CORE: tuple[str, ...] = (
@@ -11309,43 +11309,39 @@ DRIVER_SAMPLED_BEFORE: frozenset[str] = frozenset({
     "hybrid_rrf_search", "pmi_collocations", "late_event_audit",
     "small_quantity_revenue", "nation_pair_trade",
     "returned_item_customers",
+    # round-12 driver rows (CORRECTNESS_r12.json — the 15 first-ever picks)
+    "large_volume_customers", "waiting_suppliers_topk",
+    "global_sales_opportunity", "daily_event_mix_drift",
+    "incremental_winnowing_dedup", "dup_graph_triangles",
+    "order_value_winsorized", "status_revenue_unpivot",
+    "customer_reorder_gaps", "spearman_corr_flags", "wav_decimate_quanta",
+    "top_bigrams", "revenue_rollup", "session_incident_overlap",
+    "top_supplier_revenue",
 })
 
 # This round's judge-ordered rotation carriers, ahead of the shuffle
-# (VERDICT r11 #2): the 13 queries the judge sf0.01-verified in the
-# round-11 session — the five round-11 registrations first, then the
-# never-driver-sampled old-timers — followed by the round-11 priority
-# overflow that never fit its window (kept in judge order).  Only the
-# first ``DRIVER_WINDOW - len(DRIVER_CORE)`` fit this round's window;
-# the overflow leads the queue when the round is next bumped.
+# (VERDICT r12 #1): all 15 were judge-verified MATCH at sf0.01 in the
+# round-12 session; the four ANN/exhaustive certifiers lead because they
+# externally certify the approximate machinery the ROWS_ONLY_TWINS
+# entries lean on.  Exactly ``DRIVER_WINDOW - len(DRIVER_CORE)`` names —
+# the whole window rotation is judge-ordered this round; any round-13
+# registration queues behind as never-sampled ``fresh`` for round 14.
 DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
-    "large_volume_customers",
-    "waiting_suppliers_topk",
-    "global_sales_opportunity",
-    "daily_event_mix_drift",
-    "incremental_winnowing_dedup",
-    "dup_graph_triangles",
-    "order_value_winsorized",
-    "status_revenue_unpivot",
-    "customer_reorder_gaps",
-    "spearman_corr_flags",
-    "wav_decimate_quanta",
-    "top_bigrams",
-    "revenue_rollup",
-    # this round's registration (r11 precedent: new queries get their
-    # first external row the round they land)
-    "session_incident_overlap",
-    # round-11 priority overflow, never yet driver-sampled
-    "top_supplier_revenue",
-    "token_entropy",
-    "ngram_coverage_curve",
-    "zipf_slope_by_source",
-    "temperature_mixture_weights",
+    "knn_ivf_exhaustive",
+    "knn_lsh_exhaustive",
+    "embedding_dup_lsh_exhaustive",
     "embedding_pca_parseval_exact",
-    "brand_margin",
-    "signup_funnel",
+    "indicator_lead_lag",
+    "token_entropy",
+    "zipf_slope_by_source",
+    "ngram_coverage_curve",
+    "lang_token_budget_sample",
+    "temperature_mixture_weights",
     "pipeline_clean_corpus",
-    "customer_quartiles",
+    "order_value_histogram",
+    "revenue_range_window",
+    "signup_funnel",
+    "supplier_region_summary",
 )
 
 
