@@ -48,13 +48,31 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 OFF = 10**9
 
 
-def gen(src: str, mult: int, out: str, tables: set[str] | None = None) -> None:
+def gen(
+    src: str,
+    mult: int,
+    out: str,
+    tables: set[str] | None = None,
+    hold_incidents: bool = False,
+) -> None:
     """``tables`` restricts which FACT tables are replicated (e.g.
     ``{"documents"}`` for the x1000 documents-only tier — replicating
     60M-row lineitem 1000x is neither needed nor disk-sane for a
     document-family gate); unscaled facts and the dims are byte-copied
     from ``src`` so `t()`/oracle view registration still resolve every
-    table."""
+    table.
+
+    ``hold_incidents`` pins the INCIDENT population at the ``src`` level
+    while the event stream still scales: events replicas ``i > 0`` keep
+    every row (timestamps, users, session shapes untouched) but clamp
+    ``value`` below the incident threshold for ``event_type = 'error'``
+    rows, so only replica 0 fires incidents.  This is the
+    realistic-sparsity regime for interval-overlap queries — a fleet's
+    event RATE grows with scale while its ALERT count does not — and
+    turns the "at real scale incidents are rare and the stream is
+    linear" argument (queries.py session_incident_overlap docstring)
+    into a measurable tier instead of density-scaling both interval
+    sets quadratically."""
     from pyspark.sql import functions as F
 
     from tsdisagg_spark.spark.session import get_spark
@@ -108,12 +126,31 @@ def gen(src: str, mult: int, out: str, tables: set[str] | None = None) -> None:
 
     if "events" in scaled:
         ev = spark.read.parquet(f"{src}/events.parquet")
-        replicas(
-            ev,
-            lambda df, i: df.withColumn(
+
+        def ev_replica(df, i):
+            rep = df.withColumn(
                 "event_id", F.col("event_id") + F.lit(i * OFF)
-            ).withColumn("user_id", F.col("user_id") + F.lit(i * OFF)),
-        ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * OFF))
+            if hold_incidents and i > 0:
+                # incident predicate mirror of session_incident_overlap /
+                # events_in_incident_windows: event_type='error' AND
+                # value >= 18.0.  Clamp just under the threshold — rows,
+                # timestamps and users survive so sessionization is
+                # byte-identical to the plain tier; only the incident
+                # flag is confined to replica 0.
+                rep = rep.withColumn(
+                    "value",
+                    F.when(
+                        (F.col("event_type") == "error")
+                        & (F.col("value") >= 18.0),
+                        F.lit(17.999),
+                    ).otherwise(F.col("value")),
+                )
+            return rep
+
+        replicas(ev, ev_replica).write.mode("overwrite").parquet(
+            f"{out}/events.parquet"
+        )
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
 
@@ -194,6 +231,13 @@ def main() -> None:
         "the out dir is suffixed with the first 4 chars of each table "
         "(e.g. --tables documents -> x1000docu) when restricted",
     )
+    ap.add_argument(
+        "--hold-incidents",
+        action="store_true",
+        help="scale the event stream but pin the incident population at "
+        "the src level (replicas i>0 clamp error-event values below the "
+        "18.0 incident threshold); out dir gains a _sparse suffix",
+    )
     args = ap.parse_args()
     tables = (
         {t.strip() for t in args.tables.split(",") if t.strip()}
@@ -201,8 +245,11 @@ def main() -> None:
         else None
     )
     suffix = "" if tables is None else "".join(sorted(t[:4] for t in tables))
+    if args.hold_incidents:
+        suffix += "_sparse"
     out = os.path.join(ROOT, ".scale_stress", f"x{args.mult}{suffix}")
-    gen(args.src, args.mult, out, tables=tables)
+    gen(args.src, args.mult, out, tables=tables,
+        hold_incidents=args.hold_incidents)
     print(f"wrote {out}")
 
 
