@@ -256,6 +256,114 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     )
 
 
+def test_interval_overlap_join_stream_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream interval OVERLAP join must produce
+    exactly the batch twin's pairs — and, aggregated, exactly the
+    oracle-certified ``session_incident_overlap`` output — when fed the
+    same sessions + incident windows as multi-micro-batch file streams
+    (both sides drip one file per trigger, so cross-batch pairs exercise
+    the symmetric join state, not single-batch luck)."""
+    from pyspark.sql import functions as F
+
+    from tsdisagg_spark.operators.joins import (
+        interval_overlap_join as batch_join,
+    )
+    from tsdisagg_spark.queries import session_incident_overlap, sessionization, t
+    from tsdisagg_spark.streaming.joins import (
+        interval_overlap_join as stream_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sess = sessionization(spark, sf).select(
+        F.col("user_id").alias("s_user"),
+        F.col("session_start").alias("s_lo"),
+        F.col("session_end").alias("s_hi"),
+    )
+    inc = (
+        t(spark, sf, "events")
+        .filter((F.col("event_type") == "error") & (F.col("value") >= 18.0))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("win_lo"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_hi"),
+        )
+    )
+    sess_src, inc_src = str(tmp_path / "sess"), str(tmp_path / "inc")
+    sess.repartition(3).write.parquet(sess_src)
+    inc.repartition(3).write.parquet(inc_src)
+
+    s_stream = (
+        spark.readStream.schema(sess.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sess_src)
+    )
+    i_stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inc_src)
+    )
+    # spans: sessions are gap-closed (loose "7 days" bound is still a
+    # real eviction bound); incident windows are exactly 10 minutes.
+    # The "35 days" watermark exceeds the corpus span, so arbitrary file
+    # arrival order cannot drop true pairs — eviction under tight
+    # watermarks is the x10-tier run's concern, equality is this one's.
+    q = (
+        stream_join(
+            s_stream,
+            i_stream,
+            "s_lo",
+            "s_hi",
+            "win_lo",
+            "win_hi",
+            max_left_span="7 days",
+            max_right_span="10 minutes",
+            bucket_seconds=600,
+            watermark="35 days",
+        )
+        .writeStream.format("memory")
+        .queryName("ovl_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not drain in 180s"
+    got = spark.sql("select * from ovl_pairs")
+
+    expected = batch_join(
+        sess, inc, "s_lo", "s_hi", "win_lo", "win_hi", bucket_seconds=600
+    ).toPandas()
+    key = ["incident_id", "s_user", "s_lo"]
+    got_pd = got.toPandas()
+    pd.testing.assert_frame_equal(
+        got_pd.sort_values(key).reset_index(drop=True)[expected.columns],
+        expected.sort_values(key).reset_index(drop=True),
+    )
+
+    # aggregated, the streamed pairs ARE the oracle-certified query output
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    agg = (
+        got.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("s_user").cast("long").alias("n_users"),
+            F.sum(
+                (
+                    us(F.least(F.col("s_hi"), F.col("win_hi")))
+                    - us(F.greatest(F.col("s_lo"), F.col("win_lo")))
+                ).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        .toPandas()
+    )
+    want = session_incident_overlap(spark, sf).toPandas()
+    pd.testing.assert_frame_equal(
+        agg.sort_values("incident_id").reset_index(drop=True)[want.columns],
+        want.sort_values("incident_id").reset_index(drop=True),
+    )
+
+
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 @pytest.mark.parametrize("strict", [False, True])
 def test_asof_property_vs_merge_asof(spark, direction, strict):

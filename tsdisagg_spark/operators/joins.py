@@ -234,36 +234,12 @@ def interval_overlap_join(
         raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
     w_us = int(bucket_seconds) * 1_000_000
 
-    def _us(c):
-        return F.unix_micros(F.col(c).cast("timestamp"))
-
-    def _explode(df, lo, hi):
-        b_lo = F.floor(_us(lo) / w_us)
-        b_hi = F.floor(_us(hi) / w_us)  # closed: hi's own bucket included
-        span_ok = F.when(
-            b_hi - b_lo < F.lit(int(max_span_buckets)), F.lit(True)
-        ).otherwise(
-            F.raise_error(
-                F.format_string(
-                    "interval_overlap_join: an interval spans %s buckets "
-                    + f"(max_span_buckets={int(max_span_buckets)}); "
-                    + "widen bucket_seconds to fit the interval lengths",
-                    (b_hi - b_lo).cast("string"),
-                )
-            )
-        )
-        return (
-            df.filter(F.col(lo) <= F.col(hi))
-            .filter(span_ok)
-            .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
-        )
-
-    lb = _explode(left, left_lo, left_hi)
-    rb = _explode(right, right_lo, right_hi).withColumnRenamed(
-        "__bucket", "__rbucket"
-    )
+    lb = _overlap_bucketize(left, left_lo, left_hi, w_us, max_span_buckets)
+    rb = _overlap_bucketize(
+        right, right_lo, right_hi, w_us, max_span_buckets
+    ).withColumnRenamed("__bucket", "__rbucket")
     start_bucket = F.floor(
-        F.greatest(_us(left_lo), _us(right_lo)) / w_us
+        F.greatest(_iv_us(left_lo), _iv_us(right_lo)) / w_us
     )
     return (
         lb.join(rb, lb["__bucket"] == rb["__rbucket"])
@@ -274,4 +250,39 @@ def interval_overlap_join(
             & (F.col("__bucket") == start_bucket)
         )
         .drop("__bucket", "__rbucket")
+    )
+
+
+def _iv_us(c):
+    """Event-time column -> integer microseconds.  unix_micros rejects
+    TIMESTAMP_NTZ; the cast is deterministic because the engine pins the
+    session time zone to UTC."""
+    return F.unix_micros(F.col(c).cast("timestamp"))
+
+
+def _overlap_bucketize(df, lo, hi, w_us, max_span_buckets):
+    """Explode CLOSED intervals ``[lo, hi]`` to every fixed-width bucket
+    they cover (``__bucket``), dropping degenerate ``lo > hi`` rows and
+    failing loudly past ``max_span_buckets`` — the shared build step of
+    the batch overlap join above and its watermarked stream-stream twin
+    (streaming/joins.py:interval_overlap_join), kept in one place so the
+    two plans can never drift on bucket arithmetic."""
+    b_lo = F.floor(_iv_us(lo) / w_us)
+    b_hi = F.floor(_iv_us(hi) / w_us)  # closed: hi's own bucket included
+    span_ok = F.when(
+        b_hi - b_lo < F.lit(int(max_span_buckets)), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval_overlap_join: an interval spans %s buckets "
+                + f"(max_span_buckets={int(max_span_buckets)}); "
+                + "widen bucket_seconds to fit the interval lengths",
+                (b_hi - b_lo).cast("string"),
+            )
+        )
+    )
+    return (
+        df.filter(F.col(lo) <= F.col(hi))
+        .filter(span_ok)
+        .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
     )

@@ -99,3 +99,129 @@ def interval_join(
         )
     )
     return left.join(renamed, cond).drop(renamed[on])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    max_left_span: str,
+    max_right_span: str,
+    bucket_seconds: int = 3600,
+    max_span_buckets: int = 100_000,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream twin of the batch interval x interval overlap join
+    (operators/joins.py:interval_overlap_join) — every (left, right) pair
+    whose CLOSED intervals intersect, emitted EXACTLY ONCE — for live
+    blast-radius pipelines where both sides flow (closed sessions from a
+    sessionizer, alert windows from a monitor).
+
+    Same plan pieces as the batch twin, via the SHARED bucketizer
+    (`_overlap_bucketize` — the two paths cannot drift on bucket
+    arithmetic): both sides explode to the fixed-width buckets they
+    cover, meet in an equi-join on bucket id, and the overlap predicate
+    plus the exactly-once overlap-start-bucket rule run as residuals
+    INSIDE the join condition (a post-join filter would not inform the
+    streaming state manager).
+
+    What makes the unbounded form viable is the extra pair of
+    EVENT-TIME RANGE bounds the batch twin does not need.  A streaming
+    symmetric hash join can only evict state if each side's event time
+    is bounded relative to the other's, and raw interval overlap gives
+    no such bound (an arbitrarily long interval overlaps arbitrarily old
+    ones).  So callers declare ``max_left_span`` / ``max_right_span``
+    (e.g. ``"6 hours"`` for gap-closed sessions, ``"10 minutes"`` for
+    alert windows); overlap then implies
+
+        left_lo - max_right_span <= right_lo <= left_lo + max_left_span
+
+    which is exactly the ``BETWEEN`` range Spark derives state watermarks
+    from.  The declared spans are ENFORCED loudly (``raise_error`` on any
+    interval longer than its declared span — a silent violation would
+    silently drop true pairs), mirroring the ``max_span_buckets`` guard.
+    State per side is O(intervals starting within watermark + span), not
+    O(stream length).
+
+    ``watermark`` (e.g. ``"2 hours"``) is applied to each STREAMING
+    side's ``lo`` column; batch inputs ignore it, and the same call with
+    batch frames returns exactly the batch twin's pairs — that equality
+    is test-pinned (tests/test_timeseries.py) and gated at the events
+    x10 tier against the session_incident_overlap oracle (SCALING.md
+    "Round 13")."""
+    from tsdisagg_spark.operators.joins import _iv_us, _overlap_bucketize
+
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"left/right share column names {sorted(clash)}; "
+            "rename or prefix one side before interval_overlap_join"
+        )
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def _span_guard(df, lo, hi, span, side):
+        ok = F.when(
+            F.col(hi) <= F.col(lo) + F.expr(f"INTERVAL {span}"), F.lit(True)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "interval_overlap_join (streaming): a %s interval "
+                    + f"exceeds its declared max span of {span} "
+                    + "([%s, %s]); widen the declared span — state "
+                    + "eviction derived from it would drop true pairs",
+                    F.lit(side),
+                    F.col(lo).cast("string"),
+                    F.col(hi).cast("string"),
+                )
+            )
+        )
+        return df.filter(ok)
+
+    def _tz(df, *cols):
+        # watermarks reject TIMESTAMP_NTZ; the cast is deterministic
+        # because the engine pins the session time zone to UTC (the batch
+        # twin makes the same cast inside its bucket arithmetic)
+        for c in cols:
+            if df.schema[c].dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+        return df
+
+    left = _tz(left, left_lo, left_hi)
+    right = _tz(right, right_lo, right_hi)
+    if watermark is not None and left.isStreaming:
+        left = left.withWatermark(left_lo, watermark)
+    if watermark is not None and right.isStreaming:
+        right = right.withWatermark(right_lo, watermark)
+    left = _span_guard(left, left_lo, left_hi, max_left_span, "left")
+    right = _span_guard(right, right_lo, right_hi, max_right_span, "right")
+
+    lb = _overlap_bucketize(left, left_lo, left_hi, w_us, max_span_buckets)
+    rb = _overlap_bucketize(
+        right, right_lo, right_hi, w_us, max_span_buckets
+    ).withColumnRenamed("__bucket", "__rbucket")
+    start_bucket = F.floor(
+        F.greatest(_iv_us(left_lo), _iv_us(right_lo)) / w_us
+    )
+    cond = (
+        (lb["__bucket"] == rb["__rbucket"])
+        # exact overlap + exactly-once start-bucket rule, in-condition
+        & (F.col(left_lo) <= F.col(right_hi))
+        & (F.col(right_lo) <= F.col(left_hi))
+        & (lb["__bucket"] == start_bucket)
+        # the state-eviction range: overlap + declared spans imply it,
+        # so it filters nothing — it exists for the state manager
+        & (
+            F.col(right_lo)
+            >= F.col(left_lo) - F.expr(f"INTERVAL {max_right_span}")
+        )
+        & (
+            F.col(right_lo)
+            <= F.col(left_lo) + F.expr(f"INTERVAL {max_left_span}")
+        )
+    )
+    return lb.join(rb, cond).drop("__bucket", "__rbucket")
