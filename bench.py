@@ -224,6 +224,31 @@ def main() -> None:
     # post-run load was recorded and per-query maps were overwritten)
     load_before = [round(x, 2) for x in os.getloadavg()]
 
+    # load qualification (VERDICT r12 #5): the r12 official run started
+    # at 1-min load ~5 and read 167.5s where the quiet round-end read
+    # 150.6s — pure environment, but the round artifact could not say so
+    # itself.  If the host is busy at start, wait once for the 1-min
+    # average to decay and re-sample; if it is STILL busy, run anyway
+    # (the driver needs a number) but stamp the artifact ``degraded`` so
+    # round-over-round comparisons can discount it without forensics.
+    load_gate = float(os.environ.get("BENCH_LOAD_GATE", "4.0"))
+    degraded = False
+    if load_before[0] > load_gate:
+        print(
+            f"  load_before {load_before[0]} > gate {load_gate}; "
+            "waiting 90s for the 1-min average to decay",
+            file=sys.stderr,
+        )
+        time.sleep(90)
+        load_before = [round(x, 2) for x in os.getloadavg()]
+        if load_before[0] > load_gate:
+            degraded = True
+            print(
+                f"  still loaded ({load_before[0]}) after the retry — "
+                "tagging this run degraded=true",
+                file=sys.stderr,
+            )
+
     spark = get_spark(
         app_name="tsdisagg-bench",
         master=f"local[{CPUS}]",
@@ -318,6 +343,10 @@ def main() -> None:
         # value far above the repo's own CPU budget means a noisy host.
         "load": [round(x, 2) for x in os.getloadavg()],
         "load_before": load_before,
+        # True when the start load exceeded BENCH_LOAD_GATE even after
+        # one decay wait — the total is then an upper bound, not a
+        # comparable steady-state number
+        "degraded": degraded,
     }
 
     # regression radar vs the newest committed BENCH_r*.json at the same SF:
@@ -386,6 +415,7 @@ def main() -> None:
         "estimator": result["estimator"],
         "n_queries": len(timings),
         "load": result["load"],
+        "degraded": degraded,
         "queries_in": "bench_out.json",
     }))
 
