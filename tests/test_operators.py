@@ -6301,6 +6301,51 @@ def test_winnowing_sharded_build_equals_direct(spark):
         direct.schema["fp"].metadata
     )
 
+    # ... and the PROBE path rides the contract too (VERDICT r12 #6):
+    # probing an ingest batch through a shard-built index must emit the
+    # exact pair set the direct-build probe emits.  Needs its own corpus
+    # with LONG unique regions — in the boilerplate fixture above every
+    # selected hash of every doc is capped out (doc-1 postings: zero),
+    # which would make the equality trivially [] == [].  Here each doc
+    # carries 10 unique prefix/tail words, so its df=1 hashes survive
+    # the cap and the batch (a whole-doc-1 clone) probes to a REAL pair.
+    # The x100-tier twin of this assertion is
+    # tools/winnow_probe_shard_stress.py (SCALING.md "Round 13").
+    upre = lambda i: " ".join(f"p{i}q{j}" for j in range(10))
+    utail = lambda i: " ".join(f"t{i}r{j}" for j in range(10))
+    docs2 = [(i, f"{upre(i)} {boiler} {utail(i)}") for i in range(1, 7)]
+    corpus2 = spark.createDataFrame(docs2, "doc_id long, text string")
+    direct2 = text_ops.winnowing_posting_index(
+        corpus2, k=4, window=5, df_cap=3
+    )
+    merged2 = text_ops.winnowing_finalize_index(
+        text_ops.winnowing_raw_postings(
+            corpus2.filter(F.col("doc_id") <= 3), k=4, window=5
+        ).unionByName(
+            text_ops.winnowing_raw_postings(
+                corpus2.filter(F.col("doc_id") > 3), k=4, window=5
+            )
+        ),
+        df_cap=3,
+    )
+    batch = spark.createDataFrame(
+        [(100, docs2[0][1] + " novel suffix here")],
+        "doc_id long, text string",
+    )
+    probe_direct = sorted(
+        tuple(r)
+        for r in text_ops.winnowing_probe_pairs(
+            batch, direct2, min_shared=1
+        ).collect()
+    )
+    probe_merged = sorted(
+        tuple(r)
+        for r in text_ops.winnowing_probe_pairs(
+            batch, merged2, min_shared=1
+        ).collect()
+    )
+    assert probe_merged == probe_direct and probe_direct  # non-trivially
+
     # the per-shard-capped "merge" is WRONG: it keeps boilerplate
     # postings the true index drops (df 3+3 > cap 3)
     naive = sorted(
