@@ -507,3 +507,102 @@ def test_disagg_stress_staged_resume(spark, monkeypatch, tmp_path):
             run("verify", wd)
     finally:
         sys.path.remove("/root/repo/tools")
+
+
+def test_spark_fleet_reagg_invariant_property(spark):
+    """C @ y_hat = y THROUGH the Spark grouped-kernel surface, fuzzed
+    (VERDICT r12 #7): random 3-series fleets across every method x
+    agg_func x conversion combo, driven through the full applyInPandas
+    path (tagged union, kernel partitioning, Arrow round trip) — the
+    per-series invariant the pandas-surface twin
+    (test_disagg_golden.py::test_reagg_invariant_on_random_inputs)
+    fuzzes WITHOUT the Spark plumbing.  The distribution step enforces
+    the constraint by construction, so the tolerance here is solver
+    roundoff (1e-9 relative), not optimizer tolerance."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsdisagg_spark.spark.disagg import disaggregate
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_low=st.integers(4, 10),
+        method=st.sampled_from(
+            ["denton", "denton-cholette", "chow-lin", "litterman"]
+        ),
+        agg_func=st.sampled_from(["sum", "mean", "first", "last"]),
+        conv=st.sampled_from(
+            [("YS", "QS", 4), ("YS", "MS", 12), ("QS", "MS", 3)]
+        ),
+        seed=st.integers(0, 2**31),
+    )
+    def check(n_low, method, agg_func, conv, seed):
+        low_code, high_code, factor = conv
+        rng = np.random.default_rng(seed)
+        sids = ["a", "b", "c"]
+        ts_low = pd.date_range("2000-01-01", periods=n_low, freq=low_code)
+        ts_high = pd.date_range(
+            "2000-01-01", periods=n_low * factor, freq=high_code
+        )
+        truth = {s: rng.uniform(50, 150, n_low) * factor for s in sids}
+        low_pdf = pd.DataFrame(
+            {
+                "series_id": np.repeat(sids, n_low),
+                "ts": np.tile(ts_low, len(sids)),
+                "y": np.concatenate([truth[s] for s in sids]),
+            }
+        )
+        low = spark.createDataFrame(low_pdf)
+        indicators = None
+        if method in ("chow-lin", "litterman"):
+            ind_pdf = pd.DataFrame(
+                {
+                    "series_id": np.repeat(sids, n_low * factor),
+                    "ts": np.tile(ts_high, len(sids)),
+                    "x1": rng.uniform(1, 3, n_low * factor * len(sids))
+                    + np.tile(
+                        np.linspace(0, 1, n_low * factor), len(sids)
+                    ),
+                    "intercept": 1.0,
+                }
+            )
+            indicators = spark.createDataFrame(ind_pdf)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = disaggregate(
+                low,
+                indicators,
+                method=method,
+                agg_func=agg_func,
+                target_freq=high_code if indicators is None else None,
+            ).toPandas()
+        assert len(out) == n_low * factor * len(sids)
+        for s in sids:
+            g = out[out["series_id"] == s].sort_values("ts")
+            idx = pd.DatetimeIndex(g["ts"])
+            lbl = idx.year * (4 if low_code == "QS" else 1) + (
+                (idx.quarter - 1) if low_code == "QS" else 0
+            )
+            grp = g.groupby(np.asarray(lbl))["y_hat"]
+            re = {
+                "sum": grp.sum,
+                "mean": grp.mean,
+                "first": grp.first,
+                "last": grp.last,
+            }[agg_func]()
+            np.testing.assert_allclose(
+                re.to_numpy(),
+                truth[s],
+                rtol=1e-9,
+                err_msg=f"{method}/{agg_func}/{conv}/series={s}",
+            )
+
+    check()
