@@ -74,6 +74,15 @@ def main() -> None:
     state: dict = {"cells": None}
     batch_walls: list[float] = []
 
+    from tsdisagg_spark.cacheutil import persistent_rdd_ids
+
+    def _unpersist(ids):
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
     def sink(bdf, _bid):
         bt = time.perf_counter()
         if bdf.isEmpty():
@@ -86,8 +95,16 @@ def main() -> None:
                 state["cells"], part, keys=("day", "__h"), sum_cols=("__cp",)
             )
         )
-        # the persisted key-grain state: day x event_type bounded
+        # the persisted key-grain state: day x event_type bounded.
+        # localCheckpoint is eager, so once the new checkpoint exists the
+        # superseded one's blocks are dead weight — unpersist them, both
+        # for honest state_bytes accounting (ADVICE r12: the recorded
+        # footprint previously summed every superseded checkpoint) and
+        # because a real long-running MV stream must hold O(state), not
+        # O(state x triggers).
+        stale = set(persistent_rdd_ids(spark))
         state["cells"] = merged.localCheckpoint()
+        _unpersist(stale)
         batch_walls.append(round(time.perf_counter() - bt, 2))
 
     t0 = time.perf_counter()

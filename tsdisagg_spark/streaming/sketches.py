@@ -31,6 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: reserved dict key for NULL stream keys inside the Misra-Gries state —
+#: NUL-prefixed, so no cast-to-string value can collide with it (ADVICE
+#: r12: None/NaN previously folded into "" / "nan"); emitted back as a
+#: NULL key in the output
+_NULL_KEY = "\x00<null>"
+
 _HH_STATE_SCHEMA = T.StructType(
     [
         T.StructField("keys", T.ArrayType(T.StringType())),
@@ -63,7 +69,11 @@ def mg_merge(
     ``[count, count + decremented]``.  Deterministic: ties in the
     compression cut are resolved by the count ordering alone (all keys
     with count <= the cut are dropped together).  Pure function so the
-    batch and streaming paths share it exactly."""
+    batch and streaming paths share it exactly — the input dict is
+    copied at entry (ADVICE r12: the no-compression path previously
+    returned the caller's dict mutated in place, so a caller that
+    retained it would double-count)."""
+    counts = dict(counts)
     for key, c in batch_counts.items():
         counts[key] = counts.get(key, 0) + int(c)
     if len(counts) > k:
@@ -110,7 +120,13 @@ def stream_heavy_hitter_candidates(
         for pdf in pdf_iter:
             vc = pdf["__key"].value_counts(dropna=False)
             for kk, c in vc.items():
-                kk = "" if kk is None else str(kk)
+                # NULL keys: pandas surfaces them as None OR NaN
+                # (version-dependent), and str(NaN) would collide with a
+                # real 'nan' token while "" would collide with a real
+                # empty string (ADVICE r12).  A NUL-prefixed sentinel is
+                # unreachable from cast-to-string values; it is translated
+                # back to a NULL key on emit below.
+                kk = _NULL_KEY if pd.isna(kk) else str(kk)
                 batch[kk] = batch.get(kk, 0) + int(c)
                 n_seen += int(c)
         summary, decremented = mg_merge(summary, batch, k, decremented)
@@ -125,7 +141,10 @@ def stream_heavy_hitter_candidates(
         yield pd.DataFrame(
             {
                 "shard": [int(shard)] * len(summary),
-                "key": list(summary.keys()),
+                # the internal sentinel never leaves the state machinery
+                "key": [
+                    None if kk == _NULL_KEY else kk for kk in summary
+                ],
                 "lower_count": [int(c) for c in summary.values()],
                 "n_seen": [int(n_seen)] * len(summary),
                 "decremented": [int(decremented)] * len(summary),
