@@ -6263,6 +6263,37 @@ def test_stream_heavy_hitters_guarantee(spark, tmp_path):
         assert lower <= truth[key] <= lower + dec, (shard, key, lower, dec)
 
 
+def test_stream_heavy_hitters_null_key_distinct(spark, tmp_path):
+    """NULL keys are a first-class counter, distinct from '' and from the
+    literal token 'nan' (ADVICE r12: None/NaN previously folded into one
+    of those), and the emitted candidate carries a NULL key — the
+    internal sentinel never leaves the store.  A single shard and k
+    large enough that nothing compresses makes the counts exact."""
+    from tsdisagg_spark.streaming import stream_heavy_hitter_candidates
+
+    rows = (
+        [(i, None) for i in range(40)]
+        + [(100 + i, "") for i in range(7)]
+        + [(200 + i, "nan") for i in range(5)]
+        + [(300 + i, "x") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "row_id long, term string")
+    src = str(tmp_path / "hh_null_stream")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_heavy_hitter_candidates(stream, "term", k=10, n_shards=1)
+    got: list = []
+
+    def sink(bdf, _bid):
+        got.extend(tuple(r) for r in bdf.collect())
+
+    q = out.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    counts = {key: lower for _, key, lower, _, _ in got}
+    assert counts == {None: 40, "": 7, "nan": 5, "x": 3}
+    assert all(dec == 0 for *_, dec in got)  # nothing compressed: exact
+
+
 def test_winnowing_sharded_build_equals_direct(spark):
     """The shard-parallel index build, pinned:
     finalize(union(raw(shard_A), raw(shard_B))) must equal
