@@ -339,6 +339,26 @@ def test_interval_overlap_join_stream_equals_batch(spark, tmp_path):
         expected.sort_values(key).reset_index(drop=True),
     )
 
+    # the docstring's other contract: the SAME streaming call on BATCH
+    # frames degrades to exactly the batch twin's pairs (watermark and
+    # eviction bounds inert, span guard still live)
+    batch_mode = stream_join(
+        sess,
+        inc,
+        "s_lo",
+        "s_hi",
+        "win_lo",
+        "win_hi",
+        max_left_span="7 days",
+        max_right_span="10 minutes",
+        bucket_seconds=600,
+        watermark="35 days",
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        batch_mode.sort_values(key).reset_index(drop=True)[expected.columns],
+        expected.sort_values(key).reset_index(drop=True),
+    )
+
     # aggregated, the streamed pairs ARE the oracle-certified query output
     us = lambda c: F.unix_micros(c.cast("timestamp"))
     agg = (
