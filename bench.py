@@ -179,6 +179,7 @@ HEADLINE = [
     "nation_pair_trade",       # Q7 shape: pair-pruned two-broadcast star
     "source_drift_jsd",        # per-source JSD token-mix drift screen
     "daily_event_mix_drift",   # per-day categorical event-mix drift
+    "daily_value_psi",         # numeric PSI drift over reference-decile bins
     "late_event_audit",        # watermark-delay sizing: late-arrival census
     "customer_spend_gini",     # revenue-concentration inequality per segment
     "incremental_monthly_revenue",  # MV delta merge == full recompute

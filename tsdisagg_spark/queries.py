@@ -10636,6 +10636,101 @@ def daily_event_mix_drift(spark, sf_dir):
 
 
 @query(
+    "daily_value_psi",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day,
+               CAST(floor(value * 1000000) AS BIGINT) AS qv
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (SELECT MIN(day) AS d0 FROM q),
+    ref AS (SELECT qv FROM q, b WHERE day < d0 + INTERVAL 7 DAY),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref),
+    h AS (SELECT qv, COUNT(*) AS c FROM ref GROUP BY 1),
+    ch AS (SELECT qv, SUM(c) OVER (ORDER BY qv) AS cum,
+                  SUM(c) OVER () AS n
+           FROM h),
+    ks AS (SELECT UNNEST(generate_series(1, 9)) AS k),
+    edges AS (
+        SELECT k, MIN(qv) AS edge
+        FROM ks JOIN ch ON 10 * cum >= k * n
+        GROUP BY 1
+    ),
+    earr AS (SELECT LIST(edge ORDER BY k) AS es FROM edges),
+    binned AS (
+        SELECT day, len(list_filter(es, e -> qv > e)) AS bin
+        FROM q, earr
+    ),
+    db AS (SELECT day, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    nd AS (SELECT day, SUM(c) AS n_d FROM db GROUP BY 1),
+    rb AS (
+        SELECT len(list_filter(es, e -> qv > e)) AS bin, COUNT(*) AS c
+        FROM ref, earr GROUP BY 1
+    ),
+    grid AS (
+        SELECT d.day, g.bin
+        FROM (SELECT DISTINCT day FROM q) d,
+             (SELECT UNNEST(generate_series(0, 9)) AS bin) g
+    ),
+    cells AS (
+        SELECT grid.day, grid.bin,
+               COALESCE(db.c, 0) AS c_db,
+               COALESCE(rb.c, 0) AS c_rb
+        FROM grid
+        LEFT JOIN db ON grid.day = db.day AND grid.bin = db.bin
+        LEFT JOIN rb ON grid.bin = rb.bin
+    )
+    SELECT c.day,
+           CAST(nd.n_d AS BIGINT) AS n_values,
+           ROUND(SUM(
+               ((c_db + 1.0) / (nd.n_d + 10)
+                - (c_rb + 1.0) / (nr.n_ref + 10))
+               * ln(((c_db + 1.0) / (nd.n_d + 10))
+                    / ((c_rb + 1.0) / (nr.n_ref + 10)))
+           ), 6) AS psi
+    FROM cells c JOIN nd ON c.day = nd.day CROSS JOIN nr
+    GROUP BY 1, 2
+    """,
+)
+def daily_value_psi(spark, sf_dir):
+    """NUMERIC feature drift per day: Population Stability Index of the
+    event ``value`` distribution against the log's FIRST WEEK as the
+    reference population, over the reference's own decile bins — the
+    standard scoring-pipeline drift monitor (psi < 0.1 stable, 0.1-0.25
+    shifting, > 0.25 drifted), completing the drift family next to the
+    categorical JSD screen (`daily_event_mix_drift`) and the exact KS
+    distance (`doc_length_drift`).  Engine:
+    operators/profiling.py:group_value_psi — values on a floor-quantized
+    1e-6 integer grid (floor, not round: no cross-engine half-way tie
+    class), edges as EXACT integer-rank order statistics read from the
+    value histogram (sketches.grid_quantiles_over_hist — the same
+    MV-maintainable state the live-percentile monitor reads, so a
+    stream can keep the reference histogram fresh), add-one-smoothed
+    shares dividing identical exact integers on both engines, ln as the
+    only float (~10 terms vs the 1e-6 grid: per-group tie ~2e-9,
+    float-grid-safe to ~5e7 group rows).  Scale shape: one
+    map-side-combined pass over the log with the 9 edge scalars
+    broadcast, one histogram pass over the reference week; everything
+    after is days x 10 bins; the dense grid COALESCEs absent bins to
+    zero rows explicitly (the r12 null-grid lesson)."""
+    from tsdisagg_spark.operators import profiling
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("day"), "value")
+    )
+    d0 = ev.agg(F.min("day").alias("__d0"))
+    ref = (
+        ev.crossJoin(F.broadcast(d0))
+        .filter(F.col("day") < F.col("__d0") + F.expr("INTERVAL 7 DAYS"))
+        .select("value")
+    )
+    return profiling.group_value_psi(ev, "day", "value", ref, n_bins=10)
+
+
+@query(
     "late_event_audit",
     oracle="""
     WITH arr AS (
