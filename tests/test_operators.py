@@ -6676,3 +6676,77 @@ def test_grid_quantiles_stream_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_psi_ref_hist_stream_equals_batch(spark, tmp_path):
+    """The PSI reference histogram as MV state, pinned (fourth member of
+    the MV-monitor family): per-micro-batch partial (__v, __cnt) value
+    histograms of the reference week merge through
+    merge_partial_aggregates, and group_value_psi(ref_hist=state) must
+    equal the one-shot group_value_psi(ref=rows) EXACTLY — counts merge
+    exactly, and edges/bin masses/n_ref are deterministic functions of
+    the counts.  Also pins the ref/ref_hist argument contract."""
+    import pytest as _pytest
+
+    from tsdisagg_spark.operators.profiling import group_value_psi
+    from tsdisagg_spark.streaming import merge_partial_aggregates
+
+    rows = [
+        (k, "2024-01-%02d" % (1 + k % 14), float(10 + (k * 53) % 997) / 8)
+        for k in range(1, 401)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, day string, value double"
+    ).withColumn("day", F.col("day").cast("timestamp"))
+    ref = ev.filter(F.col("day") < F.lit("2024-01-08").cast("timestamp"))
+
+    want = sorted(
+        tuple(r)
+        for r in group_value_psi(ev, "day", "value", ref=ref).collect()
+    )
+    assert len(want) == 14 and any(p != 0.0 for *_, p in want)
+
+    src = str(tmp_path / "psi_ref_stream")
+    for lo in range(1, 401, 107):
+        ref.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < lo + 107)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    agg = lambda df: df.groupBy(
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    state = {"hist": None}
+
+    def sink(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        part = agg(bdf)
+        merged = (
+            part
+            if state["hist"] is None
+            else merge_partial_aggregates(
+                state["hist"], part, keys=("__v",), sum_cols=("__cnt",)
+            )
+        )
+        state["hist"] = merged.localCheckpoint()
+
+    stream = spark.readStream.schema(ref.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in group_value_psi(
+            ev, "day", "value", ref_hist=state["hist"]
+        ).collect()
+    )
+    assert got == want
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        group_value_psi(ev, "day", "value")
+    with _pytest.raises(ValueError, match="exactly one"):
+        group_value_psi(
+            ev, "day", "value", ref=ref, ref_hist=state["hist"]
+        )

@@ -486,9 +486,10 @@ def group_value_psi(
     df: DataFrame,
     group_col: str,
     value_col: str,
-    ref: DataFrame,
+    ref: DataFrame | None = None,
     n_bins: int = 10,
     scale: int = 1_000_000,
+    ref_hist: DataFrame | None = None,
 ) -> DataFrame:
     """NUMERIC drift per group: Population Stability Index of
     ``value_col``'s distribution in each group against a REFERENCE
@@ -520,22 +521,39 @@ def group_value_psi(
     any calendar-grain monitoring horizon (rounding rule per the
     float-grid corpus-bound policy).
 
+    The reference enters EITHER as raw rows (``ref``) or as a prebuilt
+    ``(__v, __cnt)`` value histogram (``ref_hist``) — the latter is the
+    MV form: the histogram is a key-grain integer aggregate a stream
+    keeps fresh with ``streaming.mv.merge_partial_aggregates`` (the
+    grid-quantile monitor's own state), so a live pipeline maintains
+    the reference once and every PSI read derives edges, bin masses and
+    n_ref from those ``distinct-grid-values`` rows without rescanning
+    the reference — stream-merged == direct is test-pinned.
+
     Scale shape: ONE pass over ``df`` (map-side-combined (group, bin)
-    counts after a broadcast of the n_bins-1 edge scalars), one
-    histogram pass over ``ref``; everything after is groups x n_bins
-    sized.  The dense (group x bin) grid is built explicitly and counts
+    counts after a broadcast of the n_bins-1 edge scalars) and one
+    histogram pass over ``ref`` (skipped entirely in the ``ref_hist``
+    form — reference bin masses aggregate FROM the histogram, never
+    from re-binned rows); everything after is groups x n_bins sized.
+    The dense (group x bin) grid is built explicitly and counts
     COALESCE to zero — smoothing needs absent bins as rows, and a bare
     join would silently drop them (the r12 JSD null-grid lesson)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if (ref is None) == (ref_hist is None):
+        raise ValueError(
+            "pass exactly one of ref (raw reference rows) or ref_hist "
+            "(a prebuilt (__v, __cnt) value histogram)"
+        )
     from tsdisagg_spark.operators.sketches import grid_quantiles_over_hist
 
     qv = F.floor(F.col(value_col) * F.lit(int(scale))).cast("long")
-    ref_hist = (
-        ref.select(qv.alias("__v"))
-        .groupBy("__v")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
+    if ref_hist is None:
+        ref_hist = (
+            ref.select(qv.alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
     edges_row = grid_quantiles_over_hist(
         ref_hist, [(k, n_bins) for k in range(1, n_bins)]
     ).select(
@@ -558,19 +576,20 @@ def group_value_psi(
     day_bins = binned.groupBy(group_col, "__bin", "__n_ref").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    # reference bin counts from the same edges (one extra ref pass at
-    # n_bins-row output; counted independently of df so ref need not be
-    # a subset of df)
+    # reference bin masses aggregate FROM the histogram (n_bins-row
+    # output from distinct-grid-value rows — no second pass over the
+    # reference, and identical in both input forms since binning is a
+    # per-value function)
     ref_bins = (
-        ref.select(qv.alias("__qv"))
-        .crossJoin(F.broadcast(edges_row.select("__edges")))
+        ref_hist.crossJoin(F.broadcast(edges_row.select("__edges")))
         .select(
             F.size(
-                F.filter("__edges", lambda e: F.col("__qv") > e)
-            ).alias("__bin")
+                F.filter("__edges", lambda e: F.col("__v") > e)
+            ).alias("__bin"),
+            "__cnt",
         )
         .groupBy("__bin")
-        .agg(F.count(F.lit(1)).alias("__cr"))
+        .agg(F.sum("__cnt").alias("__cr"))
     )
     n_d = day_bins.groupBy(group_col, "__n_ref").agg(
         F.sum("__c").alias("__n_d")
