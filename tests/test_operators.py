@@ -6750,3 +6750,94 @@ def test_psi_ref_hist_stream_equals_batch(spark, tmp_path):
         group_value_psi(
             ev, "day", "value", ref=ref, ref_hist=state["hist"]
         )
+
+
+def test_psi_identity_zero_and_numpy_crosscheck(spark):
+    """PSI semantics pinned: (1) a group whose rows ARE the reference
+    population scores psi == 0.0 EXACTLY (identical counts make every
+    smoothed share pair equal — no float residue survives the subtract);
+    (2) a shifted group matches an independent numpy recomputation of
+    the same definition (ceil-rank decile edges, count(edges < v) bins,
+    add-one smoothing) to 1e-12 before the 6-dec round; (3) a
+    single-valued reference degenerates every edge to that value and
+    the math still closes (bins 0 and 9 only)."""
+    import numpy as np
+
+    from tsdisagg_spark.operators.profiling import group_value_psi
+
+    vals = [float(7 + (k * 31) % 83) / 4 for k in range(200)]
+    rows = [("ref", v) for v in vals] + [("shift", v + 3.7) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    ref = df.filter(F.col("grp") == "ref").select("value")
+    out = {
+        r["grp"]: (r["n_values"], r["psi"])
+        for r in group_value_psi(df, "grp", "value", ref=ref).collect()
+    }
+    assert out["ref"] == (200, 0.0)
+
+    # independent numpy recomputation for the shifted group
+    qv = np.floor(np.array(vals) * 1_000_000).astype(np.int64)
+    sq = np.sort(qv)
+    n = len(sq)
+    edges = np.array(
+        [sq[int(np.ceil(n * k / 10.0)) - 1] for k in range(1, 10)]
+    )
+    qs = np.floor((np.array(vals) + 3.7) * 1_000_000).astype(np.int64)
+    bins_cur = (qs[:, None] > edges[None, :]).sum(axis=1)
+    bins_ref = (qv[:, None] > edges[None, :]).sum(axis=1)
+    c = np.bincount(bins_cur, minlength=10).astype(float)
+    r = np.bincount(bins_ref, minlength=10).astype(float)
+    p = (c + 1) / (n + 10)
+    q = (r + 1) / (n + 10)
+    psi_np = float(((p - q) * np.log(p / q)).sum())
+    assert abs(out["shift"][1] - round(psi_np, 6)) < 1.5e-6
+
+    # degenerate single-valued reference
+    one = spark.createDataFrame(
+        [("g", 5.0)] * 6 + [("g", 9.0)] * 2, "grp string, value double"
+    )
+    ref1 = spark.createDataFrame([(5.0,)] * 4, "value double")
+    got = group_value_psi(one, "grp", "value", ref=ref1).collect()
+    assert len(got) == 1 and got[0]["n_values"] == 8
+    c = np.array([6.0] + [0.0] * 8 + [2.0])
+    r = np.array([4.0] + [0.0] * 9)
+    p = (c + 1) / (8 + 10)
+    q = (r + 1) / (4 + 10)
+    want = round(float(((p - q) * np.log(p / q)).sum()), 6)
+    assert got[0]["psi"] == want
+
+
+def test_stream_overlap_join_span_guard_raises(spark):
+    """The streaming overlap join's declared-span enforcement: an
+    interval longer than its declared max span must FAIL the job with
+    the loud guard message — silent violation would silently drop true
+    pairs once eviction bounds derived from the span kick in."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from tsdisagg_spark.streaming.joins import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=5))],
+        "lid long, l_lo timestamp, l_hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [(2, t0, t0 + dt.timedelta(minutes=5))],
+        "rid long, r_lo timestamp, r_hi timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+        max_left_span="1 hour", max_right_span="10 minutes",
+        bucket_seconds=600,
+    )
+    with _pytest.raises(Exception, match="exceeds its declared max span"):
+        out.collect()
+    # within the declared spans the same call pairs normally
+    ok = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+        max_left_span="6 hours", max_right_span="10 minutes",
+        bucket_seconds=600,
+    )
+    assert ok.count() == 1
