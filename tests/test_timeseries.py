@@ -686,3 +686,85 @@ def test_ewma_single_row_series_and_unrounded(spark):
     assert got[("solo", "2020-01-01T00:00:00")] == 42.0
     assert got[("duo", "2020-01-01T00:00:00")] == 1.0
     assert got[("duo", "2020-02-01T00:00:00")] == 2.0
+
+
+def test_interval_overlap_join_exactly_once_across_restarts(spark, tmp_path):
+    """Exactly-once across RESTARTS: two availableNow invocations of the
+    streaming overlap join share one checkpoint while the sources grow
+    in between — the parquet sink must end holding every cross-run pair
+    exactly once (pairs between run-2 arrivals and run-1 state included,
+    nothing duplicated on resume).  This is the recovery contract an
+    unbounded blast-radius pipeline actually relies on."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tsdisagg_spark.operators.joins import (
+        interval_overlap_join as batch_join,
+    )
+    from tsdisagg_spark.streaming.joins import (
+        interval_overlap_join as stream_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    sess_rows = [(i, t0 + 7 * i * m, t0 + (7 * i + 10) * m) for i in range(40)]
+    inc_rows = [(100 + i, t0 + 11 * i * m, t0 + (11 * i + 6) * m) for i in range(25)]
+    sess = spark.createDataFrame(
+        sess_rows, "sid long, s_lo timestamp, s_hi timestamp"
+    )
+    inc = spark.createDataFrame(
+        inc_rows, "iid long, w_lo timestamp, w_hi timestamp"
+    )
+    sess_src, inc_src = str(tmp_path / "s"), str(tmp_path / "i")
+    sink_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+
+    def run_once():
+        s_stream = (
+            spark.readStream.schema(sess.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sess_src)
+        )
+        i_stream = (
+            spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inc_src)
+        )
+        q = (
+            stream_join(
+                s_stream, i_stream, "s_lo", "s_hi", "w_lo", "w_hi",
+                max_left_span="15 minutes", max_right_span="10 minutes",
+                bucket_seconds=600, watermark="10 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # run 1: first half of each side
+    sess.filter(F.col("sid") < 20).coalesce(1).write.mode("append").parquet(sess_src)
+    inc.filter(F.col("iid") < 112).coalesce(1).write.mode("append").parquet(inc_src)
+    run_once()
+    # the sources grow while the query is DOWN; run 2 resumes the ckpt
+    sess.filter(F.col("sid") >= 20).coalesce(1).write.mode("append").parquet(sess_src)
+    inc.filter(F.col("iid") >= 112).coalesce(1).write.mode("append").parquet(inc_src)
+    run_once()
+
+    got = (
+        spark.read.parquet(sink_dir)
+        .select("sid", "iid")
+        .toPandas()
+        .itertuples(index=False)
+    )
+    got = sorted(tuple(r) for r in got)
+    want = sorted(
+        (r["sid"], r["iid"])
+        for r in batch_join(
+            sess, inc, "s_lo", "s_hi", "w_lo", "w_hi", bucket_seconds=600
+        ).collect()
+    )
+    assert got == want and len(want) > 10  # cross-run pairs, no dupes
