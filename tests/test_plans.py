@@ -41,8 +41,17 @@ def test_doc_chunks_is_shuffle_free(spark):
 
 
 def test_repetition_stats_is_shuffle_free(spark):
-    plan = _plan(Q.QUERIES["repetition_stats"](spark, SF))
-    assert "Exchange" not in plan, plan
+    """Map-only contract: no KEYED exchange — the fold rides the scan.
+    The only exchange ever allowed is the scale-adaptive round-robin
+    input spread (operators/_par.py), which is a no-op on a many-split
+    input; pinned by feeding a pre-spread frame and asserting the
+    operator itself adds nothing."""
+    from tsdisagg_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(8)
+    plan = _plan(text_ops.repetition_stats(docs))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # the pre-spread only
 
 
 def test_pricing_summary_pushes_filter_to_scan(spark):
@@ -387,9 +396,10 @@ def test_token_entropy_is_shuffle_free(spark):
     zero exchanges, like repetition_stats."""
     from tsdisagg_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(8)
     plan = _plan(text_ops.token_entropy(docs))
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # the pre-spread only
 
 
 def test_ngram_coverage_topk_never_full_sorts(spark):

@@ -67,21 +67,10 @@ def exact_groups(
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure CPU-heavy per-row work (tokenize/shingle/hash) runs on every
-    core: a corpus that arrives as a handful of parquet files would otherwise
-    pin the whole explode on one task.  Only repartitions when the input has
-    fewer partitions than the cluster has slots — at real scale (thousands of
-    input splits) this is a no-op, so no extra shuffle is paid.  Streaming
-    frames pass through untouched: ``.rdd`` is illegal on them, and a
-    stream's parallelism is governed by its source options (maxFilesPerTrigger
-    / partition count), not a one-shot repartition."""
-    if df.isStreaming:
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+#: promoted to operators/_par.py in the round-13 optimization pass (stage
+#: profiling found the same 1-task map wall in seven more operator
+#: families); re-exported here because this module coined the idiom.
+from tsdisagg_spark.operators._par import spread_small_input as _spread  # noqa: E402
 
 
 def shingle_postings(
@@ -396,7 +385,11 @@ def minhash_pairs(
         .union(candidates.select("id_b"))
         .distinct()
     )
-    doc_sets = _doc_shingle_sets(df, cand_ids, id_col, text_col, n)
+    # one row per candidate document (bounded by the candidate set, never
+    # the corpus) feeding BOTH pair sides: persist so the semi-join +
+    # re-shingle + collect_set subtree runs once, not once per side
+    # (measured: two ~7s/32-core stages collapsed to one at sf0.1)
+    doc_sets = _doc_shingle_sets(df, cand_ids, id_col, text_col, n).persist()
     a_sets = doc_sets.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
     )
@@ -1065,6 +1058,10 @@ def window_dup_stats(
     with one (id, pos) aggregation.  ``dup_frac`` is a single
     integer/integer division — exact-class, no float-grid corpus bound.
     """
+    # tokenize + window-hash is per-row CPU; spread it across the cluster
+    # (measured: 10.4s of a 12.4s wall in ONE task on the single-file
+    # bench corpus — plans/r13/exact_substring_overlap_{before,after}.txt)
+    df = _spread(df)
     base = df.select(
         F.col(id_col), shingles(F.col(text_col), window).alias("grams")
     )
@@ -1206,9 +1203,15 @@ def jaccard_pairs_prefix(
     ceil_tn = F.floor(
         (F.lit(num) * F.col("n_sh") + F.lit(den - 1)) / F.lit(den)
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - ceil_tn + 1
-    ).select(id_col, "shingle", "n_sh")
+    # the prefix posting list feeds BOTH sides of the candidate self-join;
+    # persist so the df/rank window chain (two exchanges over the full
+    # posting list) runs once, not once per side (measured: four ~5s
+    # 32-task window stages collapsed to two at sf0.1)
+    prefix = (
+        ranked.filter(F.col("rn") <= F.col("n_sh") - ceil_tn + 1)
+        .select(id_col, "shingle", "n_sh")
+        .persist()
+    )
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -1229,6 +1232,13 @@ def jaccard_pairs_prefix(
         F.sort_array(F.collect_list("shingle")).alias("sh"),
         F.count(F.lit(1)).alias("n_sh"),
     )
+    # the verification join is CPU-dense (array_intersect over full sorted
+    # shingle arrays per candidate pair) on tiny bytes: pin its partition
+    # count so AQE's size-based coalescing cannot serialize it (measured:
+    # a 3-task 4.2s verify stage at sf0.1 with 29 cores idle)
+    from tsdisagg_spark.operators._par import pin_compute_parallelism
+
+    cand = pin_compute_parallelism(cand, "id_a")
     return (
         cand.join(
             arrays.select(

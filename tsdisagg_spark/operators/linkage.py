@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tsdisagg_spark.operators._par import spread_small_input as _spread
+
 
 def _partition_segments(length: Column, k: int) -> list[tuple[Column, Column]]:
     """(start, len) of the ``k+1`` contiguous segments of a string of
@@ -76,6 +78,7 @@ def edit_distance_pairs(
     sides must share) are appended to the join key and the output contract
     becomes "pairs agreeing on those columns".
     """
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     kk = k + 1
     extra = list(extra_block_cols or [])
     base = df.select(

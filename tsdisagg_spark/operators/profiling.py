@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tsdisagg_spark.operators._par import spread_small_input as _spread
+
 from tsdisagg_spark.operators.sketches import grid_quantiles
 from tsdisagg_spark.operators.text import words
 
@@ -93,6 +95,7 @@ def vocab_coverage(
     exemption in the float-grid recipe)."""
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    docs = _spread(docs)  # tokenize map stage: spread a few-file input (guide 2.5)
     toks = docs.select(
         F.col(group_col).alias("__g"),
         F.explode(words(F.col(text_col))).alias("__tok"),
@@ -310,7 +313,8 @@ def group_drift_jsd(
     still contribute their mixture term) is built from broadcasts, not
     from the corpus."""
     cells = (
-        df.select(
+        _spread(df)  # tokenize+md5 map stage: spread a few-file input
+        .select(
             F.col(group_col),
             F.explode(words(F.col(text_col))).alias("__tok"),
         )

@@ -326,6 +326,9 @@ def _dsir_cell_counts(
     One map-side-combined exchange keyed (id, cell)."""
     from tsdisagg_spark.operators.text import shingles
 
+    from tsdisagg_spark.operators._par import spread_small_input
+
+    docs = spread_small_input(docs)  # md5-per-bigram map stage: spread a few-file input
     grams = docs.select(
         F.col(id_col),
         target.alias("__t"),

@@ -512,10 +512,23 @@ def semantic_dedup(
             lambda acc, x: acc + x,
         ).alias("d2"),
     )
-    assign = d2.groupBy("vid").agg(
-        F.min_by("seed_id", F.struct("d2", "seed_id")).alias("cluster")
+    # (vid -> cluster) is vector-free and feeds THREE consumers (both pair
+    # sides and the final labeling): persist it, or the K-way distance fold
+    # + min_by aggregation is re-planned and re-executed once per consumer
+    # (measured: three identical fold+SortAggregate subtrees in the
+    # unpersisted plan, plans/r13/semantic_dedup_before.txt)
+    assign = (
+        d2.groupBy("vid")
+        .agg(F.min_by("seed_id", F.struct("d2", "seed_id")).alias("cluster"))
+        .persist()
     )
     av = v.join(assign, "vid").withColumn("vnorm", norm(F.col("vec")))
+    # the pair stage is CPU-dense (interpreted HOF dot per pair) on tiny
+    # bytes: pin its partition count so AQE's size-based coalescing cannot
+    # collapse it to one task (measured: a 2.4s 1-task stage at sf0.1)
+    from tsdisagg_spark.operators._par import pin_compute_parallelism
+
+    av = pin_compute_parallelism(av, "cluster")
     a, b = av.alias("a"), av.alias("b")
     dups = (
         a.join(b, "cluster")

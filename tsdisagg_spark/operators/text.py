@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from tsdisagg_spark.operators._par import spread_small_input as _spread
 from pyspark.sql.window import Window
 
 #: tiny per-language function-word sets for the n-gram language heuristic.
@@ -74,6 +76,7 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     pre-token count — ``(id, n_tokens, n_subtokens, n_chars,
     chars_per_token)``.  ``n_subtokens`` upper-bounds the real BPE token
     count (merges only shrink it), which is what byte budgeting needs."""
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     w = words(F.col(text_col))
     n_tokens = F.size(w)
     n_chars = F.length(F.col(text_col))
@@ -97,6 +100,7 @@ def quality_scores(
     ``(id, n_tokens, punct_ratio, stopword_ratio, quality_score)`` with the
     score a bounded combination of the ratios.
     """
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     text = F.col(text_col)
     w = words(text)
     n_tokens = F.size(w)
@@ -130,6 +134,7 @@ def language_id(
     ties and zero-hit documents resolve to ``'und'``.  One projection, no
     shuffle, no UDF: ~20 ``size(filter(...))`` expressions per row.
     """
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     w = words(F.col(text_col))
 
     def marker_hits(markers: tuple[str, ...]):
@@ -165,6 +170,7 @@ def fingerprints(
     n-gram shingles (a 1-permutation MinHash — the rolling-hash winnowing
     analogue expressed relationally).  Engine-portable because md5 is
     bit-identical everywhere, unlike murmur variants."""
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = df.select(
         F.col(id_col), shingles(F.col(text_col), n).alias("__sh")
     )  # named column: HOFs are not CSE-deduplicated, so never inline twice
@@ -209,6 +215,7 @@ def gopher_quality(
     whole-stage codegen.  At 100 TB this is a map-only scan whose output
     feeds the curation sampler; the flags (not just the verdict) are kept
     so rejection-reason dashboards need no second pass."""
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     w = words(F.col(text_col))
     n = F.size(w)
     sum_len = F.aggregate(
@@ -323,6 +330,7 @@ def _winnow_selected(
     can never inline the md5 chain into a loop."""
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = df.select(
         F.col(id_col), words(F.col(text_col)).alias("__w")
     ).filter(F.size("__w") >= k)
@@ -714,6 +722,7 @@ def top_ngrams(
     ``TakeOrderedAndProject`` — no full sort, no driver-side collection
     beyond the k rows.
     """
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     return (
         df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
         .groupBy("ngram")
@@ -744,6 +753,7 @@ def tfidf_top_terms(
     last ulp of ``ln``, and an unrounded ordering could rank two
     near-equal terms differently.
     """
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     tokens = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
     )
@@ -800,6 +810,7 @@ def tfidf_cosine_pairs(
     [0,1] cosine); at the 6-decimal output grid that is a ~1e-7/pair tie
     probability — the accepted residual documented for the float
     similarity family."""
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     tokens = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
     )
@@ -885,6 +896,7 @@ def bm25_search(
     tie-breaks, so order is deterministic across engines).
     """
     terms = [t.lower() for t in query_terms]
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     toks = df.select(F.col(id_col), words(F.col(text_col)).alias("w"))
     dl = toks.select(F.col(id_col), F.size("w").alias("dl"))
     stats = dl.agg(
@@ -962,6 +974,7 @@ def repetition_stats(
     chain once per referencing output column — measured 4x slower on the
     documents table.
     """
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = df.select(
         F.col(id_col),
         words(F.col(text_col)).alias("__w"),
@@ -1291,6 +1304,7 @@ def ngram_novelty(
     shape runs the corpus once, with no cache to manage.)"""
     if n < 1:
         raise ValueError(f"need n >= 1, got {n}")
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = df.select(
         F.col(id_col),
         F.array_distinct(
@@ -1329,6 +1343,7 @@ def novelty_index(
     gram_digest)`` (same recipe as the MinHash/SimHash band indexes,
     dedup.py) so every future probe co-locates against it without
     reshuffling the index."""
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     return (
         df.select(
             F.explode(
@@ -1369,6 +1384,7 @@ def novelty_probe(
     unioned with the batch's own grams afterwards."""
     if n < 1:
         raise ValueError(f"need n >= 1, got {n}")
+    batch = _spread(batch)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = batch.select(
         F.col(id_col),
         F.array_distinct(
@@ -1427,6 +1443,7 @@ def pmi_bigrams(
     shuffles."""
     if min_count < 1:
         raise ValueError(f"need min_count >= 1, got {min_count}")
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = df.select(words(F.col(text_col)).alias("__w"))
     toks = base.select(F.explode("__w").alias("tok"))
     uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
@@ -1508,6 +1525,7 @@ def token_entropy(
     word array (staged projections, same higher-order-function
     discipline as repetition_stats — no repeated subtrees), so at 100 TB
     the operator rides the document scan."""
+    df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = df.select(
         F.col(id_col), F.array_sort(words(F.col(text_col))).alias("__w")
     )

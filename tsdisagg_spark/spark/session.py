@@ -24,6 +24,21 @@ ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Calendar determinism: period math must not depend on cluster locale.
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate rewrites explode(expensive_expr) into
+    # Filter(size(expensive_expr) > 0 AND isnotnull(expensive_expr)) +
+    # Generate(expensive_expr): the full expression chain is then evaluated
+    # THREE times per row instead of once, and predicate pushdown drags the
+    # duplicated filter below any repartition — measured on the
+    # exact-substring census (16-way zip_with shingle chain): the inferred
+    # filter alone was a 6.0s single-task stage at sf0.1 while the real
+    # shingle projection ran 32-way (plans/r13/exact_substring_overlap_*).
+    # The rule only ever saves work when the generator input is a cheap
+    # column reference, which is not this engine's shape — every dedup /
+    # text / profiling operator explodes a COMPUTED shingle/band array.
+    # Excluding an optimizer rule is semantics-preserving by contract.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
@@ -49,7 +64,22 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
 
+    # Pin BLAS/OpenMP intra-op threading to one thread per Python worker
+    # (overridable via the environment).  Spark already runs one worker per
+    # task slot, so library-level threading is pure oversubscription — and
+    # this container's OpenBLAS pays a ~8 ms pool-synchronization penalty
+    # PER LAPACK CALL when threading is enabled (measured: an 84x84
+    # np.linalg.solve costs 7.9 ms threaded vs 0.077 ms pinned; one
+    # chow-lin series solve 41.5 ms -> 3.6 ms).  Set in os.environ so
+    # local-mode workers fork with it, and in executorEnv for clusters.
+    thread_pins = {}
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+        thread_pins[var] = os.environ[var]
+
     builder = SparkSession.builder.appName(app_name)
+    for var, val in thread_pins.items():
+        builder = builder.config(f"spark.executorEnv.{var}", val)
     if master is None and not os.environ.get("SPARK_MASTER"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
