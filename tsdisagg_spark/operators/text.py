@@ -757,7 +757,14 @@ def tfidf_top_terms(
     tokens = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
     )
-    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, term, tf) feeds BOTH the scored rows and the document-frequency
+    # aggregate: persist, or the tokenize + first exchange run twice
+    # (caller-managed lifetime, module discipline; r13 opt)
+    tf = (
+        tokens.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -912,6 +919,8 @@ def bm25_search(
         )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # feeds both the scored rows and dfreq: persist (r13 opt)
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     scored = (

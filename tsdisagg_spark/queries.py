@@ -8748,9 +8748,16 @@ def copurchase_kcore(spark, sf_dir, stats=None):
     # Measured standalone min-of-2 at sf0.1: 7.32 -> 6.65s; single-rep
     # warm at x100: 60.0 -> 53.8s (the distinct + peel dominate; the
     # saved fact shuffle is the ~10%).
+    from tsdisagg_spark.operators._par import pin_compute_parallelism
+
     pairs = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__ps"))
+        pin_compute_parallelism(
+            # the pair expansion is compute-dense on byte-tiny basket rows:
+            # AQE's size-based coalescing ran it on 4 of 32 cores (4.7s of
+            # task time) — pin the explode stage's parallelism (r13 opt)
+            li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("__ps"))
+        )
         .select(
             F.explode(
                 F.expr(
