@@ -6848,3 +6848,30 @@ def test_stream_overlap_join_span_guard_raises(spark):
         bucket_seconds=600,
     )
     assert ok.count() == 1
+
+
+def test_const_vec_literals_bit_identical(spark):
+    """_const_vec (one py4j round-trip via repr + CAST-from-string) must
+    produce the exact IEEE doubles F.lit would: repr(float) is Python's
+    shortest round-trip decimal and Java's Double.parseDouble returns the
+    nearest double, which for a shortest-repr string is the original."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from tsdisagg_spark.operators.similarity import _const_vec, _plane_literals
+
+    rng = np.random.default_rng(20260817)
+    vals = (
+        list(rng.standard_normal(64))  # unrounded, like trained centroids
+        + _plane_literals(8, 2, seed=7)[0]  # rounded plane literals
+        + [0.1, -0.0, 1e-300, -1e300, 2**-1074, 1 / 3, 123456789.123456789]
+    )
+    df = spark.range(1).select(
+        _const_vec(vals).alias("fast"),
+        F.array(*[F.lit(float(v)) for v in vals]).alias("ref"),
+    )
+    row = df.collect()[0]
+    fast_bits = [struct.pack("<d", v) for v in row["fast"]]
+    ref_bits = [struct.pack("<d", v) for v in row["ref"]]
+    assert fast_bits == ref_bits

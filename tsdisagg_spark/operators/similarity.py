@@ -83,6 +83,20 @@ def cosine_topk(
     )
 
 
+def _const_vec(values) -> Column:
+    """A literal double-array Column built with ONE py4j round-trip.
+
+    ``F.array(*[F.lit(v) ...])`` costs one py4j call per element; at
+    K x d centroid literals that is thousands of driver round-trips —
+    measured 1.9s of DRIVER time on knn_ivf's build (vs 1.0s execution)
+    at 8x64 doubles.  ``repr(float)`` is the shortest round-trip decimal
+    and Java's ``Double.parseDouble`` recovers the exact same IEEE double,
+    so the literal VALUES are bit-identical to the F.lit form (pinned by
+    test_const_vec_literals_bit_identical)."""
+    body = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+    return F.expr(f"array({body})")
+
+
 def _plane_literals(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).round(6).tolist()
@@ -93,7 +107,7 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     bit i = (vec . plane_i) >= 0."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        plane_col = _const_vec(plane)
         bit = F.when(dot(vec, plane_col) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -180,7 +194,7 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     scored = F.array(
         *[
             F.struct(
-                dot(vec, F.array(*[F.lit(float(v)) for v in c])).alias("score"),
+                dot(vec, _const_vec(c)).alias("score"),
                 F.lit(i).alias("idx"),
             )
             for i, c in enumerate(centroids)
@@ -215,7 +229,7 @@ def _top_probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> 
     scored = F.array(
         *[
             F.struct(
-                dot(vec, F.array(*[F.lit(float(v)) for v in c])).alias("score"),
+                dot(vec, _const_vec(c)).alias("score"),
                 F.lit(i).alias("idx"),
             )
             for i, c in enumerate(centroids)
