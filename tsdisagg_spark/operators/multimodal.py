@@ -389,9 +389,10 @@ def bmp_assets(
             lambda s: make_bmp((s or "").encode("utf-8"), width, height)
         )
 
-    from tsdisagg_spark.operators._par import spread_small_input
-
-    df = spread_small_input(df)  # payload synthesis is per-row Python CPU (guide 2.5/4.1)
+    # NOT spread (r13 measured): at bench scale the synthesis stage costs
+    # less than the spread exchange (media family A/B: none beats spread
+    # by ~0.4s/query); real media corpora arrive as many files/splits,
+    # where spread_small_input is a structural no-op anyway.
     return df.select(
         F.col(id_col).alias("asset_id"),
         F.lit("image").alias("media_type"),
@@ -417,9 +418,10 @@ def ppm_assets(
             lambda s: make_ppm((s or "").encode("utf-8"), width, height)
         )
 
-    from tsdisagg_spark.operators._par import spread_small_input
-
-    df = spread_small_input(df)  # payload synthesis is per-row Python CPU (guide 2.5/4.1)
+    # NOT spread (r13 measured): at bench scale the synthesis stage costs
+    # less than the spread exchange (media family A/B: none beats spread
+    # by ~0.4s/query); real media corpora arrive as many files/splits,
+    # where spread_small_input is a structural no-op anyway.
     return df.select(
         F.col(id_col).alias("asset_id"),
         F.lit("image").alias("media_type"),
@@ -444,9 +446,10 @@ def wav_assets(
             lambda s: make_wav_pcm8((s or "").encode("utf-8"), n_samples=n_samples)
         )
 
-    from tsdisagg_spark.operators._par import spread_small_input
-
-    df = spread_small_input(df)  # payload synthesis is per-row Python CPU (guide 2.5/4.1)
+    # NOT spread (r13 measured): at bench scale the synthesis stage costs
+    # less than the spread exchange (media family A/B: none beats spread
+    # by ~0.4s/query); real media corpora arrive as many files/splits,
+    # where spread_small_input is a structural no-op anyway.
     return df.select(
         F.col(id_col).alias("asset_id"),
         F.lit("audio").alias("media_type"),
@@ -502,15 +505,14 @@ def extract_features(
                     {id_col: ids, "n_bytes": sizes, "features": feats}
                 )
 
-    from tsdisagg_spark.operators._par import spread_small_input
-
-    # decode is per-row CPU in Python: spread a few-file input so the
-    # mapInPandas stage is not pinned to one task (guide 2.5/4.1); the
-    # select ALSO matters at scale — an opaque map defeats column
-    # pruning, so only the three needed columns cross the boundary
-    return spread_small_input(
-        assets.select(id_col, payload_col, type_col)
-    ).mapInPandas(decode_batches, schema=out_schema)
+    # the select matters at scale — an opaque map defeats column pruning,
+    # so only the three needed columns cross the boundary.  NOT spread
+    # (r13 measured): the exchange would move payload bytes and costs
+    # more than the decode stage it parallelizes at bench scale; at real
+    # scale assets arrive as many splits and a spread is a no-op.
+    return assets.select(id_col, payload_col, type_col).mapInPandas(
+        decode_batches, schema=out_schema
+    )
 
 
 def sample_frames(
@@ -560,13 +562,11 @@ def sample_frames(
                         feats.append(None)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "features": feats})
 
-    from tsdisagg_spark.operators._par import spread_small_input
-
-    # per-frame decode is per-row CPU in Python: spread a few-file input
-    # (guide 2.5/4.1); project to the three needed columns first
-    return spread_small_input(
-        assets.select(id_col, payload_col, type_col)
-    ).mapInPandas(expand_batches, schema=out_schema)
+    # project to the three needed columns first; NOT spread (r13
+    # measured — see extract_features)
+    return assets.select(id_col, payload_col, type_col).mapInPandas(
+        expand_batches, schema=out_schema
+    )
 
 
 def payload_stats(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
