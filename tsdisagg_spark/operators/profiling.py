@@ -558,6 +558,13 @@ def group_value_psi(
             .groupBy("__v")
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
+    # ref_hist feeds BOTH the edge read and the reference bin masses, and
+    # edges_row feeds BOTH the group binning and the reference binning:
+    # without persists each consumer re-derives the whole reference chain
+    # (raw scan -> quantize -> histogram) from scratch.  Both frames are
+    # small — distinct grid values and ONE row respectively — and the
+    # cache lifetime is caller-managed (cacheutil.release_all).
+    ref_hist = ref_hist.persist()
     edges_row = grid_quantiles_over_hist(
         ref_hist, [(k, n_bins) for k in range(1, n_bins)]
     ).select(
@@ -565,7 +572,7 @@ def group_value_psi(
             *[F.col(f"q_{k}_{n_bins}") for k in range(1, n_bins)]
         ).alias("__edges"),
         F.col("n_rows").alias("__n_ref"),
-    )
+    ).persist()
     binned = (
         df.select(F.col(group_col), qv.alias("__qv"))
         .crossJoin(F.broadcast(edges_row))
@@ -577,9 +584,12 @@ def group_value_psi(
             ).alias("__bin"),
         )
     )
+    # groups x n_bins rows consumed twice (the per-group totals and the
+    # dense grid's left join) — persist so the one real pass over ``df``
+    # runs once, not once per consumer
     day_bins = binned.groupBy(group_col, "__bin", "__n_ref").agg(
         F.count(F.lit(1)).alias("__c")
-    )
+    ).persist()
     # reference bin masses aggregate FROM the histogram (n_bins-row
     # output from distinct-grid-value rows — no second pass over the
     # reference, and identical in both input forms since binning is a

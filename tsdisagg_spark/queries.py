@@ -8768,7 +8768,11 @@ def copurchase_kcore(spark, sf_dir, stats=None):
             ).alias("__p")
         )
         .select(F.col("__p.id_a"), F.col("__p.id_b"))
-        .distinct()
+        # no .distinct() here: kcore() canonicalizes (least/greatest) and
+        # distincts its edge input itself, so a pair-level distinct would
+        # be a SECOND full exchange + dedup of the same ~k(k-1)/2-per-order
+        # stream for zero semantic effect (r13 opt, guide §2.4 "a distinct
+        # on data that is already unique" — here, about to be made unique)
     )
     return graph.kcore(pairs, k=80, rounds_budget=8, stats=stats).select(
         F.col("node").alias("part_key"),
