@@ -373,11 +373,17 @@ def kcore(
     pages each resemble many siblings a little, not one sibling a lot.
 
     Algorithm: iterative peeling to the exact fixpoint.  Each round
-    recomputes degrees (one hash aggregation keyed on node), keeps nodes
-    with degree >= k, and drops every edge touching a peeled node (two
-    node-keyed joins).  The result is the standard k-core regardless of
-    peel order — peeling is confluent — so the output is deterministic
-    and matches an unrolled-SQL oracle with any sufficient round count.
+    recomputes degrees (one hash aggregation over an ``explode(array(u,
+    v))`` endpoint stream — each undirected edge contributes one count to
+    both endpoints), keeps nodes with degree >= k, and drops every edge
+    touching a peeled node (two node-keyed joins).  The peel state is the
+    CANONICAL ``u < v`` edge list, not a both-directions adjacency: the
+    doubled adjacency carried 2x the rows through every round's scan,
+    checkpoint and joins for information the explode reconstructs for
+    free inside codegen (r13 opt, guide section 2.4 "shuffle fewer
+    bytes").  The result is the standard k-core regardless of peel order
+    — peeling is confluent — so the output is deterministic and matches
+    an unrolled-SQL oracle with any sufficient round count.
 
     Scale shape: every structure is node- or edge-keyed and shuffles on
     those keys; the only driver-side value is the per-round alive-node
@@ -419,7 +425,7 @@ def kcore(
     # would later trip the sweep/bench zero-leak gates with a signature
     # pointing at the wrong query
     edges_ids = _persistent_rdd_ids(sc) - before_edges
-    adj = _both_directions(edges)
+    live = edges
 
     def _tracked_ckpt(df: DataFrame):
         before = _persistent_rdd_ids(sc)
@@ -430,25 +436,31 @@ def kcore(
     prev_edges = -1
     rounds_used = 0
     for _ in range(max_rounds):
-        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        alive = deg.where(F.col("d") >= k).select("u")
-        adj_next, new_ids = _tracked_ckpt(
-            adj.join(alive, "u")
-            .join(alive.withColumnRenamed("u", "v"), "v")
+        deg = (
+            live.select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("n")
+            )
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.where(F.col("d") >= k)
+        live_next, new_ids = _tracked_ckpt(
+            live.join(alive.select(F.col("n").alias("u")), "u")
+            .join(alive.select(F.col("n").alias("v")), "v")
             .select("u", "v")
         )
         # The convergence scalar is the NEW snapshot's edge count: edge
         # count unchanged <=> no endpoint was peeled <=> fixpoint (degrees
-        # are a pure function of the edge set).  Counting adj_next — not
+        # are a pure function of the edge set).  Counting live_next — not
         # `alive` — also MATERIALIZES its checkpoint first, so by the time
         # the previous round's blocks are released below, the new
         # snapshot's lineage is already truncated and no longer references
         # them (releasing a lazy localCheckpoint's still-referenced parent
         # would be unrecoverable — lineage is gone with the blocks).
-        n_edges = adj_next.count()
+        n_edges = live_next.count()
         _release_checkpoint_blocks(sc, live_ids)
         live_ids = new_ids
-        adj = adj_next
+        live = live_next
         if n_edges == prev_edges:
             break
         rounds_used += 1
@@ -469,6 +481,8 @@ def kcore(
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
     if stats is not None:
         stats["rounds_used"] = rounds_used
-    return adj.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("core_degree")
+    return (
+        live.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
     )
