@@ -21,7 +21,36 @@ single-task wall in seven more operator families.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+#: logical-plan nodes that compile to an Exchange (or a Python group
+#: shuffle).  Probing ``.rdd`` on a plan containing one of these is NOT a
+#: metadata read: AQE finalizes the adaptive plan by EXECUTING every
+#: upstream query stage, so the probe silently runs the query's joins and
+#: aggregations once before the real action runs them again (measured:
+#: incremental_minhash_dedup spent 13.2s / 13 Spark jobs inside mere query
+#: CONSTRUCTION at sf0.1 — the probes on the semi-joined verification
+#: frames re-ran the whole candidate chain).  Matched at line starts of
+#: the ANALYZED logical plan string, which is driver-only and never
+#: executes anything.
+_WIDE_NODE_RE = re.compile(
+    r"^[\s:+-]*'?(Join|Aggregate|Window|Deduplicate|Distinct|Repartition"
+    r"|Sort|GlobalLimit|Intersect|Except|FlatMapGroupsInPandas"
+    r"|FlatMapCoGroupsInPandas|CoGroup)\b",
+    re.M,
+)
+
+
+def _lineage_has_exchange(df: DataFrame) -> bool:
+    """True when the frame's lineage already contains a shuffle-inducing
+    node.  Such a frame's partitioning is governed by
+    ``spark.sql.shuffle.partitions`` (cluster-sized by the driver
+    contract), so it does not need the small-input spread — and probing it
+    would double-execute under AQE (see ``_WIDE_NODE_RE``)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return _WIDE_NODE_RE.search(plan) is not None
 
 
 def spread_small_input(df: DataFrame) -> DataFrame:
@@ -32,8 +61,19 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     scale (thousands of input splits) this is a no-op, so no extra shuffle
     is paid.  Streaming frames pass through untouched: ``.rdd`` is illegal
     on them, and a stream's parallelism is governed by its source options
-    (maxFilesPerTrigger / partition count), not a one-shot repartition."""
+    (maxFilesPerTrigger / partition count), not a one-shot repartition.
+
+    Frames whose lineage already contains a shuffle pass through untouched
+    too, WITHOUT the partition probe: their width comes from the shuffle
+    partition count, and the ``.rdd`` probe on an exchange-bearing plan
+    executes the upstream stages under AQE (a full hidden pre-run of the
+    query — r13 opt, guide section 1.2 "know what your action runs").
+    Callers whose shuffle-derived frame is compute-dense and provably
+    small should pin width explicitly with
+    :func:`pin_compute_parallelism`."""
     if df.isStreaming:
+        return df
+    if _lineage_has_exchange(df):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
