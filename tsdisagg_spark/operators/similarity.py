@@ -1153,41 +1153,74 @@ def pca_scores(
     sort descending, and the whole pipeline reproduces a single-node
     numpy PCA on the identical quantized input).
 
-    Scale shape: two integer aggregates whose outputs are d(d+1)/2 and d
-    cells (data-size-independent driver collects, per the bounded-collect
-    rule), then a map-only projection — the corpus crosses zero
-    shuffles."""
+    Scale shape: ONE integer aggregate whose output is d(d+1)/2 + d + 1
+    cells (data-size-independent driver collect, per the bounded-collect
+    rule), then a map-only projection — the corpus is scanned twice
+    total (fit + project) and crosses zero shuffles.  The fit statistics
+    (gram upper triangle, per-lane sums, row count) ride ONE mapInPandas
+    pass: the earlier shape ran gram and lane-sums as two separate jobs,
+    paying the corpus scan and the Python decode boundary twice for
+    statistics that the same quantized batch yields together (r13 opt,
+    guide section 1.2 "don't compute things twice" — measured plan: two
+    full-corpus jobs collapsed to one, identical eigenbasis since the
+    collected integers are identical)."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
-    gram = gram_matrix(df, vec_col=vec_col, scale=scale).collect()
-    sums = (
-        df.select(
-            F.posexplode(
-                F.transform(
-                    F.col(vec_col),
-                    lambda x: F.floor(
-                        x.cast("double") * float(scale) + F.lit(0.5)
-                    ).cast("long"),
-                )
-            ).alias("i", "q")
-        )
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("s"),
-            F.count("*").alias("n"),
-        )
+    dec = "decimal(38,0)"
+
+    def fit_stats(batches):
+        # one batch pass yields ALL fit statistics: gram partials on the
+        # upper triangle (j >= 0), per-lane sums tagged j == -1, and the
+        # batch row count tagged (i, j) == (-1, -1).  Integer lanes are
+        # exact: per-batch bounds are the gram_matrix ones (see docstring
+        # there), the lane sum is <= 10k rows x 8e3 per cell << int64.
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(arr * float(scale) + 0.5).astype(np.int64)
+            g = q.T @ q
+            iu = np.triu_indices(g.shape[0])
+            dim = g.shape[0]
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu[0], np.arange(dim), [-1]]
+                    ).astype(np.int64),
+                    "j": np.concatenate(
+                        [iu[1], np.full(dim, -1), [-1]]
+                    ).astype(np.int64),
+                    "partial": np.concatenate(
+                        [g[iu], q.sum(axis=0), [len(pdf)]]
+                    ).astype(np.int64),
+                }
+            )
+
+    cells = (
+        df.select(vec_col)
+        .mapInPandas(fit_stats, schema="i long, j long, partial long")
+        .groupBy("i", "j")
+        # the decimal total is cast to double HERE (same engine-side
+        # decimal -> double cast the split formulation used), so the
+        # doubles the driver sees are bit-identical to the old path's
+        .agg(F.sum(F.col("partial").cast(dec)).cast("double").alias("tot"))
         .collect()
     )
-    d = max(r["i"] for r in sums) + 1
-    n = sums[0]["n"]
+    if not cells:
+        raise ValueError("pca_scores: empty corpus — nothing to fit")
+    n = int(next(r["tot"] for r in cells if r["i"] == -1))
+    d = max(r["i"] for r in cells) + 1
     if k > d:
         raise ValueError(f"k={k} exceeds dimension {d}")
     g = np.zeros((d, d))
-    for r in gram:
-        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["gram"]
     m = np.zeros(d)
-    for r in sums:
-        m[r["i"]] = r["s"] / n
+    for r in cells:
+        if r["i"] == -1:
+            continue
+        if r["j"] == -1:
+            m[r["i"]] = r["tot"] / n
+        else:
+            g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["tot"]
     cov = (g - n * np.outer(m, m)) / max(n - 1, 1)
     eigvals, eigvecs = np.linalg.eigh(cov)
     order = np.argsort(eigvals)[::-1][:k]
