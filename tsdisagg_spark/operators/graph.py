@@ -278,6 +278,19 @@ def pagerank(
     # round, exactly what the persist exists to prevent.
     norm.count()
     small_graph = n_nodes <= broadcast_threshold
+    if small_graph:
+        # Squeeze the iteration-INVARIANT frames to one partition as well
+        # (the per-iteration contribution vector already is, below): their
+        # caches keep the upstream shuffle width, so on a tiny graph every
+        # iteration's join/agg stages otherwise launch that many near-empty
+        # tasks — measured 58 stages x 32 tasks of pure scheduling on a
+        # 25-node graph, ~60ms/stage of wall for zero work (r13 opt, guide
+        # section 2 "partitioning that matches the data, not the config").
+        # coalesce is a narrow read of the already-materialized cache, so
+        # nothing is recomputed; above the threshold the cached width is
+        # exactly what a big graph needs, so this is gated, not global.
+        norm = norm.coalesce(1)
+        nodes = nodes.coalesce(1)
     sc = edges.sparkSession.sparkContext
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
