@@ -89,6 +89,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 50,
+    coalesce_threshold: int = 100_000,
 ) -> DataFrame:
     """Component label for every node appearing in ``pairs``:
     ``(node, component)`` where ``component`` is the smallest node id in the
@@ -97,6 +98,17 @@ def connected_components(
     ``pairs`` is an undirected edge list (each row one edge, any order);
     isolated documents never appear in pairs and so get no row — a caller
     wanting singletons unions them back with ``component = node``.
+
+    ``coalesce_threshold``: once the convergence checksum shows at most
+    this many surviving edges, each round's input is read coalesce(1) —
+    a narrow squeeze, nothing recomputed — so the star passes stop
+    launching one near-empty task per inherited checkpoint partition
+    (the count is data-adaptive, same discipline as pagerank's
+    ``broadcast_threshold``; a big graph never trips it and keeps the
+    full width).  The dedup graphs this operator clusters are pair lists
+    ALREADY thresholded by similarity, orders of magnitude smaller than
+    their corpora, so bench-scale rounds were pure task-scheduling
+    overhead (r13 opt, guide section 2).
     """
     sc = pairs.sparkSession.sparkContext
     # The initial checkpoint is NOT release-tracked: its plan references
@@ -145,7 +157,8 @@ def connected_components(
 
     live_ids: set = set()
     for _ in range((max_rounds + 1) // 2):
-        mid, mid_ids = _tracked_ckpt(_small_star(_large_star(edges)))
+        src = edges.coalesce(1) if prev[0] <= coalesce_threshold else edges
+        mid, mid_ids = _tracked_ckpt(_small_star(_large_star(src)))
         edges, new_ids = _tracked_ckpt(_small_star(_large_star(mid)))
         cur = _edge_checksum(edges)
         _release_checkpoint_blocks(sc, live_ids | mid_ids)
