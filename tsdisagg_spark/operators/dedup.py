@@ -286,15 +286,18 @@ def minhash_signatures(
     32 slots.
     """
     postings = shingle_postings(df, id_col, text_col, n)
-    mins = [
-        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agged = postings.groupBy(id_col).agg(*mins)
-    return agged.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    # ONE py4j round-trip for the whole num_hashes-slot aggregate: building
+    # this as num_hashes separate F.min(F.hash(...)) Column objects costs
+    # ~8 driver round-trips per slot (~0.5s per call site at 32 slots on
+    # this box), all construction overhead.  `hash(shingle, i)` with an
+    # INT literal is the same Murmur3 expression F.hash(col, F.lit(i))
+    # builds, so signatures are bit-identical.
+    sig = F.expr(
+        "array("
+        + ", ".join(f"min(hash(shingle, {i}))" for i in range(num_hashes))
+        + ")"
+    ).alias("sig")
+    return postings.groupBy(id_col).agg(sig)
 
 
 def _band_entries(
@@ -306,24 +309,20 @@ def _band_entries(
     the all-pairs self-join (:func:`minhash_pairs`) and the persistable
     index/probe pair (:func:`minhash_band_index` / :func:`minhash_probe`)
     so both block identically."""
+    # single-expr build (one py4j round-trip; see minhash_signatures):
+    # named_struct('band', <int literal>, ...) carries the same INT types
+    # and Murmur3 band hashes as the F.struct/F.lit/F.hash formulation
+    items = ", ".join(
+        "named_struct('band', {b}, 'band_hash', hash({slots}))".format(
+            b=bi,
+            slots=", ".join(
+                f"element_at(sig, {bi * rows + ri + 1})" for ri in range(rows)
+            ),
+        )
+        for bi in range(bands)
+    )
     return sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(
-                            *[
-                                F.element_at("sig", bi * rows + ri + 1)
-                                for ri in range(rows)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.col(id_col), F.expr(f"explode(array({items}))").alias("bk")
     ).select(id_col, "bk.band", "bk.band_hash")
 
 
