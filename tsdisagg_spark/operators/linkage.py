@@ -31,19 +31,24 @@ from pyspark.sql import functions as F
 from tsdisagg_spark.operators._par import spread_small_input as _spread
 
 
-def _partition_segments(length: Column, k: int) -> list[tuple[Column, Column]]:
-    """(start, len) of the ``k+1`` contiguous segments of a string of
-    ``length`` chars: ``base = length // (k+1)`` with the remainder spread
-    over the LAST ``length % (k+1)`` segments (PassJoin's even-partition
-    rule).  Probe and index sides must agree on this rule exactly."""
+def _partition_segments(length_sql: str, k: int) -> list[tuple[str, str]]:
+    """(start, len) SQL expressions of the ``k+1`` contiguous segments of a
+    string of ``length_sql`` chars: ``base = length // (k+1)`` with the
+    remainder spread over the LAST ``length % (k+1)`` segments (PassJoin's
+    even-partition rule).  Probe and index sides must agree on this rule
+    exactly.  Emitted as SQL strings (not Column trees): the Column form
+    cost ~8 py4j driver round-trips per arithmetic node x (k+1) segments
+    x 2 call sites — ~0.45s of pure construction latency per query — while
+    the SQL parses in the single round-trip of the enclosing expr, with
+    identical typing (INT arithmetic throughout)."""
     kk = k + 1
-    base = F.floor(length / kk).cast("int")
-    rem = (length % kk).cast("int")
+    base = f"CAST(FLOOR({length_sql} / {kk}) AS INT)"
+    rem = f"CAST({length_sql} % {kk} AS INT)"
     out = []
     for i in range(kk):
-        li = base + F.when(F.lit(i) >= kk - rem, F.lit(1)).otherwise(F.lit(0))
-        pi = F.lit(i) * base + F.greatest(F.lit(0), F.lit(i) - (kk - rem))
-        out.append((pi.cast("int"), li.cast("int")))
+        li = f"CAST({base} + (CASE WHEN {i} >= {kk} - {rem} THEN 1 ELSE 0 END) AS INT)"
+        pi = f"CAST({i} * {base} + GREATEST(0, {i} - ({kk} - {rem})) AS INT)"
+        out.append((pi, li))
     return out
 
 
@@ -90,22 +95,15 @@ def edit_distance_pairs(
     blk = [f"blk_{j}" for j in range(len(extra))]
 
     # ---- index side: each string's own k+1 segments, keyed by its length
-    segs = _partition_segments(F.col("len"), k)
+    seg_items = ", ".join(
+        f"named_struct('seg_id', {i}, 'seg_txt', substring(txt, {p} + 1, {l}))"
+        for i, (p, l) in enumerate(_partition_segments("len", k))
+    )
     index = base.select(
         F.col("rid").alias("id_i"),
         F.col("len").alias("len_i"),
         *blk,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seg_id"),
-                        F.substring(F.col("txt"), p + 1, l).alias("seg_txt"),
-                    )
-                    for i, (p, l) in enumerate(segs)
-                ]
-            )
-        ).alias("s"),
+        F.expr(f"explode(array({seg_items}))").alias("s"),
     ).select("id_i", "len_i", *blk, "s.seg_id", "s.seg_txt")
 
     # ---- probe side: candidate substrings at the lemma-bounded shifts,
@@ -127,28 +125,23 @@ def edit_distance_pairs(
         ).alias("len_i"),
     )
     cand_rows = []
-    for i, (p, l) in enumerate(_partition_segments(F.col("len_i"), k)):
+    for i, (p, l) in enumerate(_partition_segments("len_i", k)):
         if i == 0:
-            d_lo, d_hi = F.lit(0), F.lit(0)
+            d_lo, d_hi = "0", "0"
         elif i == k:
-            d_lo = d_hi = (F.col("len_p") - F.col("len_i")).cast("int")
+            d_lo = d_hi = "(len_p - len_i)"
         else:
-            d_lo = F.greatest(-p, F.lit(-k))
-            d_hi = F.lit(k)
+            d_lo = f"GREATEST(-({p}), -{k})"
+            d_hi = str(k)
         cand_rows.append(
-            F.struct(
-                F.lit(i).alias("seg_id"),
-                p.alias("p"),
-                l.alias("l"),
-                d_lo.cast("int").alias("d_lo"),
-                d_hi.cast("int").alias("d_hi"),
-            )
+            f"named_struct('seg_id', {i}, 'p', {p}, 'l', {l}, "
+            f"'d_lo', CAST({d_lo} AS INT), 'd_hi', CAST({d_hi} AS INT))"
         )
     delta = (F.col("len_p") - F.col("len_i")).cast("int")
     probe = (
         probe.select(
             "id_p", "txt_p", "len_p", "len_i", *blk,
-            F.explode(F.array(*cand_rows)).alias("c"),
+            F.expr(f"explode(array({', '.join(cand_rows)}))").alias("c"),
         )
         .select(
             "id_p", "txt_p", "len_p", "len_i", *blk,
