@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tsdisagg_spark.operators.text import shingles
+from tsdisagg_spark.operators.text import _shingles_sql, shingles
 
 
 def exact_groups(
@@ -92,12 +92,10 @@ def shingle_postings(
         # collision would merge two shingles' postings (overcounting one
         # intersection by one) — at 2^64 key space that needs ~10^9 distinct
         # shingles per corpus before a single collision is likely.
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-                )
-            )
+        F.expr(
+            "explode(array_distinct(transform("
+            + _shingles_sql(text_col, n)
+            + ", s -> xxhash64(s))))"
         ).alias("shingle"),
     )
     if max_doc_freq is not None:
@@ -1023,13 +1021,13 @@ def contamination(
     bench_text = bench_text_col or text_col
     bench_grams = (
         benchmark.select(
-            F.explode(F.array_distinct(shingles(F.col(bench_text), n))).alias("gram")
+            F.explode(F.array_distinct(shingles(bench_text, n))).alias("gram")
         )
         .distinct()
     )
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("gram"),
     )
     hits = doc_grams.join(F.broadcast(bench_grams), "gram")
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
@@ -1072,7 +1070,7 @@ def window_dup_stats(
     # bench corpus — plans/r13/exact_substring_overlap_{before,after}.txt)
     df = _spread(df)
     base = df.select(
-        F.col(id_col), shingles(F.col(text_col), window).alias("grams")
+        F.col(id_col), shingles(text_col, window).alias("grams")
     )
     ntok = df.select(
         F.col(id_col),

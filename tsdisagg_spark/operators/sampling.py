@@ -332,7 +332,7 @@ def _dsir_cell_counts(
     grams = docs.select(
         F.col(id_col),
         target.alias("__t"),
-        F.explode(shingles(F.col(text_col), n=2)).alias("__g"),
+        F.explode(shingles(text_col, n=2)).alias("__g"),
     ).select(
         id_col,
         "__t",

@@ -23,8 +23,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array columns via zip_with + aggregate (JVM-side)."""
+# The str fast paths below exist because PySpark higher-order-function
+# lambdas are py4j-chatty at CONSTRUCTION time: each `lambda x: ...`
+# conversion costs ~30-80 ms of driver round-trips (measured: dot 83 ms,
+# norm 83 ms, _as_double 29 ms per call vs 3 ms for the same expression
+# parsed from SQL), and the ANN/PQ/kmeans builders call them per centroid
+# or per plane.  The SQL bodies are the exact expressions the lambda form
+# builds — same fold order, same 0.0D double seed — so results are
+# bit-identical; the Column path stays for callers holding computed
+# expressions.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns via zip_with + aggregate (JVM-side).
+    Pass column names/SQL fragments as strings for the cheap-construction
+    path; Columns still work."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -32,7 +54,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+            "(acc, x) -> acc + x))"
+        )
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -40,7 +67,9 @@ def norm(a: Column) -> Column:
     )
 
 
-def _as_double(col: Column) -> Column:
+def _as_double(col: Column | str) -> Column:
+    if isinstance(col, str):
+        return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
     return F.transform(col, lambda x: x.cast("double"))
 
 
@@ -59,17 +88,17 @@ def cosine_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
-    ).withColumn("cnorm", norm(F.col("cvec")))
+        _as_double(vec_col).alias("cvec"),
+    ).withColumn("cnorm", norm("cvec"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
-    ).withColumn("qnorm", norm(F.col("qvec")))
+        _as_double(vec_col).alias("qvec"),
+    ).withColumn("qnorm", norm("qvec"))
 
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+        (dot("cvec", "qvec") / (F.col("cnorm") * F.col("qnorm"))).alias(
             "cosine"
         ),
     )
@@ -102,17 +131,26 @@ def _plane_literals(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_bits, dim)).round(6).tolist()
 
 
-def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+def _const_vec_sql(values) -> str:
+    """SQL text of a literal double array (see :func:`_const_vec`)."""
+    body = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+    return f"array({body})"
+
+
+def bucket_expr(vec: str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from the hyperplane matrix, as a pure expression:
-    bit i = (vec . plane_i) >= 0."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_col = _const_vec(plane)
-        bit = F.when(dot(vec, plane_col) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+    bit i = (vec . plane_i) >= 0.  ``vec`` is a column name/SQL fragment;
+    the whole n_bits-plane sum parses in ONE py4j round-trip (the Column
+    form paid ~0.1s per plane at construction)."""
+    terms = [
+        "shiftleft(CASE WHEN "
+        + _dot_sql(vec, _const_vec_sql(plane))
+        + f" >= 0 THEN 1L ELSE 0L END, {i})"
+        for i, plane in enumerate(planes)
+    ]
+    if not terms:  # n_bits=0: the exhaustive twins' single-bucket case
+        return F.expr("CAST(0 AS BIGINT)")
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def lsh_topk(
@@ -143,16 +181,16 @@ def lsh_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
+        _as_double(vec_col).alias("cvec"),
     )
-    c = c.withColumn("bucket", bucket_expr(F.col("cvec"), planes)).withColumn(
-        "cnorm", norm(F.col("cvec"))
+    c = c.withColumn("bucket", bucket_expr("cvec", planes)).withColumn(
+        "cnorm", norm("cvec")
     )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
-    ).withColumn("qbucket", bucket_expr(F.col("qvec"), planes))
+        _as_double(vec_col).alias("qvec"),
+    ).withColumn("qbucket", bucket_expr("qvec", planes))
     if multiprobe:
         probes = F.array(
             F.col("qbucket"),
@@ -164,12 +202,12 @@ def lsh_topk(
         q = q.withColumn("bucket", F.explode(probes))
     else:
         q = q.withColumn("bucket", F.col("qbucket"))
-    q = q.withColumn("qnorm", norm(F.col("qvec")))
+    q = q.withColumn("qnorm", norm("qvec"))
 
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+        (dot("cvec", "qvec") / (F.col("cnorm") * F.col("qnorm"))).alias(
             "cosine"
         ),
     )
@@ -183,7 +221,18 @@ def lsh_topk(
     )
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_scores_sql(vec: str, centroids: list[list[float]]) -> str:
+    """SQL text of the (dot, idx) struct array over the centroid literals —
+    one parse for the whole K-way scoring (the Column form paid ~0.1s per
+    centroid in lambda construction)."""
+    items = ", ".join(
+        f"named_struct('score', {_dot_sql(vec, _const_vec_sql(c))}, 'idx', {i})"
+        for i, c in enumerate(centroids)
+    )
+    return f"array({items})"
+
+
+def _nearest_centroid(vec: str, centroids: list[list[float]]) -> Column:
     """Index of the max-dot-product centroid, as a pure expression: build an
     array of (dot, idx) structs and take array_max (struct ordering compares
     fields in order, so the max dot wins; idx breaks exact ties upward).
@@ -191,16 +240,7 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     assignment use :func:`_nearest_centroid_gemm` — HOF lambdas evaluate
     interpreted per element, and the corpus-side assignment was measured at
     0.9 s of knn_ivf's 1.6 s at sf0.1 in expression form."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vec, _const_vec(c)).alias("score"),
-                F.lit(i).alias("idx"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_max(scored)["idx"]
+    return F.expr(f"array_max({_centroid_scores_sql(vec, centroids)}).idx")
 
 
 def _nearest_centroid_gemm(vec: Column, centroids: list[list[float]]) -> Column:
@@ -223,20 +263,13 @@ def _nearest_centroid_gemm(vec: Column, centroids: list[list[float]]) -> Column:
     return assign(vec)
 
 
-def _top_probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+def _top_probe_lists(vec: str, centroids: list[list[float]], nprobe: int) -> Column:
     """Array of the ``nprobe`` centroid indices nearest to ``vec`` (by dot),
     via sort_array on (score, idx) structs descending."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vec, _const_vec(c)).alias("score"),
-                F.lit(i).alias("idx"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    return F.expr(
+        f"slice(transform(sort_array({_centroid_scores_sql(vec, centroids)}, "
+        f"false), s -> s.idx), 1, {nprobe})"
     )
-    ranked = F.sort_array(scored, asc=False)
-    return F.slice(F.transform(ranked, lambda s: s["idx"]), 1, nprobe)
 
 
 def train_centroids(
@@ -305,23 +338,23 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
+        _as_double(vec_col).alias("cvec"),
     )
     c = c.withColumn(
         "list", _nearest_centroid_gemm(F.col("cvec"), centroids)
-    ).withColumn("cnorm", norm(F.col("cvec")))
+    ).withColumn("cnorm", norm("cvec"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
+        _as_double(vec_col).alias("qvec"),
     )
     q = q.withColumn(
-        "list", F.explode(_top_probe_lists(F.col("qvec"), centroids, nprobe))
-    ).withColumn("qnorm", norm(F.col("qvec")))
+        "list", F.explode(_top_probe_lists("qvec", centroids, nprobe))
+    ).withColumn("qnorm", norm("qvec"))
 
     scored = c.join(F.broadcast(q), "list").select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+        (dot("cvec", "qvec") / (F.col("cnorm") * F.col("qnorm"))).alias(
             "cosine"
         ),
     )
@@ -370,7 +403,7 @@ def exact_dup_pairs(
 
     id_type = df.schema[id_col].dataType.simpleString()
     v = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
     ).withColumn("blk", F.pmod(F.hash("vid"), F.lit(n_blocks)))
     replicated = (
         v.withColumn(
@@ -433,10 +466,10 @@ def embedding_dup_pairs(
         dim = len(df.select(F.col(vec_col)).first()[0])
     planes = _plane_literals(dim, n_bits, seed)
     v = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
     )
-    v = v.withColumn("bucket", bucket_expr(F.col("vec"), planes)).withColumn(
-        "vnorm", norm(F.col("vec"))
+    v = v.withColumn("bucket", bucket_expr("vec", planes)).withColumn(
+        "vnorm", norm("vec")
     )
     a, b = v.alias("a"), v.alias("b")
     return (
@@ -446,7 +479,7 @@ def embedding_dup_pairs(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
             F.round(
-                dot(F.col("a.vec"), F.col("b.vec"))
+                dot("a.vec", "b.vec")
                 / (F.col("a.vnorm") * F.col("b.vnorm")),
                 6,
             ).alias("cosine"),
@@ -510,7 +543,7 @@ def semantic_dedup(
     if backend not in ("expr", "gemm"):
         raise ValueError(f"backend must be 'expr' or 'gemm', got {backend!r}")
     v = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
     )
     if backend == "gemm":
         return _semantic_dedup_gemm(v, id_col, n_clusters, threshold)
@@ -520,10 +553,9 @@ def semantic_dedup(
     d2 = v.crossJoin(F.broadcast(seeds)).select(
         "vid",
         "seed_id",
-        F.aggregate(
-            F.zip_with("vec", "seed", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.expr(
+            "aggregate(zip_with(vec, seed, (a, b) -> (a - b) * (a - b)), "
+            "0.0D, (acc, x) -> acc + x)"
         ).alias("d2"),
     )
     # (vid -> cluster) is vector-free and feeds THREE consumers (both pair
@@ -536,7 +568,7 @@ def semantic_dedup(
         .agg(F.min_by("seed_id", F.struct("d2", "seed_id")).alias("cluster"))
         .persist()
     )
-    av = v.join(assign, "vid").withColumn("vnorm", norm(F.col("vec")))
+    av = v.join(assign, "vid").withColumn("vnorm", norm("vec"))
     # the pair stage is CPU-dense (interpreted HOF dot per pair) on tiny
     # bytes: pin its partition count so AQE's size-based coalescing cannot
     # collapse it to one task (measured: a 2.4s 1-task stage at sf0.1)
@@ -549,7 +581,7 @@ def semantic_dedup(
         .filter(F.col("a.vid") < F.col("b.vid"))
         .filter(
             F.round(
-                dot(F.col("a.vec"), F.col("b.vec"))
+                dot("a.vec", "b.vec")
                 / (F.col("a.vnorm") * F.col("b.vnorm")),
                 6,
             )
@@ -589,7 +621,7 @@ def semantic_index(
     batch), same output contract.
     """
     v = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
     )
     if backend == "gemm":
         seed_rows = sorted(seeds.collect(), key=lambda r: r.seed_id)
@@ -601,7 +633,7 @@ def semantic_index(
         # map centroid index back to seed id via an expression (literal
         # array lookup — stays in codegen, no UDF)
         lookup = F.array(*[F.lit(int(s)) for s in id_to_seed])
-        return assigned.withColumn("vnorm", norm(F.col("vec"))).select(
+        return assigned.withColumn("vnorm", norm("vec")).select(
             F.col("vid").alias(id_col),
             F.element_at(lookup, F.col("cluster") + 1).alias("cluster"),
             "vec",
@@ -610,10 +642,9 @@ def semantic_index(
     d2 = v.crossJoin(F.broadcast(seeds)).select(
         "vid",
         "seed_id",
-        F.aggregate(
-            F.zip_with("vec", "seed", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.expr(
+            "aggregate(zip_with(vec, seed, (a, b) -> (a - b) * (a - b)), "
+            "0.0D, (acc, x) -> acc + x)"
         ).alias("d2"),
     )
     assign = d2.groupBy("vid").agg(
@@ -621,7 +652,7 @@ def semantic_index(
     )
     return (
         v.join(assign, "vid")
-        .withColumn("vnorm", norm(F.col("vec")))
+        .withColumn("vnorm", norm("vec"))
         .select(
             F.col("vid").alias(id_col), "cluster", "vec", "vnorm"
         )
@@ -703,7 +734,7 @@ def semantic_probe(
             F.col(f"b.{id_col}").alias("batch_id"),
             F.col(f"c.{id_col}").alias("corpus_id"),
             F.round(
-                dot(F.col("b.vec"), F.col("c.vec"))
+                dot("b.vec", "c.vec")
                 / (F.col("b.vnorm") * F.col("c.vnorm")),
                 6,
             ).alias("cosine"),
@@ -955,27 +986,27 @@ def pq_subvectors(
     ``(id, sub, sv)`` with ``sv`` the ``sub_dim``-wide double slice — one
     map-side explode, the shared front end of :func:`pq_encode` and the
     ADC lookup-table build."""
-    subs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).cast("long").alias("sub"),
-                    F.slice(
-                        _as_double(F.col(vec_col)), j * sub_dim + 1, sub_dim
-                    ).alias("sv"),
-                )
-                for j in range(m)
-            ]
-        )
+    # one-expr build (same named_struct typing as the F.struct/F.lit form;
+    # see the module-head note on HOF lambda construction cost)
+    items = ", ".join(
+        f"named_struct('sub', CAST({j} AS BIGINT), "
+        f"'sv', slice(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+        f"{j * sub_dim + 1}, {sub_dim}))"
+        for j in range(m)
     )
-    return df.select(F.col(id_col), subs.alias("s")).select(
-        id_col, "s.sub", "s.sv"
-    )
+    return df.select(
+        F.col(id_col), F.expr(f"explode(array({items}))").alias("s")
+    ).select(id_col, "s.sub", "s.sv")
 
 
-def _sub_d2(a: Column, b: Column) -> Column:
+def _sub_d2(a: Column | str, b: Column | str) -> Column:
     """Squared L2 between two subvectors as a sequential fold —
     left-to-right like DuckDB's list_sum, so cross-engine bit-identical."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1012,7 +1043,7 @@ def pq_encode(
         F.col(id_col),
         "sub",
         "code",
-        _sub_d2(F.col("sv"), F.col("cent")).alias("d2"),
+        _sub_d2("sv", "cent").alias("d2"),
     )
     best = d2.groupBy(id_col, "sub").agg(
         F.min(F.struct("d2", "code")).alias("b")
@@ -1049,7 +1080,7 @@ def pq_adc_topk(
     lut = (
         probe_subs.join(F.broadcast(seeds), "sub")
         .select(
-            "sub", "code", _sub_d2(F.col("sv"), F.col("cent")).alias("qd2")
+            "sub", "code", _sub_d2("sv", "cent").alias("qd2")
         )
     )
     scored = (

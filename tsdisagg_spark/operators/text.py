@@ -39,7 +39,31 @@ def words(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def _words_sql(text: str) -> str:
+    """SQL text of :func:`words` over a column name/SQL fragment."""
+    return f"split(lower(trim({text})), '\\\\s+')"
+
+
+def _shingles_sql(text: str, n: int = 3) -> str:
+    """SQL text of :func:`shingles` over a column name/SQL fragment — the
+    cheap-construction path: the Column form pays ~30 ms of py4j traffic
+    per zip_with lambda at every call site (shingle-heavy queries build it
+    4+ times), while this parses in the enclosing expr's single round-trip
+    with identical semantics."""
+    w = _words_sql(text)
+    cnt = f"(size({w}) - {n - 1})"
+    safe = f"greatest({cnt}, 1)"
+    parts = [f"slice({w}, {i + 1}, {safe})" for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = f"zip_with({grams}, {p}, (x, y) -> concat(x, ' ', y))"
+    return (
+        f"CASE WHEN {cnt} >= 1 THEN {grams} "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
     """Array of word n-gram strings (space-joined), the unit of Jaccard /
     MinHash dedup.  Pure Catalyst expressions, no UDF.
 
@@ -50,9 +74,14 @@ def shingles(text: Column, n: int = 3) -> Column:
     text family (~2x faster on the documents corpus, identical output).
 
     Documents shorter than ``n`` words yield an EMPTY array (``slice`` with
-    a non-positive length would otherwise fail)."""
+    a non-positive length would otherwise fail).
+
+    Pass ``text`` as a column name/SQL fragment string for the single
+    py4j-round-trip construction path (see :func:`_shingles_sql`)."""
     from functools import reduce
 
+    if isinstance(text, str):
+        return F.expr(_shingles_sql(text, n))
     w = words(text)
     count = F.size(w) - F.lit(n - 1)
     safe = F.greatest(count, F.lit(1))
@@ -172,12 +201,12 @@ def fingerprints(
     bit-identical everywhere, unlike murmur variants."""
     df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("__sh")
+        F.col(id_col), shingles(text_col, n).alias("__sh")
     )  # named column: HOFs are not CSE-deduplicated, so never inline twice
     return base.select(
         F.col(id_col),
-        F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.md5(F.encode(s, "utf-8")))
+        F.expr(
+            "array_min(transform(__sh, s -> md5(encode(s, 'utf-8'))))"
         ).alias("fingerprint"),
         F.size("__sh").alias("n_shingles"),
     )
@@ -724,7 +753,7 @@ def top_ngrams(
     """
     df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     return (
-        df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+        df.select(F.explode(shingles(text_col, n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
@@ -987,7 +1016,7 @@ def repetition_stats(
     base = df.select(
         F.col(id_col),
         words(F.col(text_col)).alias("__w"),
-        F.array_sort(shingles(F.col(text_col), 2)).alias("__bg"),
+        F.array_sort(shingles(text_col, 2)).alias("__bg"),
     )
     # longest equal run in the sorted array == mode count
     run_state = F.aggregate(
@@ -1316,8 +1345,10 @@ def ngram_novelty(
     df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = df.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.md5(s))
+        F.expr(
+            "array_distinct(transform("
+            + _shingles_sql(text_col, n)
+            + ", s -> md5(s)))"
         ).alias("__g"),
     )
     per_doc = base.select(
@@ -1355,12 +1386,10 @@ def novelty_index(
     df = _spread(df)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     return (
         df.select(
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        shingles(F.col(text_col), n), lambda s: F.md5(s)
-                    )
-                )
+            F.expr(
+                "explode(array_distinct(transform("
+                + _shingles_sql(text_col, n)
+                + ", s -> md5(s))))"
             ).alias("gram_digest")
         )
         .distinct()
@@ -1396,8 +1425,10 @@ def novelty_probe(
     batch = _spread(batch)  # CPU-heavy per-row map: spread a few-file input (guide 2.5)
     base = batch.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.md5(s))
+        F.expr(
+            "array_distinct(transform("
+            + _shingles_sql(text_col, n)
+            + ", s -> md5(s)))"
         ).alias("__g"),
     )
     per_doc = base.select(

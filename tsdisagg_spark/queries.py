@@ -5886,17 +5886,17 @@ def cross_modal_dup_audit(spark, sf_dir):
         t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_doc_freq=20
     )
     emb = t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), _as_double(F.col("embedding")).alias("e")
+        F.col("vec_id"), _as_double("embedding").alias("e")
     )
     ea = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("e").alias("e_a"),
-        norm(F.col("e")).alias("n_a"),
+        norm("e").alias("n_a"),
     )
     eb = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("e").alias("e_b"),
-        norm(F.col("e")).alias("n_b"),
+        norm("e").alias("n_b"),
     )
     return (
         pairs.join(F.broadcast(ea), "id_a")
@@ -5906,7 +5906,7 @@ def cross_modal_dup_audit(spark, sf_dir):
             "id_b",
             "jaccard",
             F.round(
-                dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+                dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b")), 6
             ).alias("cosine"),
         )
     )

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tsdisagg_spark.operators.dedup import _band_entries, _doc_shingle_sets
-from tsdisagg_spark.operators.text import shingles
+from tsdisagg_spark.operators.text import _shingles_sql, shingles
 
 
 def rowwise_minhash_signatures(
@@ -64,20 +64,20 @@ def rowwise_minhash_signatures(
     staged = docs.select(
         F.col(id_col),
         F.array_distinct(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            F.expr(
+                "transform(" + _shingles_sql(text_col, n) + ", s -> xxhash64(s))"
+            )
         ).alias("__hs"),
     ).filter(F.size("__hs") > 0)
-    return staged.select(
-        F.col(id_col),
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("__hs"), lambda h: F.hash(h, F.lit(i)))
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
-    )
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(__hs, h -> hash(h, {i})))"
+            for i in range(num_hashes)
+        )
+        + ")"
+    ).alias("sig")
+    return staged.select(F.col(id_col), sig)
 
 
 def stream_probe_candidates(
