@@ -337,12 +337,16 @@ def test_idle_customers_pushes_date_filter(spark):
 
 
 def test_bloom_pruned_join_probes_stream_through_broadcasts(spark):
-    """The two Bloom word-table probes must be inner BROADCAST joins (fact
-    rows stream through them, no shuffle before the final join), and the
-    packed-word join keys must actually appear in the plan."""
+    """The Bloom probe must stream fact rows through a BROADCAST of the
+    packed-word state (no fact shuffle before the final join).  r13 shape:
+    the word table folds into ONE broadcast map and both salts probe with
+    element_at bit tests riding the scan — so exactly one word-table build
+    in the plan, zero per-salt join operators, and still no shuffle join."""
     plan = _plan(Q.QUERIES["bloom_pruned_urgent_revenue"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "wi_1" in plan and "wi_2" in plan, plan
+    # one packed-word build: exactly one partial bit_or aggregation subtree
+    assert plan.count("partial_bit_or") == 1, plan
+    assert plan.count("element_at") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
 

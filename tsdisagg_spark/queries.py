@@ -8228,6 +8228,8 @@ def bloom_pruned_urgent_revenue(spark, sf_dir):
     pass-through — correctness never depends on it."""
     from tsdisagg_spark.operators import sketches
 
+    from tsdisagg_spark.operators._par import spread_small_input
+
     M_BITS = 4096 * sketches.WORD_BITS
     sel = (
         t(spark, sf_dir, "orders")
@@ -8235,30 +8237,39 @@ def bloom_pruned_urgent_revenue(spark, sf_dir):
         .select("o_orderkey", "o_orderdate")
     )
     bloom = sketches.bloom_build(sel, "o_orderkey", m_bits=M_BITS, n_hashes=2)
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # The packed word table is <= 4096 rows by construction: fold it into a
+    # ONE-ROW broadcast MAP and probe with element_at bit tests riding the
+    # fact scan.  The earlier shape probed via two broadcast hash joins,
+    # which materialized the whole bloom-build subtree once PER SALT (two
+    # broadcast exchanges, each with its own distinct + word aggregation);
+    # the map fold keeps a single build and removes both join operators
+    # while computing the identical membership predicate (absent word ->
+    # element_at NULL -> coalesce 0 -> clear bit, exactly the failed-join
+    # case before).  The fact side's md5 probe is CPU-dense per row, so the
+    # few-file scan is spread first (guide 2.5; no-op at real-scale split
+    # counts).
+    words_map = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("wm")
+    )
+    li = spread_small_input(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    ).crossJoin(F.broadcast(words_map))
     for salt in (1, 2):
         pos = sketches.hash_position(F.col("l_orderkey"), salt, M_BITS)
-        b = bloom.select(
-            F.col("word_idx").alias(f"wi_{salt}"),
-            F.col("word").alias(f"wd_{salt}"),
-        )
         li = (
             li.withColumn(f"p_{salt}", pos)
-            .join(
-                F.broadcast(b),
-                (
-                    F.expr(f"p_{salt} DIV {sketches.WORD_BITS}")
-                    == F.col(f"wi_{salt}")
+            .filter(
+                F.expr(
+                    f"(coalesce(element_at(wm, p_{salt} DIV "
+                    f"{sketches.WORD_BITS}), 0L) & shiftleft(1L, "
+                    f"cast(p_{salt} % {sketches.WORD_BITS} as int))) != 0"
                 )
-                & (
-                    F.expr(
-                        f"(wd_{salt} & shiftleft(1L, "
-                        f"cast(p_{salt} % {sketches.WORD_BITS} as int))) != 0"
-                    )
-                ),
             )
-            .drop(f"p_{salt}", f"wi_{salt}", f"wd_{salt}")
+            .drop(f"p_{salt}")
         )
+    li = li.drop("wm")
     return (
         li.join(sel, li.l_orderkey == sel.o_orderkey)
         .groupBy(
