@@ -120,29 +120,36 @@ def cms_estimate(
     → same estimate, on any engine that can compute the md5 positions.
     Missing cells cannot occur for keys that were counted (every key
     increments all ``depth`` rows); for never-seen keys an absent cell
-    means estimate 0, handled by the left join + coalesce."""
-    probes = df.select(F.col(key_col).alias("k")).distinct()
-    pos = probes.select(
-        "k",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        hash_position(F.col("k"), 100 + r, width).alias("col"),
-                    )
-                    for r in range(depth)
-                ]
+    means estimate 0, handled by the NULL-lookup coalesce.
+
+    Plan shape (r13): the ``depth x width`` cell table folds into a
+    ONE-ROW broadcast MAP keyed on ``row * width + col``, and the
+    estimate is ``least()`` over ``depth`` element_at lookups riding the
+    probe scan — no explode, no per-key distinct, no join-back (the
+    earlier equi-join formulation cost four exchanges on the probe
+    side; estimates identical)."""
+    cm = cms.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("row") * width + F.col("col")).alias("mk"),
+                    F.col("c"),
+                )
             )
-        ).alias("cell"),
-    ).select("k", "cell.row", "cell.col")
-    est = (
-        pos.join(F.broadcast(cms), ["row", "col"], "left")
-        .groupBy("k")
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+        ).alias("__cm")
     )
-    return df.join(
-        est.select(F.col("k").alias(key_col), "est"), key_col, "left"
+    out = df.crossJoin(F.broadcast(cm))
+    lookups = []
+    for r in range(depth):
+        out = out.withColumn(
+            f"__c{r}", hash_position(F.col(key_col), 100 + r, width)
+        )
+        lookups.append(
+            f"coalesce(element_at(__cm, {r * width} + __c{r}), 0L)"
+        )
+    est = lookups[0] if depth == 1 else f"least({', '.join(lookups)})"
+    return out.withColumn("est", F.expr(est)).drop(
+        "__cm", *[f"__c{r}" for r in range(depth)]
     )
 
 
@@ -287,45 +294,31 @@ def bloom_probe(
     that is true iff every hash position's bit is set (no false negatives;
     false positives at the classic Bloom rate).
 
-    Plan shape: explode each key into its ``n_hashes`` positions, inner-
-    join the (broadcast) filter table on ``word_idx`` with the bit-test in
-    the join condition, and count hits — a key is claimed present iff all
-    ``n_hashes`` probes hit.  Missing words and clear bits both simply
-    fail to join, so no outer-join null handling is needed until the final
-    left join that restores non-hitting rows."""
-    probes = df.select(F.col(key_col).alias("k")).distinct()
-    pos = probes.select(
-        "k",
-        F.explode(
-            F.array(
-                *[
-                    hash_position(F.col("k"), i, m_bits)
-                    for i in range(1, n_hashes + 1)
-                ]
-            )
-        ).alias("pos"),
-    ).select(
-        "k",
-        F.expr(f"pos DIV {WORD_BITS}").alias("word_idx"),
-        F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS} as int))").alias("bit"),
+    Plan shape (r13): the filter-sized word table folds into a ONE-ROW
+    broadcast MAP, and each row's claim is ``n_hashes`` element_at bit
+    tests riding the probe scan — no explode, no per-key distinct, no
+    join-back, no hit count.  A missing word reads NULL -> coalesce 0 ->
+    clear bit, exactly the failed-join case of the earlier equi-join
+    formulation (same claims; the earlier shape cost four exchanges on
+    the probe side)."""
+    wm = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("__wm")
     )
-    hits = (
-        pos.join(
-            F.broadcast(bloom),
-            (pos.word_idx == bloom.word_idx)
-            & (F.expr("word & bit") != 0),
+    out = df.crossJoin(F.broadcast(wm))
+    tests = []
+    for i in range(1, n_hashes + 1):
+        out = out.withColumn(
+            f"__p{i}", hash_position(F.col(key_col), i, m_bits)
         )
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        tests.append(
+            f"((coalesce(element_at(__wm, __p{i} DIV {WORD_BITS}), 0L)"
+            f" & shiftleft(1L, cast(__p{i} % {WORD_BITS} as int))) != 0)"
+        )
+    return out.withColumn("claimed", F.expr(" AND ".join(tests))).drop(
+        "__wm", *[f"__p{i}" for i in range(1, n_hashes + 1)]
     )
-    return df.join(
-        hits.select(
-            F.col("k").alias(key_col),
-            (F.col("n_hits") == n_hashes).alias("claimed"),
-        ),
-        key_col,
-        "left",
-    ).fillna({"claimed": False})
 
 
 #: HLL bias-correction constants (Flajolet et al. 2007).  m >= 128 uses
