@@ -6297,7 +6297,11 @@ def bloom_membership_audit(spark, sf_dir):
     probed = sketches.bloom_probe(
         c.select("c_custkey"), bloom, "c_custkey", m_bits=16380, n_hashes=2
     )
-    actual = probed.join(
+    # derived from the raw customer frame, not `probed`: bloom_probe is
+    # row-preserving, so the two are equivalent — but deriving from probed
+    # would drag the (unprunable) broadcast word-map build into this
+    # branch's plan a second time
+    actual = c.select("c_custkey").join(
         urgent.select(F.col("o_custkey").alias("c_custkey")).distinct(),
         "c_custkey",
         "left_semi",
