@@ -4716,12 +4716,21 @@ def similar_part_names(spark, sf_dir):
     The oracle deliberately does NOT mirror the blocking: DuckDB computes
     the plain within-(brand,type) quadratic, so a hash MATCH proves the
     bucketed plan drops no pair.  Levenshtein itself is the bounded
-    early-exit DP after a |len diff| codegen pre-filter."""
+    early-exit DP after a |len diff| codegen pre-filter.
+
+    The b-side broadcasts (dimension-sized), so the DP runs on the a-side
+    STREAM of the BroadcastHashJoin — which rides the part scan directly
+    and is one task on a one-row-group corpus.  Spreading the a-side
+    before the join moves the whole candidate x DP stage onto every core
+    for one ~2 MB exchange (r13 opt, guide section 2.5 input skew; the
+    stage was 1.8s of single-task CPU at sf0.1)."""
+    from tsdisagg_spark.operators._par import spread_small_input
+
     p = t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type",
         (F.floor(F.length("p_name") / 4)).cast("int").alias("len_bucket"),
     )
-    a = p.alias("a")
+    a = spread_small_input(p).alias("a")
     b = p.select(
         "p_partkey", "p_name", "p_brand", "p_type",
         F.explode(
