@@ -1161,7 +1161,7 @@ def pca_scores(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = 8,
     scale: int = 1000,
 ) -> DataFrame:
     """Distributed PCA: fit on the EXACT fixed-point second-moment
@@ -1194,8 +1194,13 @@ def pca_scores(
     statistics that the same quantized batch yields together (r13 opt,
     guide section 1.2 "don't compute things twice" — measured plan: two
     full-corpus jobs collapsed to one, identical eigenbasis since the
-    collected integers are identical)."""
-    if k < 1:
+    collected integers are identical).
+
+    ``k=None`` projects onto ALL ``d`` components, with ``d`` taken from
+    the fit statistics themselves — callers that need the full basis
+    (:func:`pca_parseval`) then skip the one-row probe job that would
+    otherwise run just to size ``k`` (r13 opt, guide section 1)."""
+    if k is not None and k < 1:
         raise ValueError(f"need k >= 1, got {k}")
     dec = "decimal(38,0)"
 
@@ -1238,9 +1243,11 @@ def pca_scores(
         .collect()
     )
     if not cells:
-        raise ValueError("pca_scores: empty corpus — nothing to fit")
+        raise ValueError("pca_scores: empty input corpus — nothing to fit")
     n = int(next(r["tot"] for r in cells if r["i"] == -1))
     d = max(r["i"] for r in cells) + 1
+    if k is None:
+        k = d
     if k > d:
         raise ValueError(f"k={k} exceeds dimension {d}")
     g = np.zeros((d, d))
@@ -1303,6 +1310,11 @@ def pca_parseval(
     The invariant is basis-independent, so it stays exact even under
     degenerate eigenvalues where individual scores are not unique.
 
+    The full basis is requested with ``k=None``, so the embedding
+    dimension comes from the fit statistics and no one-row probe job
+    runs at construction (r13 opt: the probe was a 0.12s job per call
+    whose answer the fit collect already contained).
+
     Float-grid bound (verify SKILL rule): both engines compute the same
     mathematical value through different float paths (rotated-coordinate
     squares vs centered-lane squares), differing by ~d*ulp + the eigh
@@ -1312,16 +1324,9 @@ def pca_parseval(
     that, :func:`pca_parseval_exact` (n^2-scaled centered integer lanes)
     carries the certification with no residual tie probability.
     """
-    row = df.select(vec_col).first()
-    if row is None or row[0] is None:
-        raise ValueError(
-            "pca_parseval: empty input (or null first vector) — cannot "
-            f"infer embedding dimension from column {vec_col!r}"
-        )
-    d = len(row[0])
     inv = 1.0 / (float(scale) * float(scale))
     return (
-        pca_scores(df, vec_col=vec_col, id_col=id_col, k=d, scale=scale)
+        pca_scores(df, vec_col=vec_col, id_col=id_col, k=None, scale=scale)
         .groupBy(id_col)
         .agg(
             F.round(
