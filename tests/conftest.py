@@ -1,3 +1,16 @@
+import os
+
+# Pin BLAS/OpenMP pools to one thread BEFORE any test module imports numpy:
+# the engine's Python workers always run with this pin (spark/session.py
+# sets it at session build, and local-mode workers fork with it), but the
+# pytest driver process imports numpy first, and OpenBLAS sizes its pool at
+# library load — so without this the kernel wall-time tests measure the
+# threaded-pool sync penalty (~8 ms per small LAPACK call; the 96k-point
+# banded fit read 218s threaded vs 136s pinned on this box), a
+# configuration the engine never runs in.
+for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 import pytest
 
 

@@ -394,10 +394,13 @@ def test_chow_lin_banded_96k_points():
     matrix rides in block form (lo, hi, vals): dense C itself would be 6 GB.
 
     The WALL-TIME bound makes the scale thesis a measured number, not a
-    story: ~42 s on this box (the per-column python loop in the banded LU
-    dominates), asserted under a generous 4x allowance for co-tenant CPU
-    contention.  Any superlinear regression (an accidental dense
-    materialization is O(n^2) memory before it is O(n^3) time) blows the
+    story: ~42 s on the round-12 build box, 125 s quiet min-of-2 on the
+    slower round-13 box (the per-column python loop in the banded LU
+    dominates; conftest pins BLAS to 1 thread — the engine's worker
+    configuration — or the OpenBLAS pool-sync tax alone adds ~75 s here),
+    asserted under a generous 4x allowance for co-tenant CPU contention.
+    Any dense-path regression (an accidental dense materialization is
+    O(n^2) memory — 74 GB here — before it is O(n^3) time) blows the
     bound by orders of magnitude, which is the failure this guards."""
     import time
 
@@ -420,9 +423,9 @@ def test_chow_lin_banded_96k_points():
         y, x.reshape(-1, 1), (lo_b, hi_b, np.ones(n))
     )
     elapsed = time.perf_counter() - t0
-    assert elapsed < 170, (
-        f"96k-point banded fit took {elapsed:.0f}s — the linear-in-n claim "
-        "is broken (dense-path leak?)"
+    assert elapsed < 500, (
+        f"96k-point banded fit took {elapsed:.0f}s — far outside the banded "
+        "path's measured band (dense-path leak?)"
     )
     reagg = np.bincount(idx, weights=y_hat)
     assert np.abs(reagg - y).max() < 1e-9 * np.abs(y).max()
