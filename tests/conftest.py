@@ -11,6 +11,30 @@ import os
 for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
     os.environ.setdefault(_var, "1")
 
+# The pin above only works if numpy has NOT been imported yet (OpenBLAS
+# sizes its pool at library load) and the env vars were not pre-set >1
+# (setdefault).  If either escape hatch is open, the kernel wall-time
+# tests would silently measure the threaded-pool configuration the engine
+# never runs in — surface that loudly instead (ADVICE r13 #3).
+import sys as _sys
+import warnings as _warnings
+
+if "numpy" in _sys.modules:
+    _warnings.warn(
+        "numpy was imported before tests/conftest.py set the BLAS "
+        "single-thread pin — kernel wall-time tests may measure the "
+        "threaded-pool configuration (ADVICE r13 #3)",
+        stacklevel=1,
+    )
+for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    if os.environ.get(_var, "1") != "1":
+        _warnings.warn(
+            f"{_var}={os.environ[_var]} was pre-set >1; the BLAS pin is "
+            "ineffective and kernel wall-time tests may be inflated "
+            "(ADVICE r13 #3)",
+            stacklevel=1,
+        )
+
 import pytest
 
 

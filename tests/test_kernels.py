@@ -393,39 +393,47 @@ def test_chow_lin_banded_96k_points():
     precision (C y_hat == y exactly is a Chow-Lin identity).  The constraint
     matrix rides in block form (lo, hi, vals): dense C itself would be 6 GB.
 
-    The WALL-TIME bound makes the scale thesis a measured number, not a
-    story: ~42 s on the round-12 build box, 125 s quiet min-of-2 on the
-    slower round-13 box (the per-column python loop in the banded LU
-    dominates; conftest pins BLAS to 1 thread — the engine's worker
-    configuration — or the OpenBLAS pool-sync tax alone adds ~75 s here),
-    asserted under a generous 4x allowance for co-tenant CPU contention.
-    Any dense-path regression (an accidental dense materialization is
-    O(n^2) memory — 74 GB here — before it is O(n^3) time) blows the
-    bound by orders of magnitude, which is the failure this guards."""
+    The WALL-TIME bound is anchored to THIS box (ADVICE r13 #2: an
+    absolute constant calibrated to the slowest observed host lets a ~10x
+    superlinear regression pass on a fast one): the test first times the
+    SAME kernel at 1/8 the points and asserts the 96k fit stays within a
+    linear-scaling envelope of that anchor — 8x the work, x4 allowance
+    for co-tenant contention and fit-iteration count variation.  The
+    banded path is ~linear in n (the per-column python loop in the banded
+    LU dominates; conftest pins BLAS to 1 thread — the engine's worker
+    configuration), so any dense-path regression (an accidental dense
+    materialization is O(n^2) memory — 74 GB at 96k — before it is
+    O(n^3) time) blows a linear envelope by orders of magnitude."""
     import time
 
-    rng = np.random.default_rng(5)
-    n_low, factor = 8000, 12
-    n = n_low * factor
-    x = rng.uniform(1, 3, n)
-    lo_b = np.arange(n_low) * factor
-    hi_b = lo_b + factor - 1
-    idx = np.repeat(np.arange(n_low), factor)
-    u = np.empty(n)
-    u[0] = 0.0
-    eps = rng.standard_normal(n) * 0.5
-    for t in range(1, n):
-        u[t] = 0.7 * u[t - 1] + eps[t]
-    y = np.bincount(idx, weights=3.0 * x + u)
+    def _fit_case(n_low: int, factor: int = 12):
+        rng = np.random.default_rng(5)
+        n = n_low * factor
+        x = rng.uniform(1, 3, n)
+        lo_b = np.arange(n_low) * factor
+        hi_b = lo_b + factor - 1
+        idx = np.repeat(np.arange(n_low), factor)
+        u = np.empty(n)
+        u[0] = 0.0
+        eps = rng.standard_normal(n) * 0.5
+        for t in range(1, n):
+            u[t] = 0.7 * u[t - 1] + eps[t]
+        y = np.bincount(idx, weights=3.0 * x + u)
+        t0 = time.perf_counter()
+        y_hat, result, info = kernels.chow_lin_banded_fit(
+            y, x.reshape(-1, 1), (lo_b, hi_b, np.ones(n))
+        )
+        return time.perf_counter() - t0, y_hat, info, idx, y, x
 
-    t0 = time.perf_counter()
-    y_hat, result, info = kernels.chow_lin_banded_fit(
-        y, x.reshape(-1, 1), (lo_b, hi_b, np.ones(n))
-    )
-    elapsed = time.perf_counter() - t0
-    assert elapsed < 500, (
-        f"96k-point banded fit took {elapsed:.0f}s — far outside the banded "
-        "path's measured band (dense-path leak?)"
+    # per-box anchor: 12k points, 1/8 of the 96k workload
+    t_small, *_ = _fit_case(1000)
+
+    elapsed, y_hat, info, idx, y, x = _fit_case(8000)
+    bound = max(60.0, 8 * 4 * t_small)
+    assert elapsed < bound, (
+        f"96k-point banded fit took {elapsed:.0f}s vs a linear-scaling "
+        f"envelope of {bound:.0f}s (12k anchor {t_small:.1f}s on this box) "
+        "— dense-path leak?"
     )
     reagg = np.bincount(idx, weights=y_hat)
     assert np.abs(reagg - y).max() < 1e-9 * np.abs(y).max()

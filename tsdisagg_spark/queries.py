@@ -11365,7 +11365,7 @@ def global_sales_opportunity(spark, sf_dir):
 # Every window name is oracle-backed (the four rows-only-by-design queries
 # stay outside it so the driver's 50-sample is 50/50 hash-checkable); names
 # outside the window follow in registration order — nothing is dropped.
-DRIVER_ROUND = 13
+DRIVER_ROUND = 14
 DRIVER_WINDOW = 50
 
 DRIVER_CORE: tuple[str, ...] = (
@@ -11497,31 +11497,33 @@ DRIVER_SAMPLED_BEFORE: frozenset[str] = frozenset({
     "customer_reorder_gaps", "spearman_corr_flags", "wav_decimate_quanta",
     "top_bigrams", "revenue_rollup", "session_incident_overlap",
     "top_supplier_revenue",
+    # round-13 driver rows (CORRECTNESS_r13.json — the 15 first-ever picks)
+    "knn_ivf_exhaustive", "knn_lsh_exhaustive",
+    "embedding_dup_lsh_exhaustive", "embedding_pca_parseval_exact",
+    "indicator_lead_lag", "token_entropy", "zipf_slope_by_source",
+    "ngram_coverage_curve", "lang_token_budget_sample",
+    "temperature_mixture_weights", "pipeline_clean_corpus",
+    "order_value_histogram", "revenue_range_window", "signup_funnel",
+    "supplier_region_summary",
 })
 
 # This round's judge-ordered rotation carriers, ahead of the shuffle
-# (VERDICT r12 #1): all 15 were judge-verified MATCH at sf0.01 in the
-# round-12 session; the four ANN/exhaustive certifiers lead because they
-# externally certify the approximate machinery the ROWS_ONLY_TWINS
-# entries lean on.  Exactly ``DRIVER_WINDOW - len(DRIVER_CORE)`` names —
-# the whole window rotation is judge-ordered this round; any round-13
-# registration queues behind as never-sampled ``fresh`` for round 14.
+# (VERDICT r13 "Next round" #6): the LAST 10 oracle-backed queries that
+# have never had an external driver row — burning them closes hash
+# coverage over the full registry (never-sampled pool reaches 0).  The
+# remaining ``50 - len(DRIVER_CORE) - 10`` slots fall to the md5
+# rotation over the already-sampled pool.
 DRIVER_ROTATION_PRIORITY: tuple[str, ...] = (
-    "knn_ivf_exhaustive",
-    "knn_lsh_exhaustive",
-    "embedding_dup_lsh_exhaustive",
-    "embedding_pca_parseval_exact",
-    "indicator_lead_lag",
-    "token_entropy",
-    "zipf_slope_by_source",
-    "ngram_coverage_curve",
-    "lang_token_budget_sample",
-    "temperature_mixture_weights",
-    "pipeline_clean_corpus",
-    "order_value_histogram",
-    "revenue_range_window",
-    "signup_funnel",
-    "supplier_region_summary",
+    "daily_value_psi",
+    "brand_margin",
+    "click_purchase_conversions",
+    "customer_quartiles",
+    "discount_band_revenue",
+    "indicator_corr_flags",
+    "nation_revenue_share",
+    "order_pareto_frontier",
+    "promo_revenue_share",
+    "shipping_priority",
 )
 
 
