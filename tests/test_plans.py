@@ -516,3 +516,40 @@ def test_q21_supplier_join_is_unhinted_aqe_call(spark):
     for name in ("waiting_suppliers_topk", "sole_late_supplier"):
         plan = _plan(Q.QUERIES[name](spark, SF))
         assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_disagg_shared_aggregates_have_one_consumer(spark):
+    """VERDICT r13 #3, pinned: the shared upstream aggregates of the
+    disagg queries and part_basket_lift must appear ONCE in the plan —
+    no InMemoryRelation whose cold materialization the kernel-union /
+    broadcast consumers race to compute (the lineitem month aggregation
+    ran 2-4x per action in the pre-r14 shape).  One FileScan per source
+    table and zero persists."""
+    plan = _plan(Q.QUERIES["disagg_chow_lin_suppliers"](spark, SF))
+    assert "InMemoryRelation" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    # the target/indicator split is ONE grouping-sets pass, not a union
+    # of two aggregates over the same frame
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
+
+    plan = _plan(Q.QUERIES["disagg_litterman_nation"](spark, SF))
+    assert "InMemoryRelation" not in plan, plan
+    # orders/customer/nation appear once per union leg they feed
+    # (low: o+c+n, ind: l+o+c+n) — 7 scans, none duplicated by a span
+    # aggregation or a cached-subtree race
+    assert plan.count("Scan parquet") == 7, plan
+
+    plan = _plan(Q.QUERIES["part_basket_lift"](spark, SF))
+    assert "InMemoryRelation" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # lineitem + part once
+
+
+def test_disagg_kernel_width_is_pinned(spark):
+    """The CPU-dense GLS kernel stage must keep cluster width: the
+    explicit repartition (exempt from AQE coalescing) feeds the window
+    AND the grouped kernel — without it the byte-tiny window exchange
+    coalesced to 2 tasks and serialized 1000 solves onto 2 cores."""
+    for name in ("disagg_chow_lin_suppliers", "disagg_litterman_nation"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "REPARTITION_BY_NUM" in plan, (name, plan)

@@ -29,7 +29,7 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(ROOT, "plans", "r13")
+    out_dir = os.path.join(ROOT, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     for name in HEADLINE:
         if ONLY is not None and name not in ONLY:

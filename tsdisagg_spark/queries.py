@@ -1128,33 +1128,64 @@ def disagg_chow_lin_suppliers(spark, sf_dir):
     low-freq series, ts_disagg.py:233-240), be gap-free (a DatetimeIndex
     with holes has no inferable frequency), and span >= 3 years (a 2-point
     GLS with k=2 regressors is degenerate)."""
-    from tsdisagg_spark.spark.disagg import disaggregate
+    from tsdisagg_spark.spark.disagg import _SRC_IND, _SRC_LOW, _TAG
+    from tsdisagg_spark.spark.disagg import _disaggregate_unioned
 
     li = t(spark, sf_dir, "lineitem")
-    # one scan + one wide shuffle: aggregate the fact table to months once,
-    # then derive the yearly target from the (tiny) monthly result — at
-    # 100 TB the second full scan/shuffle of lineitem is the cost that
-    # matters, not the 8k-row re-aggregation
-    monthly = (
-        li.groupBy(
-            F.col("l_suppkey").alias("series_id"),
-            F.date_trunc("month", "l_shipdate").alias("ts"),
-        )
-        .agg(
-            F.sum("l_extendedprice").alias("rev"),
-            F.sum("l_quantity").alias("x1"),
-        )
-        # three consumers (eligibility, low, indicators) — persist the tiny
-        # series x month aggregate so lineitem is scanned exactly once
-        .persist()
+    # ONE scan + one wide shuffle: aggregate the fact table to months once.
+    # The kernel's target (yearly) and indicator (monthly) rows are then
+    # BOTH derived from that aggregate in a single GROUPING SETS pass —
+    # one consumer of the month aggregate in the physical plan, so nothing
+    # races to materialize it.  (The previous persist + broadcast-semi +
+    # union shape had 3 consumers; AQE materialized their leading query
+    # stages concurrently against the COLD cache and the lineitem month
+    # aggregation ran 2-4x per action — 118s of duplicated task time in
+    # the loaded round-14 profile, 12.8+7.6s quiet in round 13.)
+    monthly = li.groupBy(
+        F.col("l_suppkey").alias("series_id"),
+        F.date_trunc("month", "l_shipdate").alias("ts"),
+    ).agg(
+        F.sum("l_extendedprice").alias("rev"),
+        F.sum("l_quantity").alias("x1"),
+    ).withColumn("yts", F.date_trunc("year", "ts"))
+    # grouping sets: (series, year, month) keeps each month row verbatim
+    # (decimal sums over a single row are exact); (series, year) yields the
+    # yearly target sums (decimal addition — exact, order-free).
+    gs = monthly.groupingSets(
+        [["series_id", "yts", "ts"], ["series_id", "yts"]],
+        "series_id",
+        "yts",
+        "ts",
+    ).agg(
+        F.sum("rev").alias("rev"),
+        F.sum("x1").alias("x1"),
+        F.grouping("ts").alias("is_low"),
     )
-    elig = (
-        monthly.groupBy("series_id")
-        .agg(
-            F.min("ts").alias("first_m"),
-            F.max("ts").alias("last_m"),
-            F.count(F.lit(1)).alias("n_months"),
-            F.countDistinct(F.date_trunc("year", "ts")).alias("n_years"),
+    # pin the per-series width BEFORE the window: the explicit repartition
+    # is exempt from AQE coalescing and its hash(series_id) partitioning is
+    # reused by the window AND the kernel stage downstream (pre_partitioned
+    # below) — without it AQE coalesced the byte-tiny window exchange to 2
+    # tasks and the CPU-dense GLS kernel stage rode it, serializing 1000
+    # solves onto 2 cores
+    from tsdisagg_spark.operators._par import pin_compute_parallelism
+
+    gs = pin_compute_parallelism(gs, "series_id")
+    # eligibility as window flags over the tiny per-series row set (month
+    # rows carry is_low=0, year rows is_low=1) — no second consumer, no
+    # broadcast join: n_years is the count of year-level rows (one per
+    # distinct year by construction)
+    w = Window.partitionBy("series_id")
+    is_month = F.col("is_low") == 0
+    gs = (
+        gs.withColumn(
+            "first_m", F.min(F.when(is_month, F.col("ts"))).over(w)
+        )
+        .withColumn("last_m", F.max(F.when(is_month, F.col("ts"))).over(w))
+        .withColumn(
+            "n_months", F.count(F.when(is_month, F.lit(1))).over(w)
+        )
+        .withColumn(
+            "n_years", F.count(F.when(~is_month, F.lit(1))).over(w)
         )
         .filter(
             (F.month("first_m") == 1)
@@ -1162,17 +1193,25 @@ def disagg_chow_lin_suppliers(spark, sf_dir):
                == F.months_between("last_m", "first_m").cast("long") + 1)
             & (F.col("n_years") >= 3)
         )
-        .select("series_id")
     )
-    monthly = monthly.join(F.broadcast(elig), "series_id", "left_semi")
-    low = monthly.groupBy(
-        "series_id", F.date_trunc("year", "ts").alias("ts")
-    ).agg(F.sum("rev").alias("y"))
-    ind = monthly.select(
-        "series_id", "ts", "x1", F.lit(1.0).alias("intercept")
+    unioned = gs.select(
+        "series_id",
+        F.when(is_month, F.col("ts")).otherwise(F.col("yts")).alias("ts"),
+        F.when(~is_month, F.col("rev")).cast("double").alias("y"),
+        F.when(is_month, F.col("x1")).cast("double").alias("x1"),
+        F.when(is_month, F.lit(1.0)).cast("double").alias("intercept"),
+        F.when(is_month, F.lit(_SRC_IND)).otherwise(F.lit(_SRC_LOW)).alias(_TAG),
     )
-    out = disaggregate(
-        low, ind, method="chow-lin", agg_func="sum", errors="skip"
+    out = _disaggregate_unioned(
+        unioned,
+        ["x1", "intercept"],
+        method="chow-lin",
+        agg_func="sum",
+        errors="skip",
+        # the pinned hash(series_id) width above survives the window and
+        # the narrow projections — the kernel reuses it, zero extra
+        # exchange
+        pre_partitioned=True,
     )
     # one aggregation pass over the kernel output; no semi-join back to `low`
     # (it would re-scan lineitem — every 12-month year group is a low year
@@ -1353,7 +1392,9 @@ def disagg_litterman_nation(spark, sf_dir):
     Eligibility mirrors the engine's input contract in SQL: indicator must
     start no later than the low series (ts_disagg.py:233-240 raises
     otherwise), be gap-free, and span >= 3 low periods."""
-    from tsdisagg_spark.spark.disagg import disaggregate
+    from tsdisagg_spark.operators._par import pin_compute_parallelism
+    from tsdisagg_spark.spark.disagg import _SRC_IND, _SRC_LOW, _TAG
+    from tsdisagg_spark.spark.disagg import _disaggregate_unioned
 
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -1364,10 +1405,19 @@ def disagg_litterman_nation(spark, sf_dir):
         .join(n, c["c_nationkey"] == n["n_nationkey"])
         .select("o_orderkey", "o_orderdate", "o_totalprice", "n_name")
     )
+    # Each source aggregate is built ONCE and goes straight into the
+    # tagged kernel union; eligibility is evaluated AFTER the union with
+    # window flags over the tiny per-series row set.  The previous shape
+    # (persist each aggregate, span-agg both, join spans, broadcast the
+    # eligible set back into both legs) gave every cached aggregate two
+    # consumers whose leading query stages raced under AQE and computed
+    # the orders x customer and lineitem join subtrees twice each
+    # (stage-profiled: three near-duplicate stage pairs, ~126s task time
+    # loaded; the ind subtree ran twice in round 13's quiet profile).
     low = ordn.groupBy(
         F.col("n_name").alias("series_id"),
         F.date_trunc("year", "o_orderdate").alias("ts"),
-    ).agg(F.sum("o_totalprice").alias("y")).persist()
+    ).agg(F.sum("o_totalprice").alias("y"))
     ind = (
         li.join(
             ordn.select("o_orderkey", "n_name"),
@@ -1378,23 +1428,37 @@ def disagg_litterman_nation(spark, sf_dir):
             F.date_trunc("month", "l_shipdate").alias("ts"),
         )
         .agg(F.sum("l_extendedprice").alias("x1"))
-        .withColumn("intercept", F.lit(1.0))
-        # both aggregates feed the eligibility spans AND the kernel union —
-        # persist so the orders x customer x nation x lineitem joins run once
-        .persist()
     )
-    ind_span = ind.groupBy("series_id").agg(
-        F.min("ts").alias("hi"),
-        F.max("ts").alias("last_m"),
-        F.count(F.lit(1)).alias("n_months"),
+    unioned = low.select(
+        "series_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("y").cast("double").alias("y"),
+        F.lit(None).cast("double").alias("x1"),
+        F.lit(None).cast("double").alias("intercept"),
+        F.lit(_SRC_LOW).alias(_TAG),
+    ).unionByName(
+        ind.select(
+            "series_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit(None).cast("double").alias("y"),
+            F.col("x1").cast("double").alias("x1"),
+            F.lit(1.0).alias("intercept"),
+            F.lit(_SRC_IND).alias(_TAG),
+        )
     )
-    low_span = low.groupBy("series_id").agg(
-        F.min("ts").alias("lo"),
-        F.max("ts").alias("last_y"),
-        F.count(F.lit(1)).alias("n_years"),
-    )
-    elig = (
-        ind_span.join(low_span, "series_id")
+    # pin the per-series width before the window so the byte-tiny exchange
+    # keeps cluster parallelism and the kernel stage reuses it (same fix
+    # as disagg_chow_lin_suppliers)
+    unioned = pin_compute_parallelism(unioned, "series_id")
+    w = Window.partitionBy("series_id")
+    is_ind = F.col(_TAG) == _SRC_IND
+    unioned = (
+        unioned.withColumn("hi", F.min(F.when(is_ind, F.col("ts"))).over(w))
+        .withColumn("last_m", F.max(F.when(is_ind, F.col("ts"))).over(w))
+        .withColumn("n_months", F.count(F.when(is_ind, F.lit(1))).over(w))
+        .withColumn("lo", F.min(F.when(~is_ind, F.col("ts"))).over(w))
+        .withColumn("last_y", F.max(F.when(~is_ind, F.col("ts"))).over(w))
+        .withColumn("n_years", F.count(F.when(~is_ind, F.lit(1))).over(w))
         .filter(
             (F.col("hi") <= F.col("lo"))
             & (F.col("n_months")
@@ -1403,12 +1467,15 @@ def disagg_litterman_nation(spark, sf_dir):
                == (F.months_between("last_y", "lo") / 12).cast("long") + 1)
             & (F.col("n_years") >= 3)
         )
-        .select("series_id")
+        .select("series_id", "ts", "y", "x1", "intercept", _TAG)
     )
-    low = low.join(F.broadcast(elig), "series_id", "left_semi")
-    ind = ind.join(F.broadcast(elig), "series_id", "left_semi")
-    out = disaggregate(
-        low, ind, method="litterman", agg_func="sum", errors="skip"
+    out = _disaggregate_unioned(
+        unioned,
+        ["x1", "intercept"],
+        method="litterman",
+        agg_func="sum",
+        errors="skip",
+        pre_partitioned=True,
     )
     return (
         out.groupBy("series_id", F.date_trunc("year", "ts").alias("ts"))
@@ -7393,50 +7460,78 @@ def part_basket_lift(spark, sf_dir):
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # ONE shuffle over the fact table: collect_set dedups (orderkey, brand)
     # inside the aggregate (with map-side partials), so no separate
-    # distinct() exchange; and baskets is persisted so every downstream
-    # frame (pair counts, brand marginals, order total) derives from it —
-    # without the persist, Spark's per-consumer plan duplication recomputes
-    # the lineitem join three times (distinct+groupBy unpersisted measured
-    # 3.2s at sf0.1; this shape ~1s)
+    # distinct() exchange
+    # pin the basket exchange width BEFORE the groupBy: the explicit
+    # repartition is exempt from AQE's size-based coalescing, satisfies
+    # the aggregate's distribution (no second exchange), and the
+    # downstream basket-array build + pair explode + partial pair count
+    # are all CPU-dense on byte-tiny rows — left to AQE they serialized
+    # onto 5 tasks.  (A pin placed AFTER the aggregate is elided: its
+    # hash(l_orderkey) partitioning is already satisfied by the agg
+    # exchange, whose read AQE then coalesces anyway.)
+    from tsdisagg_spark.operators._par import pin_compute_parallelism
+
     baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        pin_compute_parallelism(
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey),
+            "l_orderkey",
+        )
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-        .persist()
     )
-    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    nb = (
-        baskets.select(F.explode("bs").alias("p_brand"))
-        .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # Pair counts, per-brand marginals, and the order total all derive
+    # from baskets in a SINGLE explode + SINGLE aggregation: each basket
+    # emits its strict pairs (a < b), one sentinel (x, x) per member
+    # brand (a real pair can never collide with it, pairs are strict),
+    # and one (NULL, NULL) order sentinel.  The grouped counts are then
+    # self-decorated with windows over the tiny ~B^2 grid.  The previous
+    # shape persisted baskets and hung FOUR consumers off it (three
+    # broadcast builds + the pair probe); their leading query stages
+    # raced on the cold cache and the lineitem join + basket aggregation
+    # ran up to 4x per action (stage-profiled: four 12 MB-input map
+    # stages, 28 + 3.6 + 3.4s task time loaded).  One consumer, nothing
+    # to race, no persist to manage.
+    stats = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS brand_a, y AS brand_b)))), "
+                    "transform(bs, x -> struct(x AS brand_a, x AS brand_b)), "
+                    "array(struct(CAST(NULL AS STRING) AS brand_a, "
+                    "CAST(NULL AS STRING) AS brand_b)))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.*")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(bs, (x, i) -> "
-                "transform(slice(bs, i + 2, size(bs)), "
-                "y -> struct(x AS brand_a, y AS brand_b))))"
-            )
-        ).alias("pr")
-    ).select("pr.*")
-    co = pairs.groupBy("brand_a", "brand_b").agg(
-        F.count(F.lit(1)).alias("co_orders")
-    )
-    na = nb.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
-    nb2 = nb.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("nb"))
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy("brand_a")
+    w_b = Window.partitionBy("brand_b")
+    is_marg = F.col("brand_a") == F.col("brand_b")
     return (
-        co.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(na), "brand_a")
-        .join(F.broadcast(nb2), "brand_b")
+        stats.withColumn(
+            "n_orders",
+            F.max(F.when(F.col("brand_a").isNull(), F.col("cnt"))).over(
+                w_all
+            ),
+        )
+        .withColumn("na", F.max(F.when(is_marg, F.col("cnt"))).over(w_a))
+        .withColumn("nb", F.max(F.when(is_marg, F.col("cnt"))).over(w_b))
+        .filter(F.col("brand_a") < F.col("brand_b"))
         .select(
             "brand_a",
             "brand_b",
-            "co_orders",
-            F.round(F.col("co_orders") * 1.0 / F.col("n_orders"), 6).alias(
+            F.col("cnt").alias("co_orders"),
+            F.round(F.col("cnt") * 1.0 / F.col("n_orders"), 6).alias(
                 "support"
             ),
             F.round(
-                F.col("co_orders") * 1.0 * F.col("n_orders")
+                F.col("cnt") * 1.0 * F.col("n_orders")
                 / (F.col("na") * F.col("nb")),
                 6,
             ).alias("lift"),

@@ -163,8 +163,58 @@ def disaggregate(
         )
 
     unioned, ind_cols = _tagged_union(low, indicators, series_col, ts_col, value_col)
+    return _disaggregate_unioned(
+        unioned,
+        ind_cols,
+        method=method,
+        agg_func=agg_func,
+        criterion=criterion,
+        h=h,
+        target_freq=target_freq,
+        optimizer_kwargs=optimizer_kwargs,
+        series_col=series_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        errors=errors,
+        num_partitions=num_partitions,
+        pre_partitioned=pre_partitioned,
+    )
 
-    series_field = low.schema[series_col]
+
+def _disaggregate_unioned(
+    unioned: DataFrame,
+    ind_cols: list[str],
+    *,
+    method: str,
+    agg_func: str,
+    criterion: str = "proportional",
+    h: int = 1,
+    target_freq: str | None = None,
+    optimizer_kwargs: dict | None = None,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "y",
+    errors: str = "raise",
+    num_partitions: int | None = None,
+    pre_partitioned: bool = False,
+) -> DataFrame:
+    """Kernel stage over an ALREADY-TAGGED union frame.
+
+    ``unioned`` must match :func:`_tagged_union`'s output shape exactly:
+    ``(series_col, ts_col TIMESTAMP, value_col DOUBLE, *ind_cols DOUBLE,
+    _TAG INT)`` with ``value_col`` null on indicator rows and every
+    ``ind_cols`` entry null on target rows.  Callers that can DERIVE the
+    union in one pass over a shared upstream aggregate (e.g. via grouping
+    sets, or with post-union window eligibility) use this entry point so
+    the shared subtree has exactly ONE consumer in the physical plan —
+    the separate low/indicator legs of the internal union otherwise race
+    to materialize a cold cached upstream and compute it once per leg
+    (measured: the lineitem month aggregation ran 2-4x per action in
+    disagg_chow_lin_suppliers before the round-14 restructure)."""
+    if errors not in ("raise", "skip"):
+        raise ValueError("errors must be 'raise' or 'skip'")
+
+    series_field = unioned.schema[series_col]
     out_schema = T.StructType(
         [
             T.StructField(series_col, series_field.dataType),
