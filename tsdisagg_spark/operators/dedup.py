@@ -1216,11 +1216,30 @@ def jaccard_pairs_prefix(
     # 32-task window stages collapsed to two at sf0.1)
     prefix = (
         ranked.filter(F.col("rn") <= F.col("n_sh") - ceil_tn + 1)
-        .select(id_col, "shingle", "n_sh")
+        .select(id_col, "shingle", "n_sh", "rn")
         .persist()
     )
 
+    # PPJoin positional filter (Xiao et al., WWW'08), exact: J >= t implies
+    # overlap o >= t*(na+nb)/(1+t), i.e. o_req = ceil(num*(na+nb)/(num+den))
+    # in exact integers.  For the candidate instance generated by the
+    # GLOBALLY-SMALLEST common shingle (positions i, j in the two
+    # frequency-ordered lists), everything ordered before it on either side
+    # is non-common, so o <= 1 + min(na - i, nb - j).  Filtering every
+    # instance by `1 + min(na - rn_a, nb - rn_b) >= o_req` therefore keeps
+    # the minimal-shingle instance of every qualifying pair (bound >= true
+    # o >= o_req) while pruning candidates whose prefixes only meet too
+    # late to reach the required overlap — the distinct() below needs just
+    # one surviving instance per pair, and every survivor is still exactly
+    # verified.
     a, b = prefix.alias("a"), prefix.alias("b")
+    o_req = F.floor(
+        (
+            F.lit(num) * (F.col("a.n_sh") + F.col("b.n_sh"))
+            + F.lit(num + den - 1)
+        )
+        / F.lit(num + den)
+    )
     cand = (
         a.join(b, "shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -1228,6 +1247,14 @@ def jaccard_pairs_prefix(
         .filter(
             (F.lit(num) * F.col("a.n_sh") <= F.lit(den) * F.col("b.n_sh"))
             & (F.lit(num) * F.col("b.n_sh") <= F.lit(den) * F.col("a.n_sh"))
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("a.n_sh") - F.col("a.rn"),
+                F.col("b.n_sh") - F.col("b.rn"),
+            )
+            >= o_req
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
