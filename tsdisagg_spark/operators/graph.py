@@ -458,51 +458,87 @@ def kcore(
         out = df.localCheckpoint(eager=False)
         return out, _persistent_rdd_ids(sc) - before
 
-    live_ids: set = set()
-    prev_edges = -1
-    rounds_used = 0
-    for _ in range(max_rounds):
+    def _one_round(src: DataFrame) -> DataFrame:
         deg = (
-            live.select(
+            src.select(
                 F.explode(F.array(F.col("u"), F.col("v"))).alias("n")
             )
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
         alive = deg.where(F.col("d") >= k)
-        live_next, new_ids = _tracked_ckpt(
-            live.join(alive.select(F.col("n").alias("u")), "u")
+        return (
+            src.join(alive.select(F.col("n").alias("u")), "u")
             .join(alive.select(F.col("n").alias("v")), "v")
             .select("u", "v")
         )
-        # The convergence scalar is the NEW snapshot's edge count: edge
-        # count unchanged <=> no endpoint was peeled <=> fixpoint (degrees
-        # are a pure function of the edge set).  Counting live_next — not
-        # `alive` — also MATERIALIZES its checkpoint first, so by the time
-        # the previous round's blocks are released below, the new
-        # snapshot's lineage is already truncated and no longer references
-        # them (releasing a lazy localCheckpoint's still-referenced parent
-        # would be unrecoverable — lineage is gone with the blocks).
-        n_edges = live_next.count()
-        _release_checkpoint_blocks(sc, live_ids)
-        live_ids = new_ids
-        live = live_next
-        if n_edges == prev_edges:
+
+    def _budget_raise(extra_ids: set) -> None:
+        # the result is abandoned, so nothing still references the live
+        # blocks — release them (and the edges checkpoint) before
+        # raising, or a long-lived session later fails the zero-leak
+        # gates on this dead residue
+        _release_checkpoint_blocks(sc, extra_ids | edges_ids)
+        raise KCoreRoundBudgetExceeded(
+            f"kcore(k={k}) still peeling after {rounds_budget} "
+            f"certified rounds — deepen the unrolled oracle (or raise "
+            f"rounds_budget) before trusting a hash comparison"
+        )
+
+    # TWO peel rounds per driver round trip (r14 opt, VERDICT r13 #4):
+    # both snapshots are (lazily) checkpointed, so ONE count job
+    # materializes the pair — the RDD-level boundary dedupes the mid
+    # snapshot inside the job (it is one RDD object, computed once and
+    # stored), which is what makes batching safe where raw two-deep
+    # DataFrame lineage would re-plan the first peel once per consumer.
+    # The mid count needed to disambiguate convergence (and keep the
+    # rounds_budget certification EXACTLY the serial semantics — the
+    # "extra snapshot" of the r13 design note) is a per-partition count
+    # over already-cached blocks: ~free next to a peel round.  Convergence
+    # scalar semantics unchanged: edge count stable <=> no endpoint peeled
+    # <=> fixpoint (degrees are a pure function of the edge set).
+    live_ids: set = set()
+    prev_edges = -1
+    rounds_used = 0
+    converged = False
+    for _ in range((max_rounds + 1) // 2):
+        mid, mid_ids = _tracked_ckpt(_one_round(live))
+        live_next, new_ids = _tracked_ckpt(_one_round(mid))
+        # materializes mid's checkpoint first (its blocks back live_next's
+        # lineage), then live_next's — so releasing the previous round's
+        # blocks below is safe: nothing live references them anymore
+        n2 = live_next.count()
+        n1 = mid.count()  # cached-block count: cheap, no recompute
+        if n1 == prev_edges:
+            # the FIRST peel of the pair was the confirming pass: the
+            # fixpoint was already reached, the second peel is a no-op
+            # snapshot we discard
+            _release_checkpoint_blocks(sc, live_ids | new_ids)
+            live_ids = mid_ids
+            live = mid
+            converged = True
+            break
+        # first peel changed the edge set: it consumes certified budget
+        # exactly as the serial loop did (and raises at the same point —
+        # BEFORE the second peel's outcome is considered)
+        rounds_used += 1
+        if rounds_budget is not None and rounds_used > rounds_budget:
+            _budget_raise(live_ids | mid_ids | new_ids)
+        if n2 == n1:
+            # second peel confirmed convergence (free, like serial)
+            _release_checkpoint_blocks(sc, live_ids | mid_ids)
+            live_ids = new_ids
+            live = live_next
+            converged = True
             break
         rounds_used += 1
         if rounds_budget is not None and rounds_used > rounds_budget:
-            # the result is abandoned, so nothing still references the
-            # live blocks — release them (and the edges checkpoint)
-            # before raising, or a long-lived session later fails the
-            # zero-leak gates on this dead residue
-            _release_checkpoint_blocks(sc, live_ids | edges_ids)
-            raise KCoreRoundBudgetExceeded(
-                f"kcore(k={k}) still peeling after {rounds_budget} "
-                f"certified rounds — deepen the unrolled oracle (or raise "
-                f"rounds_budget) before trusting a hash comparison"
-            )
-        prev_edges = n_edges
-    else:
+            _budget_raise(live_ids | mid_ids | new_ids)
+        _release_checkpoint_blocks(sc, live_ids | mid_ids)
+        live_ids = new_ids
+        live = live_next
+        prev_edges = n2
+    if not converged:
         _release_checkpoint_blocks(sc, live_ids | edges_ids)
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
     if stats is not None:

@@ -172,6 +172,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_HANDLES.get(key)
     if cached is not None:
         return cached
+    # evict dead-session entries on miss (VERDICT r13 #4): a long-lived
+    # driver process that creates many sessions would otherwise
+    # accumulate handles for every applicationId it ever saw
+    stale = [k for k in _TABLE_HANDLES if k[0] != app_id]
+    for k in stale:
+        del _TABLE_HANDLES[k]
     # calendar determinism regardless of who built the session: date_trunc
     # and timestamp rendering must not depend on the host zone, or every
     # period stamp drifts against the (zone-naive) DuckDB oracles
