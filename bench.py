@@ -215,6 +215,29 @@ ONLY = {
 }
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — the direct hypervisor
+    co-tenant signal.  Load averages conflate the bench's own 32 threads
+    with external pressure; steal time does not."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before: tuple[int, int] | None) -> float | None:
+    after = _cpu_jiffies()
+    if before is None or after is None:
+        return None
+    return round(
+        100.0 * (after[0] - before[0]) / max(1, after[1] - before[1]), 2
+    )
+
+
 def main() -> None:
     from tsdisagg_spark import queries as registry
     from tsdisagg_spark.cacheutil import release_all
@@ -255,6 +278,8 @@ def main() -> None:
             "tagging this run degraded=true",
             file=sys.stderr,
         )
+
+    jiffies_before = _cpu_jiffies()
 
     spark = get_spark(
         app_name="tsdisagg-bench",
@@ -361,6 +386,10 @@ def main() -> None:
         # suite: a watermark far above the usual band means a co-tenant
         # spike hit mid-run even if load_before was quiet
         "load_max": round(load_max, 2),
+        # hypervisor steal over the whole run (percent of total CPU
+        # jiffies) — the co-tenant signal loadavg cannot separate from
+        # the bench's own threads; >1-2% means the numbers are inflated
+        "steal_pct": _steal_pct(jiffies_before),
         # core count the session actually ran with (VERDICT r13 #1: the
         # driver benches at two core counts and the artifacts were
         # indistinguishable)
@@ -445,6 +474,7 @@ def main() -> None:
         "load": result["load"],
         "load_before": result["load_before"],
         "load_max": result["load_max"],
+        "steal_pct": result["steal_pct"],
         "cpus": result["cpus"],
         "degraded": degraded,
         "queries_in": f"bench_out.json, bench_out_c{int(CPUS)}.json",
