@@ -450,10 +450,21 @@ def dsir_finalize_cells(cells: DataFrame, scale: int = 1_000_000) -> DataFrame:
             "survives a parquet round-trip)."
         )
     buckets = meta["dsir_buckets"]
-    tot = cells.agg(
-        F.sum("__th").alias("__tt"), F.sum("__rh").alias("__rr")
+    # corpus totals as an unpartitioned window over the cell frame — at
+    # most ``buckets`` rows by construction, so the single window task is
+    # bounded at ANY corpus size.  The previous agg + crossJoin(broadcast)
+    # made the totals a SECOND consumer of the cells subtree: in
+    # dsir_importance_weights the two broadcast builds raced on the cold
+    # (doc, cell) cache and the bigram md5 chain ran 3-4x per action
+    # (stage-profiled: three extra full-corpus scans, ~8s task time each
+    # at sf0.1).  Sums of identical integers — bit-identical lambdas.
+    from pyspark.sql.window import Window as _W
+
+    w_all = _W.partitionBy()
+    cells = cells.withColumn("__tt", F.sum("__th").over(w_all)).withColumn(
+        "__rr", F.sum("__rh").over(w_all)
     )
-    return cells.crossJoin(F.broadcast(tot)).select(
+    return cells.select(
         "__h",
         F.round(
             scale
